@@ -1,0 +1,116 @@
+"""Configuration dataclasses.
+
+The reference exposes three knobs through ``apply_framefusion(model, cost,
+similarity_lower_bound, ratio_lower_bound)``
+(/root/reference/framefusion/interface.py:47). ``FrameFusionConfig`` carries
+those plus the TPU-build-specific static planning knobs (shape buckets, the
+number of last query rows used for importance, the scheduler's layer count).
+
+``LLMConfig`` describes the decoder stack (Qwen2-family geometry by default —
+the backbone of 4 of the 6 supported model families; see
+/root/reference/framefusion/interface.py:58-98).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class FrameFusionConfig:
+    cost: float = 0.3
+    similarity_lower_bound: float = 0.6
+    ratio_lower_bound: float = 0.1
+    # Number of trailing query rows whose attention distribution scores token
+    # importance for pruning: 1 for Qwen2-family stacks
+    # (reference models/qwen2/modeling_qwen2.py:173), 4 for Qwen2-VL
+    # (models/qwen2/modeling_qwen2_vl.py:297).
+    num_importance_queries: int = 1
+    # Layer count used by the cost scheduler. The reference hard-codes 28
+    # (main.py:322) for every model family; keep that default for decision
+    # parity and override per-model when exactness vs the paper is not needed.
+    schedule_num_layers: int = 28
+    # Shape-bucket granularity for compacted sequences (multiple of 128).
+    bucket: int = 128
+
+    def replace(self, **kw) -> "FrameFusionConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class LLMConfig:
+    """Decoder-stack geometry (Qwen2 / Qwen2-VL / InternLM2 families)."""
+
+    vocab_size: int = 152064
+    hidden_size: int = 3584
+    intermediate_size: int = 18944
+    num_layers: int = 28
+    num_heads: int = 28
+    num_kv_heads: int = 4
+    head_dim: Optional[int] = None  # defaults to hidden_size // num_heads
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1e6
+    tie_word_embeddings: bool = False
+    # Qwen2 uses bias on q/k/v projections only; InternLM2 has none.
+    qkv_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    # mRoPE section sizes for Qwen2-VL (None => standard 1D RoPE).
+    mrope_section: Optional[tuple[int, ...]] = None
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim if self.head_dim is not None else self.hidden_size // self.num_heads
+
+    def replace(self, **kw) -> "LLMConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# Small geometry used across the test-suite and the graft entry: real code
+# paths, fast compiles.
+def tiny_llm_config(**kw) -> LLMConfig:
+    base = dict(
+        vocab_size=512,
+        hidden_size=128,
+        intermediate_size=256,
+        num_layers=4,
+        num_heads=4,
+        num_kv_heads=2,
+        rope_theta=1e4,
+        dtype=jnp.float32,
+    )
+    base.update(kw)
+    return LLMConfig(**base)
+
+
+def qwen2_7b_config(**kw) -> LLMConfig:
+    """Qwen2-7B geometry — the LLaVA-Video-7B-Qwen2 backbone."""
+    base = dict(
+        vocab_size=152064,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_layers=28,
+        num_heads=28,
+        num_kv_heads=4,
+        rope_theta=1e6,
+    )
+    base.update(kw)
+    return LLMConfig(**base)
+
+
+def qwen2_1_5b_config(**kw) -> LLMConfig:
+    """Qwen2-1.5B geometry (LLaVA-OneVision-class small backbone)."""
+    base = dict(
+        vocab_size=151936,
+        hidden_size=1536,
+        intermediate_size=8960,
+        num_layers=28,
+        num_heads=12,
+        num_kv_heads=2,
+        rope_theta=1e6,
+        tie_word_embeddings=True,
+    )
+    base.update(kw)
+    return LLMConfig(**base)
