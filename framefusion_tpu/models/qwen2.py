@@ -1,0 +1,244 @@
+"""Functional Qwen2-family decoder stack.
+
+TPU-native counterpart of the HF Qwen2 modeling stack the reference
+monkey-patches (/root/reference/framefusion/models/qwen2/modeling_qwen2.py):
+a pure function over a pytree of parameters, no modules, no patching. The
+compression executor (runtime/engine.py) composes the exported pieces
+(``layer_attention`` / ``layer_mlp``) around the merge/prune events; the dense
+paths here run the whole stack as single XLA programs.
+
+Architecture (Qwen2 / Qwen2-VL / LLaVA-Video backbone): RMSNorm, GQA
+attention with q/k/v bias, rotary embeddings, SwiGLU MLP, optional tied
+embeddings. Layer parameters are stored *stacked* (leading axis = layer) so
+both ``lax.scan``/``fori_loop`` whole-stack programs and per-layer programs
+(via in-jit dynamic indexing) share one pytree with no per-layer copies.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import LLMConfig
+from ..ops.attention import causal_attention, decode_attention, last_rows_importance
+from ..ops.rope import apply_rope, mrope_cos_sin, rope_cos_sin
+
+
+# ---------------------------------------------------------------------------
+# Parameters
+
+
+def init_params(cfg: LLMConfig, key: jax.Array) -> dict:
+    """Random-normal initialisation (inference framework: used for tests/bench)."""
+    hd = cfg.head_dim_
+    keys = iter(jax.random.split(key, 16))
+
+    def norm(*shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(cfg.dtype)
+
+    n_l, d, i = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
+    hq, hk = cfg.num_heads, cfg.num_kv_heads
+    layers = {
+        "ln1": jnp.ones((n_l, d), cfg.dtype),
+        "ln2": jnp.ones((n_l, d), cfg.dtype),
+        "wq": norm(n_l, d, hq * hd),
+        "wk": norm(n_l, d, hk * hd),
+        "wv": norm(n_l, d, hk * hd),
+        "wo": norm(n_l, hq * hd, d),
+        "w_gate": norm(n_l, d, i),
+        "w_up": norm(n_l, d, i),
+        "w_down": norm(n_l, i, d),
+    }
+    if cfg.qkv_bias:
+        layers["bq"] = jnp.zeros((n_l, hq * hd), cfg.dtype)
+        layers["bk"] = jnp.zeros((n_l, hk * hd), cfg.dtype)
+        layers["bv"] = jnp.zeros((n_l, hk * hd), cfg.dtype)
+    params = {
+        "embed": norm(cfg.vocab_size, d),
+        "layers": layers,
+        "final_norm": jnp.ones((d,), cfg.dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = norm(d, cfg.vocab_size)
+    return params
+
+
+def layer_slice(layers: dict, idx) -> dict:
+    """Select one layer's parameters; ``idx`` may be a traced scalar."""
+    return jax.tree.map(lambda a: jax.lax.dynamic_index_in_dim(a, idx, 0, keepdims=False), layers)
+
+
+# ---------------------------------------------------------------------------
+# Blocks
+
+
+def rmsnorm(x: jnp.ndarray, w: jnp.ndarray, eps: float) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
+
+
+def positions_cos_sin(position_ids: jnp.ndarray, cfg: LLMConfig):
+    """cos/sin from integer positions: (S,) -> standard RoPE, (3,S) -> mRoPE."""
+    if position_ids.ndim == 2:
+        assert cfg.mrope_section is not None, "3D positions require mrope_section"
+        return mrope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta, cfg.mrope_section)
+    return rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
+
+
+def _project_qkv(lp: dict, x: jnp.ndarray, cfg: LLMConfig):
+    s = x.shape[0]
+    hd = cfg.head_dim_
+    q = x @ lp["wq"]
+    k = x @ lp["wk"]
+    v = x @ lp["wv"]
+    if cfg.qkv_bias:
+        q = q + lp["bq"]
+        k = k + lp["bk"]
+        v = v + lp["bv"]
+    return (
+        q.reshape(s, cfg.num_heads, hd),
+        k.reshape(s, cfg.num_kv_heads, hd),
+        v.reshape(s, cfg.num_kv_heads, hd),
+    )
+
+
+def layer_attention(
+    lp: dict,
+    h: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cfg: LLMConfig,
+    *,
+    attn_impl: str = "chunked",
+    capture_num: int = 0,
+    valid_len=None,
+):
+    """Pre-norm attention block with residual.
+
+    Returns (h_out, k_cache, v_cache, importance-or-None). ``capture_num > 0``
+    additionally emits the prune importance vector — the mean softmax mass the
+    last ``capture_num`` valid rows pay to each key (reference
+    models/qwen2/modeling_qwen2.py:166-178 recomputes attention for this;
+    here it is a cheap O(num·S·D) side computation / fused kernel epilogue).
+    """
+    x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+    q, k, v = _project_qkv(lp, x, cfg)
+    q, k = apply_rope(q, k, cos, sin)
+    attn = causal_attention(q, k, v, impl=attn_impl)
+    importance = None
+    if capture_num:
+        importance = last_rows_importance(q, k, capture_num, valid_len)
+    s = h.shape[0]
+    h_out = h + attn.reshape(s, -1) @ lp["wo"]
+    return h_out, k, v, importance
+
+
+def layer_mlp(lp: dict, h: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
+    x = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
+    gated = jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])
+    return h + gated @ lp["w_down"]
+
+
+def embed(params: dict, input_ids: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
+    return jnp.take(params["embed"], input_ids, axis=0)
+
+
+def final_logits(params: dict, h: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
+    x = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
+    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
+    return (x @ head).astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Whole-stack programs (dense path; also the tail of the compressed prefill)
+
+
+def run_layers(
+    params: dict,
+    h: jnp.ndarray,
+    cos: jnp.ndarray,
+    sin: jnp.ndarray,
+    cfg: LLMConfig,
+    *,
+    start_layer=0,
+    attn_impl: str = "chunked",
+):
+    """Run layers [start_layer, num_layers) over ``h``; returns (h, k_all, v_all).
+
+    ``start_layer`` may be traced: a ``fori_loop`` with dynamic lower bound
+    lets the compressed prefill resume mid-stack at the post-compression
+    bucket without one compiled program per resume depth. Cache entries for
+    layers below ``start_layer`` are zeros (unused).
+    """
+    s = h.shape[0]
+    hd = cfg.head_dim_
+    k_all = jnp.zeros((cfg.num_layers, s, cfg.num_kv_heads, hd), cfg.dtype)
+    v_all = jnp.zeros_like(k_all)
+
+    def body(l, carry):
+        h, k_all, v_all = carry
+        lp = layer_slice(params["layers"], l)
+        h, k, v, _ = layer_attention(lp, h, cos, sin, cfg, attn_impl=attn_impl)
+        h = layer_mlp(lp, h, cfg)
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k.astype(cfg.dtype), l, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v.astype(cfg.dtype), l, 0)
+        return h, k_all, v_all
+
+    h, k_all, v_all = jax.lax.fori_loop(start_layer, cfg.num_layers, body, (h, k_all, v_all))
+    return h, k_all, v_all
+
+
+def dense_prefill(params: dict, input_embeds: jnp.ndarray, position_ids: jnp.ndarray, cfg: LLMConfig, *, attn_impl: str = "chunked"):
+    """Full dense prefill. Returns (logits_last, k_all, v_all)."""
+    cos, sin = positions_cos_sin(position_ids, cfg)
+    h, k_all, v_all = run_layers(params, input_embeds, cos, sin, cfg, attn_impl=attn_impl)
+    logits = final_logits(params, h[-1:], cfg)
+    return logits[0], k_all, v_all
+
+
+def decode_step(
+    params: dict,
+    token_embed: jnp.ndarray,
+    position_id: jnp.ndarray,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    cache_lens: jnp.ndarray,
+    cfg: LLMConfig,
+):
+    """One decode step against a padded per-layer cache pool.
+
+    Args:
+        token_embed: (D,) current-token embedding.
+        position_id: scalar int32 (or (3,) for mRoPE) — rotary position.
+        k_pool, v_pool: (L, S_pad, Hk, hd) padded caches.
+        cache_lens: (L,) int32 valid entries per layer *excluding* this token.
+
+    Returns:
+        (logits, k_pool, v_pool, cache_lens) with the new token appended to
+        every layer's cache at its own offset — per-layer ragged lengths are
+        exactly the reference's DynamicCache behavior after mid-stack
+        compression (each layer keeps the keys of the tokens that were live
+        when it ran).
+    """
+    pos = position_id.reshape(3, 1) if position_id.size == 3 else position_id.reshape(1)
+    cos, sin = positions_cos_sin(pos, cfg)
+    h = token_embed[None, :]  # (1, D)
+
+    def body(l, carry):
+        h, k_pool, v_pool = carry
+        lp = layer_slice(params["layers"], l)
+        x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(lp, x, cfg)
+        q, k = apply_rope(q, k, cos, sin)
+        length = cache_lens[l]
+        k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
+        v_pool = jax.lax.dynamic_update_slice(v_pool, v.astype(cfg.dtype)[None], (l, length, 0, 0))
+        attn = decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
+        h = h + attn.reshape(1, -1) @ lp["wo"]
+        h = layer_mlp(lp, h, cfg)
+        return h, k_pool, v_pool
+
+    h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, body, (h, k_pool, v_pool))
+    logits = final_logits(params, h, cfg)[0]
+    return logits, k_pool, v_pool, cache_lens + 1
