@@ -1,0 +1,156 @@
+"""Integration tests: segmented compressed-prefill executor vs the NumPy
+reference pipeline (dynamic shapes, oracle decisions)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from framefusion_tpu.config import FrameFusionConfig, tiny_llm_config
+from framefusion_tpu.models import qwen2
+from framefusion_tpu.runtime.engine import CompressionEngine
+
+import ref_pipeline
+from test_core import make_sequence
+
+
+def build_inputs(seed=0, n_pre=4, patch_num=6, n_frames=10, n_post=3, hidden=128, coherent=0.8):
+    rng = np.random.default_rng(seed)
+    h, pt, img_start, n_img = make_sequence(rng, n_pre, patch_num, n_frames, n_post, hidden=hidden, coherent=coherent)
+    # Scale down: raw N(0,1) embeddings explode through random layers; keep
+    # activations tame so fp32 comparisons stay tight.
+    h = (h * 0.05).astype(np.float32)
+    pos = np.arange(len(pt), dtype=np.int32)
+    return h, pt, pos, img_start, n_img
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_llm_config(num_layers=6)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    # schedule_num_layers must match the stack depth for a sensible test
+    # budget; bucket=32 exercises repeated re-bucketing on small sequences.
+    ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75, ratio_lower_bound=0.05,
+                           schedule_num_layers=6, bucket=32)
+    return cfg, params, ff
+
+
+def run_both(setup, seed, coherent, n_frames=10, ff_override=None):
+    cfg, params, ff = setup
+    ff = ff_override or ff
+    h, pt, pos, img_start, n_img = build_inputs(seed=seed, coherent=coherent, n_frames=n_frames)
+    engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+    res = engine.prefill(h, pt, pos, patch_num=6, image_token_start=img_start, image_token_length=n_img)
+    ref = ref_pipeline.ref_compressed_prefill(params, cfg, ff, h, pt, pos, 6, img_start, n_img)
+    return engine, res, ref
+
+
+class TestCompressedPrefill:
+    def test_event_sequence_matches(self, setup):
+        _, res, ref = run_both(setup, seed=0, coherent=0.8)
+        got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+        assert got == ref["events"]
+        assert res.telemetry.sparsity_list == pytest.approx(ref["sparsity"], abs=1e-9)
+
+    def test_final_length_and_logits_match(self, setup):
+        _, res, ref = run_both(setup, seed=0, coherent=0.8)
+        assert res.valid_len == ref["final_len"]
+        assert res.telemetry.tail_start_layer == ref["tail_start"]
+        np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
+        assert int(np.argmax(np.asarray(res.logits))) == int(ref["logits"].argmax())
+
+    def test_cache_lengths_match_reference_raggedness(self, setup):
+        cfg, _, _ = setup
+        _, res, ref = run_both(setup, seed=0, coherent=0.8)
+        for l in range(cfg.num_layers):
+            k_ref, _ = ref["caches"][l]
+            _, _, length = res.layer_caches[l]
+            assert length == k_ref.shape[0], f"layer {l}"
+
+    def test_cache_contents_match(self, setup):
+        cfg, _, _ = setup
+        _, res, ref = run_both(setup, seed=0, coherent=0.8)
+        for l in range(cfg.num_layers):
+            k_ref, v_ref = ref["caches"][l]
+            k, v, length = res.layer_caches[l]
+            np.testing.assert_allclose(
+                np.asarray(k[:length], np.float32), k_ref, rtol=2e-3, atol=2e-3, err_msg=f"k layer {l}"
+            )
+
+    def test_greedy_decode_matches(self, setup):
+        cfg, params, _ = setup
+        engine, res, ref = run_both(setup, seed=0, coherent=0.8)
+        ours = engine.generate_greedy(res, max_new_tokens=6)
+        theirs = ref_pipeline.ref_greedy_decode(ref, params, cfg, n_new=6)
+        assert ours == theirs
+
+    def test_incoherent_video_finishes_fast(self, setup):
+        # Low frame coherence: almost nothing passes the similarity gate, the
+        # ratio drops below ratio_lower_bound immediately, and pruning carries
+        # the full budget.
+        _, res, ref = run_both(setup, seed=1, coherent=0.0)
+        got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+        assert got == ref["events"]
+        assert any(e.kind == "prune" for e in res.telemetry.events)
+        assert res.valid_len == ref["final_len"]
+        np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
+
+    def test_highly_coherent_video_hits_budget_cap(self, setup):
+        cfg, params, ff = setup
+        ff2 = ff.replace(cost=0.25, similarity_lower_bound=0.5)
+        _, res, ref = run_both(setup, seed=2, coherent=1.0, ff_override=ff2)
+        got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+        assert got == ref["events"]
+        assert any(e.kind == "merge_capped" for e in res.telemetry.events)
+        assert not any(e.kind == "prune" for e in res.telemetry.events)
+        assert res.valid_len == ref["final_len"]
+        np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
+
+    def test_fuzz_seeds(self, setup):
+        cfg, params, ff = setup
+        for seed in range(3, 7):
+            rng = np.random.default_rng(seed)
+            ff2 = ff.replace(
+                cost=float(rng.uniform(0.25, 0.6)),
+                similarity_lower_bound=float(rng.uniform(0.5, 0.9)),
+            )
+            _, res, ref = run_both(setup, seed=seed, coherent=float(rng.uniform(0.1, 1.0)), ff_override=ff2)
+            got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+            assert got == ref["events"], f"seed={seed}"
+            assert res.valid_len == ref["final_len"], f"seed={seed}"
+            np.testing.assert_allclose(
+                np.asarray(res.logits), ref["logits"], rtol=5e-3, atol=5e-3, err_msg=f"seed={seed}"
+            )
+
+    def test_vision_token_reduction_telemetry(self, setup):
+        _, res, ref = run_both(setup, seed=0, coherent=0.9)
+        t = res.telemetry
+        removed = t.original_length - t.final_length
+        assert t.final_image_tokens == t.image_token_length - removed
+        assert 0.0 < t.vision_token_reduction <= 1.0
+        summary = t.summary()
+        assert summary["final_length"] == ref["final_len"]
+
+
+class TestDensePath:
+    def test_dense_matches_ref(self, setup):
+        cfg, params, ff = setup
+        h, pt, pos, img_start, n_img = build_inputs(seed=0)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res = engine.dense_prefill(h, pos)
+        model = ref_pipeline.RefModel(params, cfg)
+        hh = np.asarray(h, np.float32)
+        for l in range(cfg.num_layers):
+            hh, _, _, _ = model.layer_attn(l, hh, np.asarray(pos))
+            hh = model.layer_mlp(l, hh)
+        ref_logits = model.logits(hh[-1:])[0]
+        np.testing.assert_allclose(np.asarray(res.logits), ref_logits, rtol=2e-3, atol=2e-3)
+
+    def test_dense_greedy_decode(self, setup):
+        cfg, params, ff = setup
+        h, pt, pos, *_ = build_inputs(seed=4)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res = engine.dense_prefill(h, pos)
+        toks = engine.generate_greedy(res, max_new_tokens=4)
+        assert len(toks) == 4
