@@ -1,0 +1,115 @@
+"""Benchmark: FrameFusion LLM prefill speedup at 64 frames on one TPU chip.
+
+Mirrors the reference's measurement methodology
+(/root/reference/script/playground/example_llava.py:129-167: warmed A/B of
+the same prompt through the dense model and the FrameFusion model) on the
+rebuild's north-star metric (BASELINE.json): LLM prefill at 64 frames,
+LLaVA-Video-7B-Qwen2 geometry, cost=0.3, S_th=0.6, r_min=0.1.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+where value = dense_prefill_ms / framefusion_prefill_ms and vs_baseline
+normalises by the reference's lower-bound LLM speedup claim (3.4x,
+reference README.md:13).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+
+def build_video_prompt(rng, hidden, n_frames=64, patch_num=182, n_pre=35, n_post=14, coherent=0.72):
+    """Synthetic LLaVA-Video-style 64-frame prompt.
+
+    patch_num=182 matches LLaVA-Video-7B (27 patches/side -> 13x14 incl. the
+    per-row newline column, reference modeling_llava_video.py:322-326).
+    ``coherent`` controls how much adjacent frames resemble each other, i.e.
+    how much similarity-merging fires before the budget cap.
+    """
+    n_img = patch_num * n_frames
+    s = n_pre + n_img + n_post
+    patch_type = np.full(s, -1, dtype=np.int32)
+    patch_type[n_pre : n_pre + n_img] = np.tile(np.arange(patch_num), n_frames)
+    h = rng.standard_normal((s, hidden)).astype(np.float32) * 0.05
+    base = rng.standard_normal((patch_num, hidden)).astype(np.float32) * 0.05
+    for f in range(n_frames):
+        sl = slice(n_pre + f * patch_num, n_pre + (f + 1) * patch_num)
+        noise = rng.standard_normal((patch_num, hidden)).astype(np.float32) * 0.05
+        h[sl] = coherent * base + (1 - coherent) * noise
+        base = h[sl].copy()
+    return h, patch_type, n_pre, n_img
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from framefusion_tpu.config import FrameFusionConfig, qwen2_7b_config
+    from framefusion_tpu.models import qwen2
+    from framefusion_tpu.runtime.engine import CompressionEngine
+
+    backend = jax.default_backend()
+    # Benchmark geometry: Qwen2-7B decoder with benchmark-reduced vocab
+    # (prefill speed is vocab-independent; full 152k embeddings would not
+    # leave activation headroom on one 16 GB v5e chip).
+    if backend == "cpu":
+        cfg = qwen2_7b_config(vocab_size=4096, num_layers=4, hidden_size=512,
+                              intermediate_size=1024, num_heads=8, num_kv_heads=2)
+        n_frames, reps = 8, 1
+    else:
+        cfg = qwen2_7b_config(vocab_size=32768)
+        n_frames, reps = 64, 3
+
+    ff = FrameFusionConfig(cost=0.3, similarity_lower_bound=0.6, ratio_lower_bound=0.1)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+
+    rng = np.random.default_rng(0)
+    h, patch_type, img_start, n_img = build_video_prompt(rng, cfg.hidden_size, n_frames=n_frames)
+    pos = np.arange(len(patch_type), dtype=np.int32)
+    engine = CompressionEngine(params, cfg, ff, attn_impl="chunked")
+
+    def time_fn(fn, reps):
+        fn()  # warmup/compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        jax.block_until_ready(out.logits)
+        return (time.perf_counter() - t0) / reps
+
+    dense_t = time_fn(lambda: engine.dense_prefill(h, pos), reps)
+    ff_t = time_fn(
+        lambda: engine.prefill(h, patch_type, pos, patch_num=182,
+                               image_token_start=img_start, image_token_length=n_img),
+        reps,
+    )
+
+    res = engine.prefill(h, patch_type, pos, patch_num=182,
+                         image_token_start=img_start, image_token_length=n_img)
+    speedup = dense_t / ff_t
+    record = {
+        "metric": "llm_prefill_speedup_64frames",
+        "value": round(speedup, 3),
+        "unit": "x_vs_dense",
+        "vs_baseline": round(speedup / 3.4, 3),
+        "detail": {
+            "backend": backend,
+            "seq_len": len(patch_type),
+            "dense_ms": round(dense_t * 1e3, 1),
+            "framefusion_ms": round(ff_t * 1e3, 1),
+            "prefill_tokens_per_s": round(len(patch_type) / ff_t, 1),
+            "vision_token_reduction": round(res.telemetry.vision_token_reduction, 3),
+            "final_tokens": res.valid_len,
+            "tail_start_layer": res.telemetry.tail_start_layer,
+        },
+    }
+    print(json.dumps(record))
+
+
+if __name__ == "__main__":
+    main()

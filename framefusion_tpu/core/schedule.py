@@ -11,10 +11,16 @@ model costs ``num_layers``. Given the sparsities of the events so far, this
 returns the sparsity the *next* event must apply for the total to land exactly
 on ``num_layers * cost``.
 
-This is deliberately host-side Python: the scheduler consumes one scalar per
-compression event (the measured merge ratio), which the executor reads back
-from the device anyway to pick the next shape bucket. Keeping it out of the
-jitted program means the per-layer token budgets stay static inside XLA.
+Two implementations with bit-identical fp32 arithmetic:
+  * ``compute_pruning_ratio`` — host-side (numpy fp32), used by the segmented
+    executor and as the parity oracle.
+  * ``compute_pruning_ratio_device`` — traced (jnp fp32), used inside the
+    fused on-device compression phase so merge events need no host sync.
+
+All arithmetic is float32 by design (the TPU has no fp64); the reference
+computes this in Python float64 (main.py:321-343) — decisions can differ only
+on exact representational ties, which the similarity data cannot produce in
+practice.
 
 Note the reference hard-codes ``num_layers=28`` (Qwen2-7B) even for model
 families with other depths; ``FrameFusionConfig.schedule_num_layers`` exposes
@@ -22,6 +28,8 @@ that knob with the same default for decision parity.
 """
 
 from __future__ import annotations
+
+import numpy as np
 
 
 class CostInfeasibleError(ValueError):
@@ -37,16 +45,53 @@ def compute_pruning_ratio(sparsity_list: list[float], cost: float, num_layers: i
     Raises:
         CostInfeasibleError: if even pruning everything cannot reach ``cost``.
     """
+    f = np.float32
     n_events = len(sparsity_list)
-    density = 1.0
-    spent = 0.0
+    density = f(1.0)
+    spent = f(0.0)
     for s in sparsity_list:
-        density *= 1.0 - s
-        spent += density
-    remaining_budget = num_layers * cost - spent
+        density = f(density * (f(1.0) - f(s)))
+        spent = f(spent + density)
+    remaining_budget = f(f(num_layers) * f(cost) - spent)
     if remaining_budget < 0:
         raise CostInfeasibleError("The cost is too small")
-    remaining_layers = num_layers - n_events
-    if remaining_budget / (remaining_layers * density) > 1:
+    remaining_layers = f(num_layers - n_events)
+    frac = f(remaining_budget / f(remaining_layers * density))
+    if frac > 1:
         return 0.0
-    return 1.0 - remaining_budget / (remaining_layers * density)
+    return float(f(f(1.0) - frac))
+
+
+def compute_pruning_ratio_device(sparsity_arr, n_events, cost, num_layers: int):
+    """Traced fp32 twin of ``compute_pruning_ratio``.
+
+    Args:
+        sparsity_arr: (max_events,) fp32 — recorded per-event sparsities.
+        n_events: scalar int32 — how many entries are valid.
+        cost: scalar fp32.
+        num_layers: static int.
+
+    Returns:
+        (ratio, infeasible): fp32 scalar in [0, 1] and a bool flag replacing
+        the reference's ValueError (main.py:339-340) — the host raises on it
+        after the phase program returns.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    max_events = sparsity_arr.shape[0]
+
+    def body(i, carry):
+        density, spent = carry
+        active = i < n_events
+        new_density = jnp.where(active, density * (1.0 - sparsity_arr[i]), density)
+        new_spent = jnp.where(active, spent + new_density, spent)
+        return new_density, new_spent
+
+    density, spent = jax.lax.fori_loop(0, max_events, body, (jnp.float32(1.0), jnp.float32(0.0)))
+    remaining = jnp.float32(num_layers) * cost - spent
+    infeasible = remaining < 0
+    # Same operation order as the host twin: multiply denominator first.
+    frac = remaining / ((jnp.float32(num_layers) - n_events.astype(jnp.float32)) * density)
+    ratio = jnp.where(frac > 1, 0.0, 1.0 - frac)
+    return ratio, infeasible

@@ -34,7 +34,9 @@ def init_params(cfg: LLMConfig, key: jax.Array) -> dict:
     keys = iter(jax.random.split(key, 16))
 
     def norm(*shape, scale=0.02):
-        return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(cfg.dtype)
+        # Generate directly in the target dtype: a 7B init must not allocate
+        # fp32 transients (w_down alone would be 7.6 GB at fp32).
+        return jax.random.normal(next(keys), shape, cfg.dtype) * jnp.asarray(scale, cfg.dtype)
 
     n_l, d, i = cfg.num_layers, cfg.hidden_size, cfg.intermediate_size
     hq, hk = cfg.num_heads, cfg.num_kv_heads
@@ -113,6 +115,7 @@ def layer_attention(
     attn_impl: str = "chunked",
     capture_num: int = 0,
     valid_len=None,
+    key_valid=None,
 ):
     """Pre-norm attention block with residual.
 
@@ -121,14 +124,15 @@ def layer_attention(
     last ``capture_num`` valid rows pay to each key (reference
     models/qwen2/modeling_qwen2.py:166-178 recomputes attention for this;
     here it is a cheap O(num·S·D) side computation / fused kernel epilogue).
+    ``key_valid`` masks dead keys in the mask-only fused compression phase.
     """
     x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
     q, k, v = _project_qkv(lp, x, cfg)
     q, k = apply_rope(q, k, cos, sin)
-    attn = causal_attention(q, k, v, impl=attn_impl)
+    attn = causal_attention(q, k, v, impl=attn_impl, key_valid=key_valid)
     importance = None
     if capture_num:
-        importance = last_rows_importance(q, k, capture_num, valid_len)
+        importance = last_rows_importance(q, k, capture_num, valid_len, key_valid=key_valid)
     s = h.shape[0]
     h_out = h + attn.reshape(s, -1) @ lp["wo"]
     return h_out, k, v, importance

@@ -38,8 +38,13 @@ def _gqa_expand(q: jnp.ndarray, num_kv_heads: int):
     return q.reshape(s, num_kv_heads, g, d).transpose(1, 2, 0, 3)
 
 
-def causal_attention_einsum(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Reference attention. q: (S, Hq, D); k, v: (S, Hk, D). Returns (S, Hq, D)."""
+def causal_attention_einsum(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, key_valid=None) -> jnp.ndarray:
+    """Reference attention. q: (S, Hq, D); k, v: (S, Hk, D). Returns (S, Hq, D).
+
+    ``key_valid`` (S,) bool masks out dead keys — used by the fused
+    compression phase, where merged/pruned tokens stay in place (mask-only)
+    until the single post-phase compaction.
+    """
     s, hq, d = q.shape
     hk = k.shape[1]
     qg = _gqa_expand(q, hk).astype(jnp.float32)  # (Hk, G, S, D)
@@ -47,6 +52,8 @@ def causal_attention_einsum(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> j
     vf = v.transpose(1, 0, 2).astype(jnp.float32)
     scores = jnp.einsum("hgsd,htd->hgst", qg, kf) / jnp.sqrt(d).astype(jnp.float32)
     causal = jnp.tril(jnp.ones((s, s), bool))
+    if key_valid is not None:
+        causal = causal & key_valid[None, :]
     scores = jnp.where(causal[None, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("hgst,htd->hgsd", probs, vf)
@@ -54,12 +61,15 @@ def causal_attention_einsum(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> j
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def causal_attention_chunked(q, k, v, block_q: int = 256, block_k: int = 256):
+def causal_attention_chunked(q, k, v, key_valid=None, block_q: int = 256, block_k: int = 256):
     """Online-softmax causal attention, O(block^2) memory. Shapes as einsum."""
     s, hq, d = q.shape
     hk = k.shape[1]
     g = hq // hk
     scale = 1.0 / jnp.sqrt(d).astype(jnp.float32)
+
+    if key_valid is None:
+        key_valid = jnp.ones((s,), bool)
 
     # Pad sequence to block multiples (keys padded with NEG_INF scores).
     pad = (-s) % block_q
@@ -69,6 +79,7 @@ def causal_attention_chunked(q, k, v, block_q: int = 256, block_k: int = 256):
     if pad_k:
         k = jnp.pad(k, ((0, pad_k), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, pad_k), (0, 0), (0, 0)))
+    key_valid = jnp.pad(key_valid, (0, pad_k), constant_values=False)
     sq, sk = q.shape[0], k.shape[0]
     nq, nk = sq // block_q, sk // block_k
 
@@ -78,7 +89,7 @@ def causal_attention_chunked(q, k, v, block_q: int = 256, block_k: int = 256):
 
     q_pos = jnp.arange(sq).reshape(nq, block_q)
     k_pos = jnp.arange(sk).reshape(nk, block_k)
-    k_valid = (jnp.arange(sk) < s).reshape(nk, block_k)
+    k_valid = key_valid.reshape(nk, block_k)
 
     def q_block(qi, qb, qp):
         def kv_step(carry, inputs):
@@ -110,7 +121,7 @@ def causal_attention_chunked(q, k, v, block_q: int = 256, block_k: int = 256):
     return out[:s].astype(q.dtype)
 
 
-def last_rows_importance(q, k, num: int, valid_len, scale=None):
+def last_rows_importance(q, k, num: int, valid_len, scale=None, key_valid=None):
     """Mean attention mass of the last ``num`` valid query rows over all keys.
 
     Args:
@@ -133,6 +144,8 @@ def last_rows_importance(q, k, num: int, valid_len, scale=None):
     scores = jnp.einsum("hgnd,hkd->hgnk", q_rows, kf) * scale
     key_pos = jnp.arange(s, dtype=jnp.int32)
     mask = key_pos[None, :] <= row_pos[:, None]  # causal within last rows; subsumes padding
+    if key_valid is not None:
+        mask = mask & key_valid[None, :]
     scores = jnp.where(mask[None, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
     return probs.mean(axis=(0, 1, 2))
@@ -162,13 +175,13 @@ def decode_attention(q, k_cache, v_cache, cache_len):
     return out.reshape(hq, d).astype(q.dtype)
 
 
-def causal_attention(q, k, v, impl: str = "chunked"):
+def causal_attention(q, k, v, impl: str = "chunked", key_valid=None):
     if impl == "einsum":
-        return causal_attention_einsum(q, k, v)
+        return causal_attention_einsum(q, k, v, key_valid=key_valid)
     if impl == "chunked":
-        return causal_attention_chunked(q, k, v)
+        return causal_attention_chunked(q, k, v, key_valid=key_valid)
     if impl == "pallas":
         from .kernels.flash_prefill import flash_causal_attention
 
-        return flash_causal_attention(q, k, v)
+        return flash_causal_attention(q, k, v, key_valid=key_valid)
     raise ValueError(f"unknown attention impl: {impl}")

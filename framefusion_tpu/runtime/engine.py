@@ -1,24 +1,29 @@
-"""Segmented compressed-prefill executor.
+"""Compressed-prefill executor.
 
-This is the TPU-native replacement for the reference's monkey-patched forward
-stack (/root/reference/framefusion/main.py:40-140 dispatch inside
+TPU-native replacement for the reference's monkey-patched forward stack
+(/root/reference/framefusion/main.py:40-140 dispatched inside the
 models/qwen2/modeling_qwen2.py layer loop). The reference mutates tensor
-shapes layer-by-layer — recompile poison under XLA. Here prefill runs as a
-small number of jitted programs with *static, bucketed* shapes, orchestrated
-by a host loop that reads back exactly one scalar per compression event (the
-above-threshold count) to drive the cost schedule and pick the next bucket:
+shapes layer-by-layer — recompile poison under XLA. Two executors share the
+same core numerics:
 
-  1. layer-0 pre-attention merge event (reference modeling_qwen2.py:44-47);
-  2. per-layer programs while compression is active: fused
-     attention(+similarity scoring | +last-rows importance capture), then a
-     merge/prune + compact + MLP program at the post-attention point
-     (reference modeling_qwen2.py:66-68);
-  3. one ``fori_loop`` tail program running every remaining layer at the
-     final compressed bucket — where the wall-clock win lives.
+**Fused mode (default).** The entire compression phase — layer-0
+pre-attention merge (reference modeling_qwen2.py:44-47), per-layer
+post-attention merge events, importance capture, and the prune — runs as ONE
+jitted ``lax.while_loop`` program with mask-only state at the full (bucketed)
+sequence length: merged/pruned tokens are killed in a live-mask instead of
+gathered out, event decisions (threshold-vs-budget branch, finish flags,
+fp32 cost schedule — core/schedule.py) are made on-device, and per-layer KV
+goes into a pool with per-layer live masks (the reference's ragged
+DynamicCache, as masks). One host sync then reads the surviving-token count,
+one gather compacts to the bucketed compressed length, and a ``fori_loop``
+tail program runs every remaining layer at the small shape — where the
+wall-clock win lives. Host round-trips per prefill: exactly one.
 
-Event decisions (threshold-vs-budget branch, ratio bookkeeping, finish flags)
-replicate FrameFusion.forward (main.py:104-139) exactly; the per-event
-sparsity list and schedule run on the host (core/schedule.py).
+**Segmented mode** (``prefill(..., mode="segmented")``). One jitted
+layer-program per compression layer with a scalar readback per merge event,
+compacting to a fresh bucket after every event. Matches the reference's
+shrinking-shape behavior most literally; useful for debugging and when
+host<->device latency is negligible.
 
 All jitted programs are module-level with hashable static arguments, so they
 are compiled once per shape bucket and shared across prompts and layers.
@@ -47,6 +52,8 @@ from ..core import (
     prune_keep_mask,
     similarity_by_patch,
 )
+from ..core.merge import descending_rank
+from ..core.schedule import CostInfeasibleError, compute_pruning_ratio_device
 from ..models import qwen2
 from .telemetry import CompressionEvent, PrefillTelemetry
 
@@ -163,6 +170,197 @@ _decode_program = jax.jit(qwen2.decode_step, static_argnames=("cfg",))
 
 
 # ---------------------------------------------------------------------------
+# Fused compression phase: the whole merge/prune stage as ONE on-device
+# lax.while_loop program (see module docstring). Event kind codes for the
+# device-side telemetry log:
+EV_MERGE, EV_MERGE_CAPPED, EV_PRUNE = 1, 2, 3
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "attn_impl", "capture_num", "patch_num", "max_events",
+        "pool_layers", "include_pre_event", "schedule_num_layers",
+    ),
+)
+def _phase_program(
+    params, h, pos_tok, patch_type, live, n_live, frame_tok, valid0,
+    image_start, image_len, sparsity, n_events, fm, fp, start_layer,
+    cost, s_th, r_min,
+    *, cfg: LLMConfig, attn_impl: str, capture_num: int, patch_num: int,
+    max_events: int, pool_layers: int, include_pre_event: bool,
+    schedule_num_layers: int,
+):
+    """Run decoder layers with in-place (mask-only) compression until both
+    merging and pruning finish, the stack ends, or the KV pool fills.
+
+    Decision parity: FrameFusion.forward (reference main.py:40-140) with the
+    fp32 schedule twin. All shapes static; merged/pruned tokens are masked
+    dead, not removed; the single post-phase compaction happens outside.
+
+    Returns the full carried state plus per-layer KV pools, live masks, and
+    the device-side event log.
+    """
+    s = h.shape[0]
+    hd = cfg.head_dim_
+    cos, sin = qwen2.positions_cos_sin(_pos_axes(pos_tok), cfg)
+    n_ev_slots = max_events + 2
+    layer_stop = jnp.minimum(start_layer + pool_layers, cfg.num_layers)
+
+    def merge_event(st, h_mid, layer_for_log):
+        budget, infeas = compute_pruning_ratio_device(
+            st["sparsity"], st["n_events"], cost, schedule_num_layers
+        )
+        order, n_img = order_by_patch(patch_type, st["live"], patch_num)
+        sim = similarity_by_patch(h_mid, patch_type, order, n_img)
+        count = jnp.sum(sim >= s_th).astype(jnp.int32)
+        ftok = st["frame_tok"].astype(jnp.float32)
+        above = count.astype(jnp.float32) / ftok
+        threshold_branch = above < budget
+        k_capped = jnp.floor(budget * ftok).astype(jnp.int32)
+        k_marked = jnp.where(threshold_branch, count, k_capped)
+        marked = mark_topk(sim, k_marked)
+        merged, keep = apply_merge(h_mid, marked, order)
+
+        i = st["ev_n"]
+        kind = jnp.where(threshold_branch, EV_MERGE, EV_MERGE_CAPPED)
+        st = dict(
+            st,
+            h=merged,
+            live=st["live"] & keep,
+            n_live=st["n_live"] - k_marked,
+            frame_tok=st["frame_tok"] - k_marked,
+            sparsity=jnp.where(
+                threshold_branch, st["sparsity"].at[st["n_events"]].set(above), st["sparsity"]
+            ),
+            n_events=st["n_events"] + threshold_branch.astype(jnp.int32),
+            fm=st["fm"] | (threshold_branch & (above < r_min)) | ~threshold_branch,
+            fp=st["fp"] | ~threshold_branch,
+            infeasible=st["infeasible"] | infeas,
+            ev_layer=st["ev_layer"].at[i].set(layer_for_log),
+            ev_kind=st["ev_kind"].at[i].set(kind),
+            ev_removed=st["ev_removed"].at[i].set(k_marked),
+            ev_ratio=st["ev_ratio"].at[i].set(above),
+            ev_budget=st["ev_budget"].at[i].set(budget),
+            ev_n=i + 1,
+        )
+        return st
+
+    def prune_event(st, h_mid, importance, layer_for_log):
+        ratio, infeas = compute_pruning_ratio_device(
+            st["sparsity"], st["n_events"], cost, schedule_num_layers
+        )
+        cur_img_len = image_len - (valid0 - st["n_live"])
+        # Banker's rounding = python round() used by the reference (main.py:76).
+        k_keep = jnp.round(cur_img_len.astype(jnp.float32) * (1.0 - ratio)).astype(jnp.int32)
+        live_rank = jnp.cumsum(st["live"].astype(jnp.int32)) - 1
+        in_window = (
+            st["live"] & (live_rank >= image_start) & (live_rank < image_start + cur_img_len)
+        )
+        score = jnp.where(in_window, importance, -jnp.inf)
+        keep = (st["live"] & ~in_window) | (in_window & (descending_rank(score) < k_keep))
+        removed = cur_img_len - k_keep
+
+        i = st["ev_n"]
+        st = dict(
+            st,
+            h=h_mid,
+            live=keep,
+            n_live=st["n_live"] - removed,
+            fp=jnp.bool_(True),
+            infeasible=st["infeasible"] | infeas,
+            ev_layer=st["ev_layer"].at[i].set(layer_for_log),
+            ev_kind=st["ev_kind"].at[i].set(EV_PRUNE),
+            ev_removed=st["ev_removed"].at[i].set(removed),
+            ev_ratio=st["ev_ratio"].at[i].set(-1.0),
+            ev_budget=st["ev_budget"].at[i].set(ratio),
+            ev_n=i + 1,
+        )
+        return st
+
+    st = dict(
+        h=h,
+        live=live,
+        n_live=n_live,
+        frame_tok=frame_tok,
+        sparsity=sparsity,
+        n_events=n_events,
+        fm=fm,
+        fp=fp,
+        layer=start_layer,
+        infeasible=jnp.bool_(False),
+        k_pool=jnp.zeros((pool_layers, s, cfg.num_kv_heads, hd), cfg.dtype),
+        v_pool=jnp.zeros((pool_layers, s, cfg.num_kv_heads, hd), cfg.dtype),
+        cache_live=jnp.zeros((pool_layers, s), bool),
+        ev_layer=jnp.full((n_ev_slots,), -100, jnp.int32),
+        ev_kind=jnp.zeros((n_ev_slots,), jnp.int32),
+        ev_removed=jnp.zeros((n_ev_slots,), jnp.int32),
+        ev_ratio=jnp.zeros((n_ev_slots,), jnp.float32),
+        ev_budget=jnp.zeros((n_ev_slots,), jnp.float32),
+        ev_n=jnp.int32(0),
+    )
+
+    if include_pre_event:
+        # Layer-0 pre-attention merge (reference modeling_qwen2.py:44-47) —
+        # prepare() always starts with merging unfinished, so this is
+        # unconditionally a merge event.
+        st = merge_event(st, st["h"], jnp.int32(-1))
+
+    def cond(st):
+        return (st["layer"] < layer_stop) & ~(st["fm"] & st["fp"])
+
+    def body(st):
+        l = st["layer"]
+        lp = qwen2.layer_slice(params["layers"], l)
+        h_mid, k, v, importance = qwen2.layer_attention(
+            lp, st["h"], cos, sin, cfg, attn_impl=attn_impl,
+            capture_num=capture_num, valid_len=valid0, key_valid=st["live"],
+        )
+        pool_idx = l - start_layer
+        st = dict(
+            st,
+            k_pool=jax.lax.dynamic_update_index_in_dim(st["k_pool"], k.astype(cfg.dtype), pool_idx, 0),
+            v_pool=jax.lax.dynamic_update_index_in_dim(st["v_pool"], v.astype(cfg.dtype), pool_idx, 0),
+            cache_live=jax.lax.dynamic_update_index_in_dim(st["cache_live"], st["live"], pool_idx, 0),
+        )
+        # Exactly one of the two events fires per iteration: merging while it
+        # is unfinished, otherwise the prune (loop cond guarantees ~(fm&fp)).
+        st = jax.lax.cond(
+            ~st["fm"],
+            lambda s_: merge_event(s_, h_mid, l),
+            lambda s_: prune_event(s_, h_mid, importance, l),
+            st,
+        )
+        st["h"] = qwen2.layer_mlp(lp, st["h"], cfg)
+        st["layer"] = l + 1
+        return st
+
+    return jax.lax.while_loop(cond, body, st)
+
+
+@functools.partial(jax.jit, static_argnames=("new_len",))
+def _compact_state_program(h, pos_tok, patch_type, live, new_valid, *, new_len: int):
+    """Single post-phase compaction: pack live tokens, slice to the bucket."""
+    out, _ = compact_tokens(
+        live, new_len, new_valid, {"h": h, "pos": pos_tok, "patch_type": patch_type}
+    )
+    return out["h"], out["pos"], out["patch_type"]
+
+
+@jax.jit
+def _pack_caches_program(k_pool, v_pool, cache_live):
+    """Pack each phase layer's masked KV rows to the front (per-layer ragged
+    lengths, the reference's DynamicCache shape after compression)."""
+
+    def pack_one(k, v, live_row):
+        order = jnp.argsort(jnp.logical_not(live_row), stable=True)
+        return jnp.take(k, order, axis=0), jnp.take(v, order, axis=0)
+
+    k_packed, v_packed = jax.vmap(pack_one)(k_pool, v_pool, cache_live)
+    return k_packed, v_packed, jnp.sum(cache_live, axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
 # Results
 
 
@@ -186,13 +384,33 @@ class CompressionEngine:
         ff: FrameFusionConfig,
         *,
         attn_impl: str = "chunked",
+        pool_layers: int = 8,
     ):
         self.params = params
         self.cfg = cfg
         self.ff = ff
         self.attn_impl = attn_impl
+        # KV-pool depth per fused-phase dispatch; the phase re-dispatches with
+        # a fresh pool in the (rare) case compression runs deeper than this.
+        self.pool_layers = min(pool_layers, cfg.num_layers)
 
     # -- prefill -----------------------------------------------------------
+
+    def _prep_inputs(self, input_embeds, patch_type, position_ids):
+        """Pad (embeds, patch_type, positions) to the initial bucket."""
+        cfg, ff = self.cfg, self.ff
+        orig_len = int(input_embeds.shape[0])
+        pos_tok = (
+            jnp.asarray(position_ids).reshape(1, -1).T
+            if jnp.asarray(position_ids).ndim == 1
+            else jnp.asarray(position_ids).T
+        ).astype(jnp.int32)  # (S, P)
+        s_b = bucket_length(orig_len, ff.bucket)
+        pad = s_b - orig_len
+        h = jnp.pad(jnp.asarray(input_embeds, cfg.dtype), ((0, pad), (0, 0)))
+        pt = jnp.pad(jnp.asarray(patch_type, jnp.int32), (0, pad), constant_values=PAD_TOKEN)
+        pos_tok = jnp.pad(pos_tok, ((0, pad), (0, 0)))
+        return h, pt, pos_tok, orig_len
 
     def prefill(
         self,
@@ -202,6 +420,7 @@ class CompressionEngine:
         patch_num: int,
         image_token_start: int,
         image_token_length: int,
+        mode: str = "fused",
     ) -> PrefillResult:
         """Run the compressed prefill.
 
@@ -212,24 +431,154 @@ class CompressionEngine:
             patch_num: spatial patches per frame.
             image_token_start: first image-token index.
             image_token_length: number of image tokens at S.
+            mode: "fused" (single-program phase, one host sync) or
+                "segmented" (per-layer programs, one sync per merge event).
         """
-        cfg, ff = self.cfg, self.ff
-        orig_len = int(input_embeds.shape[0])
-        pos_tok = (
-            jnp.asarray(position_ids).reshape(1, -1).T
-            if jnp.asarray(position_ids).ndim == 1
-            else jnp.asarray(position_ids).T
-        ).astype(jnp.int32)  # (S, P)
+        if mode == "fused":
+            return self._prefill_fused(
+                input_embeds, patch_type, position_ids, patch_num,
+                image_token_start, image_token_length,
+            )
+        assert mode == "segmented", mode
+        return self._prefill_segmented(
+            input_embeds, patch_type, position_ids, patch_num,
+            image_token_start, image_token_length,
+        )
 
+    def _prefill_fused(
+        self, input_embeds, patch_type, position_ids, patch_num: int,
+        image_token_start: int, image_token_length: int,
+    ) -> PrefillResult:
+        cfg, ff = self.cfg, self.ff
+        h, pt, pos_tok, orig_len = self._prep_inputs(input_embeds, patch_type, position_ids)
+        s_b = h.shape[0]
         telemetry = PrefillTelemetry(original_length=orig_len, image_token_length=image_token_length)
 
-        # Pad the initial sequence to its bucket.
+        live = jnp.arange(s_b, dtype=jnp.int32) < orig_len
+        frame_tok0 = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
+        max_events = ff.schedule_num_layers
+        common = dict(
+            cfg=cfg, attn_impl=self.attn_impl, capture_num=ff.num_importance_queries,
+            patch_num=patch_num, max_events=max_events, pool_layers=self.pool_layers,
+            schedule_num_layers=ff.schedule_num_layers,
+        )
+
+        st = None
+        pools = []  # (start_layer, k_pool, v_pool, cache_live)
+        start_layer = 0
+        n_live = jnp.int32(orig_len)
+        frame_tok = jnp.int32(frame_tok0)
+        sparsity = jnp.zeros((max_events,), jnp.float32)
+        n_events = jnp.int32(0)
+        fm = jnp.bool_(False)
+        fp = jnp.bool_(False)
+        while True:
+            st = _phase_program(
+                self.params, h, pos_tok, pt, live, n_live, frame_tok,
+                jnp.int32(orig_len), jnp.int32(image_token_start),
+                jnp.int32(image_token_length), sparsity, n_events, fm, fp,
+                jnp.int32(start_layer), jnp.float32(ff.cost),
+                jnp.float32(ff.similarity_lower_bound), jnp.float32(ff.ratio_lower_bound),
+                include_pre_event=(start_layer == 0), **common,
+            )
+            pools.append((start_layer, st["k_pool"], st["v_pool"], st["cache_live"]))
+            # THE host sync: all control scalars + the event log in ONE pull.
+            ctl = jax.device_get(
+                {
+                    k: st[k]
+                    for k in (
+                        "layer", "fm", "fp", "n_live", "infeasible", "ev_n",
+                        "ev_layer", "ev_kind", "ev_removed", "ev_ratio",
+                        "ev_budget", "sparsity", "n_events",
+                    )
+                }
+            )
+            layer_end = int(ctl["layer"])
+            finished = bool(ctl["fm"]) and bool(ctl["fp"])
+            if finished or layer_end >= cfg.num_layers:
+                break
+            # Pool exhausted with compression still active: continue mid-stack.
+            h, live = st["h"], st["live"]
+            n_live, frame_tok = st["n_live"], st["frame_tok"]
+            sparsity, n_events, fm, fp = st["sparsity"], st["n_events"], st["fm"], st["fp"]
+            start_layer = layer_end
+
+        if bool(ctl["infeasible"]):
+            raise CostInfeasibleError("The cost is too small")
+
+        n_live_final = int(ctl["n_live"])
+        n_ev = int(ctl["ev_n"])
+        ev_layer = ctl["ev_layer"][:n_ev]
+        ev_kind = ctl["ev_kind"][:n_ev]
+        ev_removed = ctl["ev_removed"][:n_ev]
+        ev_ratio = ctl["ev_ratio"][:n_ev]
+        ev_budget = ctl["ev_budget"][:n_ev]
+        kind_names = {EV_MERGE: "merge", EV_MERGE_CAPPED: "merge_capped", EV_PRUNE: "prune"}
+        tokens_after = orig_len
+        for i in range(n_ev):
+            tokens_after -= int(ev_removed[i])
+            telemetry.events.append(
+                CompressionEvent(
+                    layer=int(ev_layer[i]), kind=kind_names[int(ev_kind[i])],
+                    tokens_removed=int(ev_removed[i]), tokens_after=tokens_after,
+                    above_ratio=float(ev_ratio[i]) if ev_ratio[i] >= 0 else None,
+                    budget=float(ev_budget[i]), bucket=s_b,
+                )
+            )
+        telemetry.sparsity_list = [float(x) for x in ctl["sparsity"][: int(ctl["n_events"])]]
+
+        # Single compaction to the compressed bucket, then the fori_loop tail.
+        s_small = bucket_length(n_live_final, ff.bucket)
+        h2, pos2, pt2 = _compact_state_program(
+            st["h"], pos_tok, pt, st["live"], jnp.int32(n_live_final), new_len=s_small
+        )
+        logits, k_tail, v_tail = _tail_program(
+            self.params, jnp.int32(layer_end), h2, pos2, jnp.int32(n_live_final),
+            cfg=cfg, attn_impl=self.attn_impl,
+        )
+
+        # Per-layer cache lengths come from the event log (no extra sync):
+        # layer l's cache holds the tokens live at its attention time, i.e.
+        # original length minus removals from all events strictly before l
+        # (a merge/prune event at layer l fires post-attention).
+        def phase_cache_len(l: int) -> int:
+            return orig_len - int(sum(int(r) for lay, r in zip(ev_layer, ev_removed) if lay < l))
+
+        layer_caches: list = [None] * cfg.num_layers
+        for pool_start, k_pool, v_pool, cache_live in pools:
+            k_packed, v_packed, _ = _pack_caches_program(k_pool, v_pool, cache_live)
+            for i in range(self.pool_layers):
+                l = pool_start + i
+                if l < layer_end and layer_caches[l] is None:
+                    layer_caches[l] = (k_packed[i], v_packed[i], phase_cache_len(l))
+        for j in range(layer_end, cfg.num_layers):
+            layer_caches[j] = (k_tail[j], v_tail[j], n_live_final)
+
+        telemetry.final_length = n_live_final
+        telemetry.final_image_tokens = image_token_length - (orig_len - n_live_final)
+        telemetry.tail_start_layer = layer_end
+        return PrefillResult(
+            logits=logits,
+            layer_caches=layer_caches,
+            valid_len=n_live_final,
+            decode_pos_base=layer_caches[0][2],
+            telemetry=telemetry,
+            pos_dims=pos_tok.shape[1],
+        )
+
+    def _prefill_segmented(
+        self,
+        input_embeds,
+        patch_type,
+        position_ids,
+        patch_num: int,
+        image_token_start: int,
+        image_token_length: int,
+    ) -> PrefillResult:
+        cfg, ff = self.cfg, self.ff
+        h, pt, pos_tok, orig_len = self._prep_inputs(input_embeds, patch_type, position_ids)
+        telemetry = PrefillTelemetry(original_length=orig_len, image_token_length=image_token_length)
         valid = orig_len
-        s_b = bucket_length(valid, ff.bucket)
-        pad = s_b - valid
-        h = jnp.pad(jnp.asarray(input_embeds, cfg.dtype), ((0, pad), (0, 0)))
-        pt = jnp.pad(jnp.asarray(patch_type, jnp.int32), (0, pad), constant_values=PAD_TOKEN)
-        pos_tok = jnp.pad(pos_tok, ((0, pad), (0, 0)))
 
         sparsity: list[float] = []
         finish_merging = False

@@ -120,13 +120,17 @@ def prune_keep_indices(importance: np.ndarray, image_start: int, image_len: int,
 
 
 def compute_pruning_ratio(sparsity_list, cost, num_layers=28):
-    density = 1.0
-    spent = 0.0
+    # fp32 arithmetic to match the framework's host/device twins (the TPU has
+    # no fp64; see framefusion_tpu/core/schedule.py).
+    f = np.float32
+    density = f(1.0)
+    spent = f(0.0)
     for s_ in sparsity_list:
-        density *= 1.0 - s_
-        spent += density
-    remaining = num_layers * cost - spent
+        density = f(density * (f(1.0) - f(s_)))
+        spent = f(spent + density)
+    remaining = f(f(num_layers) * f(cost) - spent)
     assert remaining >= 0, "cost too small"
-    if remaining / ((num_layers - len(sparsity_list)) * density) > 1:
+    frac = f(remaining / f(f(num_layers - len(sparsity_list)) * density))
+    if frac > 1:
         return 0.0
-    return 1.0 - remaining / ((num_layers - len(sparsity_list)) * density)
+    return float(f(f(1.0) - frac))

@@ -25,8 +25,13 @@ import oracle
 def make_sequence(rng, n_pre_text, patch_num, n_frames, n_post_text, hidden=16, coherent=0.7):
     """Synthetic prefill: text + (frames x patches) + text.
 
-    ``coherent`` fraction of (patch, frame-transition) pairs are near-duplicates
-    of the previous frame so that the similarity threshold actually fires.
+    ``coherent`` fraction of (patch, frame-transition) pairs are
+    near-duplicates of the previous frame so that the similarity threshold
+    actually fires. The perturbation scale varies per pair so similarities
+    spread over a wide range instead of clustering at ~0.9999 — decision
+    parity between differently-fused fp32 programs is only well-defined when
+    the top-k boundary does not fall inside an ulp-scale tie cluster (see
+    core/merge.py tie policy).
     """
     n_img = patch_num * n_frames
     s = n_pre_text + n_img + n_post_text
@@ -38,7 +43,8 @@ def make_sequence(rng, n_pre_text, patch_num, n_frames, n_post_text, hidden=16, 
             if rng.random() < coherent:
                 i = n_pre_text + f * patch_num + p
                 prev = n_pre_text + (f - 1) * patch_num + p
-                h[i] = h[prev] + 0.01 * rng.standard_normal(hidden)
+                scale = rng.uniform(0.05, 0.6)
+                h[i] = h[prev] + scale * rng.standard_normal(hidden)
     return h, patch_type, n_pre_text, n_img
 
 

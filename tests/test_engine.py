@@ -36,41 +36,47 @@ def setup():
     return cfg, params, ff
 
 
-def run_both(setup, seed, coherent, n_frames=10, ff_override=None):
+def run_both(setup, seed, coherent, n_frames=10, ff_override=None, mode="fused", pool_layers=8):
     cfg, params, ff = setup
     ff = ff_override or ff
     h, pt, pos, img_start, n_img = build_inputs(seed=seed, coherent=coherent, n_frames=n_frames)
-    engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
-    res = engine.prefill(h, pt, pos, patch_num=6, image_token_start=img_start, image_token_length=n_img)
+    engine = CompressionEngine(params, cfg, ff, attn_impl="einsum", pool_layers=pool_layers)
+    res = engine.prefill(h, pt, pos, patch_num=6, image_token_start=img_start,
+                         image_token_length=n_img, mode=mode)
     ref = ref_pipeline.ref_compressed_prefill(params, cfg, ff, h, pt, pos, 6, img_start, n_img)
     return engine, res, ref
 
 
+@pytest.fixture(params=["fused", "segmented"])
+def mode(request):
+    return request.param
+
+
 class TestCompressedPrefill:
-    def test_event_sequence_matches(self, setup):
-        _, res, ref = run_both(setup, seed=0, coherent=0.8)
+    def test_event_sequence_matches(self, setup, mode):
+        _, res, ref = run_both(setup, seed=0, coherent=0.8, mode=mode)
         got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
         assert got == ref["events"]
         assert res.telemetry.sparsity_list == pytest.approx(ref["sparsity"], abs=1e-9)
 
-    def test_final_length_and_logits_match(self, setup):
-        _, res, ref = run_both(setup, seed=0, coherent=0.8)
+    def test_final_length_and_logits_match(self, setup, mode):
+        _, res, ref = run_both(setup, seed=0, coherent=0.8, mode=mode)
         assert res.valid_len == ref["final_len"]
         assert res.telemetry.tail_start_layer == ref["tail_start"]
         np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
         assert int(np.argmax(np.asarray(res.logits))) == int(ref["logits"].argmax())
 
-    def test_cache_lengths_match_reference_raggedness(self, setup):
+    def test_cache_lengths_match_reference_raggedness(self, setup, mode):
         cfg, _, _ = setup
-        _, res, ref = run_both(setup, seed=0, coherent=0.8)
+        _, res, ref = run_both(setup, seed=0, coherent=0.8, mode=mode)
         for l in range(cfg.num_layers):
             k_ref, _ = ref["caches"][l]
             _, _, length = res.layer_caches[l]
             assert length == k_ref.shape[0], f"layer {l}"
 
-    def test_cache_contents_match(self, setup):
+    def test_cache_contents_match(self, setup, mode):
         cfg, _, _ = setup
-        _, res, ref = run_both(setup, seed=0, coherent=0.8)
+        _, res, ref = run_both(setup, seed=0, coherent=0.8, mode=mode)
         for l in range(cfg.num_layers):
             k_ref, v_ref = ref["caches"][l]
             k, v, length = res.layer_caches[l]
@@ -78,28 +84,28 @@ class TestCompressedPrefill:
                 np.asarray(k[:length], np.float32), k_ref, rtol=2e-3, atol=2e-3, err_msg=f"k layer {l}"
             )
 
-    def test_greedy_decode_matches(self, setup):
+    def test_greedy_decode_matches(self, setup, mode):
         cfg, params, _ = setup
-        engine, res, ref = run_both(setup, seed=0, coherent=0.8)
+        engine, res, ref = run_both(setup, seed=0, coherent=0.8, mode=mode)
         ours = engine.generate_greedy(res, max_new_tokens=6)
         theirs = ref_pipeline.ref_greedy_decode(ref, params, cfg, n_new=6)
         assert ours == theirs
 
-    def test_incoherent_video_finishes_fast(self, setup):
+    def test_incoherent_video_finishes_fast(self, setup, mode):
         # Low frame coherence: almost nothing passes the similarity gate, the
         # ratio drops below ratio_lower_bound immediately, and pruning carries
         # the full budget.
-        _, res, ref = run_both(setup, seed=1, coherent=0.0)
+        _, res, ref = run_both(setup, seed=1, coherent=0.0, mode=mode)
         got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
         assert got == ref["events"]
         assert any(e.kind == "prune" for e in res.telemetry.events)
         assert res.valid_len == ref["final_len"]
         np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
 
-    def test_highly_coherent_video_hits_budget_cap(self, setup):
+    def test_highly_coherent_video_hits_budget_cap(self, setup, mode):
         cfg, params, ff = setup
         ff2 = ff.replace(cost=0.25, similarity_lower_bound=0.5)
-        _, res, ref = run_both(setup, seed=2, coherent=1.0, ff_override=ff2)
+        _, res, ref = run_both(setup, seed=2, coherent=1.0, ff_override=ff2, mode=mode)
         got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
         assert got == ref["events"]
         assert any(e.kind == "merge_capped" for e in res.telemetry.events)
@@ -107,7 +113,7 @@ class TestCompressedPrefill:
         assert res.valid_len == ref["final_len"]
         np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
 
-    def test_fuzz_seeds(self, setup):
+    def test_fuzz_seeds(self, setup, mode):
         cfg, params, ff = setup
         for seed in range(3, 7):
             rng = np.random.default_rng(seed)
@@ -115,7 +121,7 @@ class TestCompressedPrefill:
                 cost=float(rng.uniform(0.25, 0.6)),
                 similarity_lower_bound=float(rng.uniform(0.5, 0.9)),
             )
-            _, res, ref = run_both(setup, seed=seed, coherent=float(rng.uniform(0.1, 1.0)), ff_override=ff2)
+            _, res, ref = run_both(setup, seed=seed, coherent=float(rng.uniform(0.1, 1.0)), ff_override=ff2, mode=mode)
             got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
             assert got == ref["events"], f"seed={seed}"
             assert res.valid_len == ref["final_len"], f"seed={seed}"
@@ -154,3 +160,13 @@ class TestDensePath:
         res = engine.dense_prefill(h, pos)
         toks = engine.generate_greedy(res, max_new_tokens=4)
         assert len(toks) == 4
+
+
+    def test_fused_pool_redispatch(self, setup):
+        # pool_layers=1 forces a phase-program re-dispatch per layer; results
+        # must be identical to the single-dispatch path.
+        _, res, ref = run_both(setup, seed=0, coherent=0.8, mode="fused", pool_layers=1)
+        got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+        assert got == ref["events"]
+        assert res.valid_len == ref["final_len"]
+        np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
