@@ -6,6 +6,11 @@ the same prompt through the dense model and the FrameFusion model) on the
 rebuild's north-star metric (BASELINE.json): LLM prefill at 64 frames,
 LLaVA-Video-7B-Qwen2 geometry, cost=0.3, S_th=0.6, r_min=0.1.
 
+Timing note: on this runner, dispatch and ``block_until_ready`` are
+asynchronous stubs (remote-relay execution); only a device->host read forces
+completion. Each path is therefore timed as N queued runs closed by a single
+forced logits read, with the measured read round-trip subtracted.
+
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 where value = dense_prefill_ms / framefusion_prefill_ms and vs_baseline
@@ -19,29 +24,35 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# Persistent compile cache: repeat bench invocations skip XLA recompiles.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
 
 import numpy as np
 
 
-def build_video_prompt(rng, hidden, n_frames=64, patch_num=182, n_pre=35, n_post=14, coherent=0.72):
+def build_video_prompt(rng, hidden, n_frames=64, patch_num=182, n_pre=35, n_post=14, coherent=0.45):
     """Synthetic LLaVA-Video-style 64-frame prompt.
 
     patch_num=182 matches LLaVA-Video-7B (27 patches/side -> 13x14 incl. the
     per-row newline column, reference modeling_llava_video.py:322-326).
-    ``coherent`` controls how much adjacent frames resemble each other, i.e.
-    how much similarity-merging fires before the budget cap.
+    ``coherent`` is the fraction of adjacent-frame patch pairs resembling each
+    other; perturbation scales vary so similarities spread over (0.6, 1.0)
+    like real video rather than clustering. coherent=0.45 reproduces the
+    reference's typical trajectory: a large first merge under budget, a small
+    follow-up, then the cost-capped prune.
     """
     n_img = patch_num * n_frames
     s = n_pre + n_img + n_post
     patch_type = np.full(s, -1, dtype=np.int32)
     patch_type[n_pre : n_pre + n_img] = np.tile(np.arange(patch_num), n_frames)
     h = rng.standard_normal((s, hidden)).astype(np.float32) * 0.05
-    base = rng.standard_normal((patch_num, hidden)).astype(np.float32) * 0.05
-    for f in range(n_frames):
-        sl = slice(n_pre + f * patch_num, n_pre + (f + 1) * patch_num)
-        noise = rng.standard_normal((patch_num, hidden)).astype(np.float32) * 0.05
-        h[sl] = coherent * base + (1 - coherent) * noise
-        base = h[sl].copy()
+    for f in range(1, n_frames):
+        cur = slice(n_pre + f * patch_num, n_pre + (f + 1) * patch_num)
+        prev = slice(n_pre + (f - 1) * patch_num, n_pre + f * patch_num)
+        mask = rng.random(patch_num) < coherent
+        scale = rng.uniform(0.05, 0.5, size=(patch_num, 1)).astype(np.float32)
+        blended = h[prev] + scale * rng.standard_normal((patch_num, hidden)).astype(np.float32) * 0.05
+        h[cur] = np.where(mask[:, None], blended, h[cur])
     return h, patch_type, n_pre, n_img
 
 
@@ -67,30 +78,46 @@ def main():
 
     ff = FrameFusionConfig(cost=0.3, similarity_lower_bound=0.6, ratio_lower_bound=0.1)
     params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
-    jax.block_until_ready(params)
 
     rng = np.random.default_rng(0)
     h, patch_type, img_start, n_img = build_video_prompt(rng, cfg.hidden_size, n_frames=n_frames)
     pos = np.arange(len(patch_type), dtype=np.int32)
-    engine = CompressionEngine(params, cfg, ff, attn_impl="chunked")
+    attn_impl = "pallas" if backend == "tpu" else "chunked"
+    engine = CompressionEngine(params, cfg, ff, attn_impl=attn_impl)
+    # Upload the prompt once — host->device transfers are not part of the
+    # LLM prefill being measured (the reference times model.generate on
+    # already-resident tensors).
+    h = jax.device_put(jnp.asarray(h, cfg.dtype))
+    jax.block_until_ready(h)
 
-    def time_fn(fn, reps):
-        fn()  # warmup/compile
+    def force(x):
+        return float(jnp.sum(x))  # device->host read: the only true barrier here
+
+    def read_overhead():
+        t0 = time.perf_counter()
+        force(jnp.zeros((4,), jnp.float32))
+        return time.perf_counter() - t0
+
+    def run_dense():
+        return engine.dense_prefill(h, pos)
+
+    def run_ff():
+        return engine.prefill(h, patch_type, pos, patch_num=182,
+                              image_token_start=img_start, image_token_length=n_img)
+
+    def timed(fn, reps):
+        out = fn()
+        force(out.logits)  # warmup: compile + drain
+        overhead = read_overhead()
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn()
-        jax.block_until_ready(out.logits)
-        return (time.perf_counter() - t0) / reps
+        force(out.logits)
+        return max((time.perf_counter() - t0 - overhead) / reps, 1e-9), out
 
-    dense_t = time_fn(lambda: engine.dense_prefill(h, pos), reps)
-    ff_t = time_fn(
-        lambda: engine.prefill(h, patch_type, pos, patch_num=182,
-                               image_token_start=img_start, image_token_length=n_img),
-        reps,
-    )
+    dense_t, _ = timed(run_dense, reps)
+    ff_t, res = timed(run_ff, reps)
 
-    res = engine.prefill(h, patch_type, pos, patch_num=182,
-                         image_token_start=img_start, image_token_length=n_img)
     speedup = dense_t / ff_t
     record = {
         "metric": "llm_prefill_speedup_64frames",
@@ -106,6 +133,7 @@ def main():
             "vision_token_reduction": round(res.telemetry.vision_token_reduction, 3),
             "final_tokens": res.valid_len,
             "tail_start_layer": res.telemetry.tail_start_layer,
+            "events": [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events],
         },
     }
     print(json.dumps(record))

@@ -14,19 +14,23 @@ Semantics being matched:
   * Budget gate (when the threshold would over-merge): the top
     ``k = int(budget * frame_token_num)`` positions by similarity.
 
-TPU-native formulation:
+TPU-native formulation (deliberately scatter-free — XLA lowers row scatters
+to serial loops on TPU, which measured ~100x slower than the sort/gather
+formulation below at 12k tokens):
   * Both gates reduce to ``rank(sim, descending, stable) < k`` with a *traced*
     scalar ``k`` — for the threshold gate ``k`` is the count of positions
     ``>= threshold`` (rank < count selects exactly the set ``sim >= t``
     because every such element outranks every element below ``t``), and for
     the budget gate ``k`` is the budget itself. One compiled program serves
-    both branches, and ties resolve to the lowest patch-major index — the same
-    policy the oracle pins down.
-  * Run heads come from a running maximum (``associative_scan``) over the
-    positions of unmarked tokens — no host-side run enumeration.
-  * The merge itself is a scatter-add in fp32 over *original* token indices
-    followed by a division by (1 + run length), exactly the reference's
-    ``index_add_``-then-divide averaging, but accumulated at fp32.
+    both branches, and ties resolve to the lowest patch-major index — the
+    same policy the oracle pins down. Ranks are inverse permutations computed
+    by double argsort (bitonic sorts vectorize on the VPU).
+  * Run extents come from a reversed running minimum over unmarked positions
+    (``associative_scan``); per-run member sums are differences of an fp32
+    prefix sum, and the write-back to original order is a gather through the
+    inverse permutation — no scatter anywhere.
+  * Averaging matches the reference's ``index_add_``-then-divide semantics
+    (main.py:304-317) at fp32.
 """
 
 from __future__ import annotations
@@ -35,15 +39,19 @@ import jax
 import jax.numpy as jnp
 
 
+def inverse_permutation(perm: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of a permutation via argsort (scatter-free)."""
+    return jnp.argsort(perm).astype(jnp.int32)
+
+
 def descending_rank(scores: jnp.ndarray) -> jnp.ndarray:
     """Rank of each element under a stable descending sort (0 = largest).
 
     Ties rank lower indices first, matching the decision policy used by the
     oracle for both merge selection and importance pruning.
     """
-    s = scores.shape[0]
     order_desc = jnp.argsort(-scores, stable=True)
-    return jnp.zeros((s,), jnp.int32).at[order_desc].set(jnp.arange(s, dtype=jnp.int32))
+    return inverse_permutation(order_desc)
 
 
 def mark_topk(sim: jnp.ndarray, k: jnp.ndarray) -> jnp.ndarray:
@@ -65,20 +73,29 @@ def apply_merge(hidden: jnp.ndarray, marked_pm: jnp.ndarray, order: jnp.ndarray)
             (same dtype as ``hidden``; accumulation in fp32).
         keep: (S,) bool in *original* positions; False for merged-away tokens.
     """
-    s, _ = hidden.shape
+    s, d = hidden.shape
     pos = jnp.arange(s, dtype=jnp.int32)
+    inv_order = inverse_permutation(order)
 
-    # Nearest unmarked position at or before each patch-major position. For a
-    # marked position this is its run head (strictly before it); for an
-    # unmarked position it is itself.
-    head_pm = jax.lax.associative_scan(jnp.maximum, jnp.where(marked_pm, jnp.int32(-1), pos))
-    head_orig = order[head_pm]
+    h_pm = hidden[order].astype(jnp.float32)
+    contrib = jnp.where(marked_pm[:, None], h_pm, 0.0)
+    csum = jnp.cumsum(contrib, axis=0)  # (S, D) fp32 prefix sums
 
-    h32 = hidden.astype(jnp.float32)
-    contrib = jnp.where(marked_pm[:, None], h32[order], 0.0)
-    sums = jnp.zeros_like(h32).at[head_orig].add(contrib)
-    counts = jnp.zeros((s,), jnp.float32).at[head_orig].add(marked_pm.astype(jnp.float32))
-    merged = ((h32 + sums) / (1.0 + counts)[:, None]).astype(hidden.dtype)
+    # Next unmarked position strictly after each position (reversed running
+    # minimum). For an unmarked head p, the marked run it absorbs is
+    # (p, next_unmarked(p) - 1].
+    unmarked_pos = jnp.where(marked_pm, jnp.int32(s), pos)
+    nu_at_or_after = jax.lax.associative_scan(jnp.minimum, unmarked_pos[::-1])[::-1]
+    nu_after = jnp.concatenate([nu_at_or_after[1:], jnp.full((1,), s, jnp.int32)])
+    run_end = jnp.clip(nu_after - 1, 0, s - 1)
 
-    keep = jnp.ones((s,), bool).at[order].set(~marked_pm)
+    count = (run_end - pos).astype(jnp.float32)
+    csum_pad = jnp.concatenate([jnp.zeros((1, d), jnp.float32), csum], axis=0)
+    seg_sum = csum_pad[run_end + 1] - csum_pad[pos + 1]
+
+    merged_pm = (h_pm + seg_sum) / (1.0 + count)[:, None]
+    merged_pm = jnp.where(marked_pm[:, None], h_pm, merged_pm)
+
+    merged = merged_pm[inv_order].astype(hidden.dtype)
+    keep = (~marked_pm)[inv_order]
     return merged, keep

@@ -83,9 +83,11 @@ def causal_attention_chunked(q, k, v, key_valid=None, block_q: int = 256, block_
     sq, sk = q.shape[0], k.shape[0]
     nq, nk = sq // block_q, sk // block_k
 
-    qg = q.reshape(nq, block_q, hk, g, d).transpose(0, 2, 3, 1, 4).astype(jnp.float32)  # (nq,Hk,G,bq,D)
-    kg = k.reshape(nk, block_k, hk, d).transpose(0, 2, 1, 3).astype(jnp.float32)  # (nk,Hk,bk,D)
-    vg = v.reshape(nk, block_k, hk, d).transpose(0, 2, 1, 3).astype(jnp.float32)
+    # Keep q/k/v in their storage dtype (bf16 on TPU): the MXU runs bf16 at
+    # full rate; accumulation is forced to fp32 via preferred_element_type.
+    qg = q.reshape(nq, block_q, hk, g, d).transpose(0, 2, 3, 1, 4)  # (nq,Hk,G,bq,D)
+    kg = k.reshape(nk, block_k, hk, d).transpose(0, 2, 1, 3)  # (nk,Hk,bk,D)
+    vg = v.reshape(nk, block_k, hk, d).transpose(0, 2, 1, 3)
 
     q_pos = jnp.arange(sq).reshape(nq, block_q)
     k_pos = jnp.arange(sk).reshape(nk, block_k)
@@ -95,14 +97,15 @@ def causal_attention_chunked(q, k, v, key_valid=None, block_q: int = 256, block_
         def kv_step(carry, inputs):
             m, l, acc = carry
             kb, vb, kp, kval = inputs
-            scores = jnp.einsum("hgqd,hkd->hgqk", qb, kb) * scale
+            scores = jnp.einsum("hgqd,hkd->hgqk", qb, kb, preferred_element_type=jnp.float32) * scale
             mask = (kp[None, :] <= qp[:, None]) & kval[None, :]
             scores = jnp.where(mask[None, None], scores, NEG_INF)
             m_new = jnp.maximum(m, scores.max(axis=-1))
             alpha = jnp.exp(m - m_new)
             p = jnp.exp(scores - m_new[..., None])
             l_new = l * alpha + p.sum(axis=-1)
-            acc_new = acc * alpha[..., None] + jnp.einsum("hgqk,hkd->hgqd", p, vb)
+            pv = jnp.einsum("hgqk,hkd->hgqd", p.astype(vb.dtype), vb, preferred_element_type=jnp.float32)
+            acc_new = acc * alpha[..., None] + pv
             return (m_new, l_new, acc_new), None
 
         init = (

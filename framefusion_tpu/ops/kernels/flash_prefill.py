@@ -1,0 +1,116 @@
+"""Pallas TPU flash attention for prefill (causal, GQA, key-validity mask).
+
+Replaces the external SDPA/flash kernels the reference leans on
+(/root/reference/framefusion/models/qwen2/modeling_qwen2.py:181-188,
+models/internvl/modeling_internlm2.py:360-368) with an in-repo TPU kernel.
+
+Design (one chip, bsz=1, prefill):
+  * Grid (num_q_heads, S/block_q). For each query head, the whole K/V of its
+    GQA group head is staged in VMEM once (S ≤ ~16k · head_dim 128 · bf16 =
+    ≤4 MB each) and reused across that head's query blocks — the index_map
+    only changes on head boundaries, so Pallas skips the re-DMA.
+  * Inside the kernel an online-softmax ``fori_loop`` walks KV blocks up to
+    the causal diagonal only (the loop bound is computed from the query-block
+    id), fp32 running max / denominator / accumulator, bf16 MXU matmuls.
+  * ``key_valid`` masks dead keys — the fused compression phase keeps
+    merged/pruned tokens in place (mask-only) until the single post-phase
+    compaction, and bucket padding is masked the same way. Rows whose keys
+    are all masked produce zeros (they are dead padding by construction).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, kvalid_ref, o_ref, *, block_q, block_k, scale):
+    iq = pl.program_id(1)
+    q = q_ref[0]  # (block_q, D) storage dtype
+    d = q.shape[-1]
+    q_start = iq * block_q
+    n_kv = (q_start + block_q + block_k - 1) // block_k
+
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_off = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k_start = j * block_k
+        kb = k_ref[0, pl.ds(k_start, block_k), :]  # (block_k, D)
+        vb = v_ref[0, pl.ds(k_start, block_k), :]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, block_k) fp32
+        kv_ok = kvalid_ref[0, pl.ds(k_start, block_k)] > 0  # (block_k,)
+        mask = (k_start + k_off <= q_pos) & kv_ok[None, :]
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_new = acc * alpha + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k: int = 512, interpret: bool = False):
+    """Causal GQA flash attention. q: (S, Hq, D); k, v: (S, Hk, D) -> (S, Hq, D)."""
+    s, hq, d = q.shape
+    hk = k.shape[1]
+    g = hq // hk
+    scale = 1.0 / (d ** 0.5)
+
+    if key_valid is None:
+        key_valid = jnp.ones((s,), bool)
+
+    pad = (-s) % max(block_q, block_k)
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+        key_valid = jnp.pad(key_valid, (0, pad), constant_values=False)
+    sp = q.shape[0]
+
+    q_t = q.transpose(1, 0, 2)  # (Hq, S, D)
+    k_t = k.transpose(1, 0, 2)  # (Hk, S, D)
+    v_t = v.transpose(1, 0, 2)
+    kv_mask = key_valid.astype(jnp.int32)[None, :]  # (1, S)
+
+    grid = (hq, sp // block_q)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, block_q=block_q, block_k=block_k, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda h, i: (h // g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda h, i: (h // g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hq, sp, d), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * hq * sp * sp * d // 2,  # QK^T + PV over the causal half
+            bytes_accessed=(hq + 2 * hk) * sp * d * q.dtype.itemsize + hq * sp * d * q.dtype.itemsize,
+            transcendentals=hq * sp * sp // 2,
+        ),
+        interpret=interpret,
+    )(q_t, k_t, v_t, kv_mask)
+
+    return out.transpose(1, 0, 2)[:s]

@@ -309,6 +309,34 @@ def _phase_program(
     def cond(st):
         return (st["layer"] < layer_stop) & ~(st["fm"] & st["fp"])
 
+    def pack_control(st):
+        """All host-needed control state as ONE fp32 vector — the device->host
+        relay costs a round trip per array, so the single sync per prefill
+        must be a single transfer. fp32 holds every field exactly (ints here
+        are < 2^24)."""
+        head = jnp.stack(
+            [
+                st["layer"].astype(jnp.float32),
+                st["fm"].astype(jnp.float32),
+                st["fp"].astype(jnp.float32),
+                st["n_live"].astype(jnp.float32),
+                st["infeasible"].astype(jnp.float32),
+                st["ev_n"].astype(jnp.float32),
+                st["n_events"].astype(jnp.float32),
+            ]
+        )
+        return jnp.concatenate(
+            [
+                head,
+                st["sparsity"],
+                st["ev_layer"].astype(jnp.float32),
+                st["ev_kind"].astype(jnp.float32),
+                st["ev_removed"].astype(jnp.float32),
+                st["ev_ratio"],
+                st["ev_budget"],
+            ]
+        )
+
     def body(st):
         l = st["layer"]
         lp = qwen2.layer_slice(params["layers"], l)
@@ -335,7 +363,9 @@ def _phase_program(
         st["layer"] = l + 1
         return st
 
-    return jax.lax.while_loop(cond, body, st)
+    st = jax.lax.while_loop(cond, body, st)
+    st["control"] = pack_control(st)
+    return st
 
 
 @functools.partial(jax.jit, static_argnames=("new_len",))
@@ -482,17 +512,18 @@ class CompressionEngine:
                 include_pre_event=(start_layer == 0), **common,
             )
             pools.append((start_layer, st["k_pool"], st["v_pool"], st["cache_live"]))
-            # THE host sync: all control scalars + the event log in ONE pull.
-            ctl = jax.device_get(
-                {
-                    k: st[k]
-                    for k in (
-                        "layer", "fm", "fp", "n_live", "infeasible", "ev_n",
-                        "ev_layer", "ev_kind", "ev_removed", "ev_ratio",
-                        "ev_budget", "sparsity", "n_events",
-                    )
-                }
-            )
+            # THE host sync: the packed control vector, one transfer.
+            packed = np.asarray(st["control"])
+            n_ev_slots = max_events + 2
+            ctl = {
+                "layer": packed[0], "fm": packed[1], "fp": packed[2],
+                "n_live": packed[3], "infeasible": packed[4], "ev_n": packed[5],
+                "n_events": packed[6],
+            }
+            off = 7
+            ctl["sparsity"] = packed[off : off + max_events]; off += max_events
+            for name in ("ev_layer", "ev_kind", "ev_removed", "ev_ratio", "ev_budget"):
+                ctl[name] = packed[off : off + n_ev_slots]; off += n_ev_slots
             layer_end = int(ctl["layer"])
             finished = bool(ctl["fm"]) and bool(ctl["fp"])
             if finished or layer_end >= cfg.num_layers:

@@ -1,0 +1,58 @@
+"""Pallas kernel tests (interpreter mode on CPU; compiled on TPU in bench)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from framefusion_tpu.ops.attention import causal_attention_einsum
+from framefusion_tpu.ops.kernels.flash_prefill import flash_causal_attention
+
+
+def make_qkv(rng, s, hq, hk, d, dtype=jnp.float32):
+    q = jnp.asarray(rng.standard_normal((s, hq, d)), dtype)
+    k = jnp.asarray(rng.standard_normal((s, hk, d)), dtype)
+    v = jnp.asarray(rng.standard_normal((s, hk, d)), dtype)
+    return q, k, v
+
+
+class TestFlashPrefill:
+    @pytest.mark.parametrize("s,hq,hk", [(512, 4, 2), (640, 8, 8), (1024, 4, 1)])
+    def test_matches_einsum(self, s, hq, hk):
+        rng = np.random.default_rng(0)
+        q, k, v = make_qkv(rng, s, hq, hk, 128)
+        ref = causal_attention_einsum(q, k, v)
+        got = flash_causal_attention(q, k, v, block_q=128, block_k=256, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_key_valid_mask(self, ):
+        rng = np.random.default_rng(1)
+        s = 512
+        q, k, v = make_qkv(rng, s, 4, 2, 128)
+        key_valid = jnp.asarray(rng.random(s) > 0.3)
+        key_valid = key_valid.at[0].set(True)
+        ref = causal_attention_einsum(q, k, v, key_valid=key_valid)
+        got = flash_causal_attention(q, k, v, key_valid=key_valid, block_q=128, block_k=256, interpret=True)
+        live = np.asarray(key_valid)
+        np.testing.assert_allclose(
+            np.asarray(got)[live], np.asarray(ref)[live], rtol=2e-3, atol=2e-3
+        )
+
+    def test_unaligned_length_padding(self):
+        rng = np.random.default_rng(2)
+        s = 384 + 65  # not a multiple of block sizes
+        q, k, v = make_qkv(rng, s, 2, 2, 128)
+        ref = causal_attention_einsum(q, k, v)
+        got = flash_causal_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        assert got.shape == (s, 2, 128)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_bf16_storage(self):
+        rng = np.random.default_rng(3)
+        q, k, v = make_qkv(rng, 256, 4, 2, 128, dtype=jnp.bfloat16)
+        ref = causal_attention_einsum(q, k, v)
+        got = flash_causal_attention(q, k, v, block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+        )
