@@ -74,7 +74,7 @@ def main():
         n_frames, reps = 8, 1
     else:
         cfg = qwen2_7b_config(vocab_size=32768)
-        n_frames, reps = 64, 3
+        n_frames, reps = 64, 5
 
     ff = FrameFusionConfig(cost=0.3, similarity_lower_bound=0.6, ratio_lower_bound=0.1)
     params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
