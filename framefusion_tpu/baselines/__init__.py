@@ -1,0 +1,17 @@
+from .qwen2_baselines import (
+    BaselineEngine,
+    replace_forward,
+    replace_qwen2_forward,
+    replace_minicpmv_forward,
+    replace_nvila_forward,
+    replace_qwenvl_forward,
+)
+
+__all__ = [
+    "BaselineEngine",
+    "replace_forward",
+    "replace_qwen2_forward",
+    "replace_minicpmv_forward",
+    "replace_nvila_forward",
+    "replace_qwenvl_forward",
+]

@@ -1,0 +1,333 @@
+"""Paper-comparison baselines: FastV, StreamingLLM, fixed-schedule prefill
+merging, merge->FastV, FastV->merge.
+
+Parity surface: the reference's baseline-methods library
+(/root/reference/framefusion/models/qwen2/modeling_qwen2_baseline.py and
+modeling_qwen2_vl_baseline.py), a sibling experimental surface with its own
+``replace_Qwen2_forward(model, mode=...)`` entry points (:45-109) that is NOT
+reachable from apply_framefusion.
+
+TPU-native observation: unlike FrameFusion (whose merge counts are
+data-dependent), every baseline's compression counts are knowable from config
+and prompt shape alone — FastV keeps ``round(L*(1-r))`` image tokens at the
+static layer ``k``; the fixed merge schedule removes ``int(s_l * frame_l)``
+tokens at layer ``l``; StreamingLLM's sink/window are constants. So each
+baseline compiles to exactly ONE sync-free XLA program (dead tokens masked,
+one static compaction where the shape actually shrinks).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import FrameFusionConfig, LLMConfig
+from ..core import bucket_length, compact_tokens, mark_topk, order_by_patch, similarity_by_patch
+from ..core.merge import apply_merge, apply_merge_weighted, descending_rank
+from ..models import qwen2
+from ..ops.attention import causal_attention_chunked
+from ..ops.rope import apply_rope
+from ..runtime.engine import CompressionEngine, PrefillResult, _pack_caches_program, _pos_axes
+from ..runtime.telemetry import CompressionEvent, PrefillTelemetry
+
+
+def _round(x: float) -> int:
+    return int(round(x))
+
+
+# ---------------------------------------------------------------------------
+# FastV (reference modeling_qwen2_baseline.py:221-578): at static layer k,
+# prune image tokens by the last query row's head-averaged attention from
+# layer k-1, keeping the top round(L*(1-r)).
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "fastv_k", "img_start", "img_len", "keep_img", "new_len", "valid0"))
+def _fastv_program(params, h, pos_tok, *, cfg: LLMConfig, attn_impl, fastv_k, img_start, img_len, keep_img, new_len, valid0):
+    s = h.shape[0]
+    cos, sin = qwen2.positions_cos_sin(_pos_axes(pos_tok), cfg)
+
+    # Layers 0..k-2 dense; layer k-1 also captures the last-row importance
+    # (the reference threads layer k-1's full attention probs to layer k,
+    # :318-343 — here only the needed row is produced).
+    h, k_pre, v_pre = qwen2.run_layers(params, h, cos, sin, cfg, stop_layer=fastv_k - 1, attn_impl=attn_impl)
+    lp = qwen2.layer_slice(params["layers"], fastv_k - 1)
+    h, kk, vv, importance = qwen2.layer_attention(
+        lp, h, cos, sin, cfg, attn_impl=attn_impl, capture_num=1, valid_len=jnp.int32(valid0)
+    )
+    h = qwen2.layer_mlp(lp, h, cfg)
+    k_pre = jax.lax.dynamic_update_index_in_dim(k_pre, kk.astype(cfg.dtype), fastv_k - 1, 0)
+    v_pre = jax.lax.dynamic_update_index_in_dim(v_pre, vv.astype(cfg.dtype), fastv_k - 1, 0)
+
+    # Static top-k prune over the image window; keep set sorted (gathered in
+    # original order by the stable compaction).
+    pos = jnp.arange(s, dtype=jnp.int32)
+    in_window = (pos >= img_start) & (pos < img_start + img_len)
+    score = jnp.where(in_window, importance, -jnp.inf)
+    keep = (~in_window & (pos < valid0)) | (descending_rank(score) < keep_img)
+    new_valid = valid0 - img_len + keep_img
+    out, _ = compact_tokens(keep, new_len, jnp.int32(new_valid), {"h": h, "pos": pos_tok})
+    h2, pos2 = out["h"], out["pos"]
+
+    cos2, sin2 = qwen2.positions_cos_sin(_pos_axes(pos2), cfg)
+    h2, k_post, v_post = qwen2.run_layers(params, h2, cos2, sin2, cfg, start_layer=fastv_k, attn_impl=attn_impl)
+    logits = qwen2.final_logits(params, h2[new_valid - 1 : new_valid], cfg)[0]
+    return logits, k_pre, v_pre, k_post, v_post
+
+
+# ---------------------------------------------------------------------------
+# StreamingLLM (reference :579-859): prefill attention restricted to
+# ``init_num`` sink tokens + a trailing window of length_rate*S - init_num;
+# decode unchanged (the Qwen2 variant decodes over the full cache, :695-705).
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "init_num", "window"))
+def _streamingllm_program(params, h, pos_tok, *, cfg: LLMConfig, init_num, window):
+    s = h.shape[0]
+    cos, sin = qwen2.positions_cos_sin(_pos_axes(pos_tok), cfg)
+    hd = cfg.head_dim_
+    k_all = jnp.zeros((cfg.num_layers, s, cfg.num_kv_heads, hd), cfg.dtype)
+    v_all = jnp.zeros_like(k_all)
+
+    def body(l, carry):
+        h, k_all, v_all = carry
+        lp = qwen2.layer_slice(params["layers"], l)
+        x = qwen2.rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = qwen2._project_qkv(lp, x, cfg)
+        q, k = apply_rope(q, k, cos, sin)
+        attn = causal_attention_chunked(q, k, v, sink=(init_num, window))
+        h = h + attn.reshape(s, -1) @ lp["wo"]
+        h = qwen2.layer_mlp(lp, h, cfg)
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k.astype(cfg.dtype), l, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v.astype(cfg.dtype), l, 0)
+        return h, k_all, v_all
+
+    h, k_all, v_all = jax.lax.fori_loop(0, cfg.num_layers, body, (h, k_all, v_all))
+    logits = qwen2.final_logits(params, h[-1:], cfg)[0]
+    return logits, k_all, v_all
+
+
+# ---------------------------------------------------------------------------
+# Fixed-schedule prefill merging (reference :860-1335): before each layer's
+# attention, merge the top int(sparsity_l * frame_tokens_l) most-similar
+# adjacent-frame pairs (FrameFusion's merge core with fixed counts). Weighted
+# variant carries token mass for merge->FastV (:1598,1714-1731).
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "attn_impl", "patch_num", "weighted", "fastv_k", "keep_img_static"),
+)
+def _merging_program(
+    params, h, pos_tok, patch_type, k_per_layer, valid0, img_start, img_len,
+    *, cfg: LLMConfig, attn_impl, patch_num, weighted: bool, fastv_k: int = -1,
+    keep_img_static: int = -1,
+):
+    """Mask-only fixed-schedule merging, optionally with a FastV prune at the
+    static layer ``fastv_k`` (merge->FastV hybrid). Counts are static; dead
+    tokens stay masked (per-layer live masks give the ragged caches).
+    """
+    s = h.shape[0]
+    cos, sin = qwen2.positions_cos_sin(_pos_axes(pos_tok), cfg)
+    hd = cfg.head_dim_
+    k_pool = jnp.zeros((cfg.num_layers, s, cfg.num_kv_heads, hd), cfg.dtype)
+    v_pool = jnp.zeros_like(k_pool)
+    cache_live = jnp.zeros((cfg.num_layers, s), bool)
+
+    def body(l, carry):
+        h, live, weights, k_pool, v_pool, cache_live = carry
+        # Merge at the layer input (the reference merges pre-QKV inside the
+        # attention forward, :942-985).
+        order, n_img = order_by_patch(patch_type, live, patch_num)
+        sim = similarity_by_patch(h, patch_type, order, n_img)
+        marked = mark_topk(sim, k_per_layer[l])
+        if weighted:
+            h, weights, keep = apply_merge_weighted(h, weights, marked, order)
+        else:
+            h, keep = apply_merge(h, marked, order)
+        live = live & keep
+
+        lp = qwen2.layer_slice(params["layers"], l)
+        h, k, v, importance = qwen2.layer_attention(
+            lp, h, cos, sin, cfg, attn_impl=attn_impl,
+            capture_num=1 if fastv_k >= 0 else 0, valid_len=valid0, key_valid=live,
+        )
+        k_pool = jax.lax.dynamic_update_index_in_dim(k_pool, k.astype(cfg.dtype), l, 0)
+        v_pool = jax.lax.dynamic_update_index_in_dim(v_pool, v.astype(cfg.dtype), l, 0)
+        cache_live = jax.lax.dynamic_update_index_in_dim(cache_live, live, l, 0)
+
+        if fastv_k >= 0:
+            # FastV prune after layer fastv_k's attention, using that layer's
+            # captured last-row importance (merge->FastV, :1339-2054).
+            def prune(live):
+                live_rank = jnp.cumsum(live.astype(jnp.int32)) - 1
+                cur_img = img_len - (valid0 - jnp.sum(live))  # removed were image tokens
+                in_window = live & (live_rank >= img_start) & (live_rank < img_start + cur_img)
+                score = jnp.where(in_window, importance, -jnp.inf)
+                keep_img = jnp.int32(keep_img_static)
+                return (live & ~in_window) | (in_window & (descending_rank(score) < keep_img))
+
+            live = jax.lax.cond(l == fastv_k, prune, lambda x: x, live)
+        h = qwen2.layer_mlp(lp, h, cfg)
+        return h, live, weights, k_pool, v_pool, cache_live
+
+    live0 = jnp.arange(s, dtype=jnp.int32) < valid0
+    weights0 = jnp.ones((s,), jnp.float32)
+    h, live, weights, k_pool, v_pool, cache_live = jax.lax.fori_loop(
+        0, cfg.num_layers, body, (h, live0, weights0, k_pool, v_pool, cache_live)
+    )
+    # Final logits at the last original row (trailing text is never removed).
+    last = jax.lax.dynamic_slice_in_dim(h, valid0 - 1, 1, axis=0)
+    logits = qwen2.final_logits(params, last, cfg)[0]
+    return logits, live, k_pool, v_pool, cache_live
+
+
+class BaselineEngine(CompressionEngine):
+    """Prefill executor for one baseline mode; decode inherited."""
+
+    def __init__(self, params, cfg, mode: str, kwargs: dict, *, attn_impl: str = "chunked", bucket: int = 128):
+        super().__init__(params, cfg, FrameFusionConfig(), attn_impl=attn_impl)
+        self.mode = mode
+        self.kwargs = kwargs
+        self.bucket = bucket
+
+    def prefill(self, input_embeds, patch_type, position_ids, patch_num, image_token_start, image_token_length, mode=None):
+        cfg = self.cfg
+        h, pt, pos_tok, orig_len = self._prep_inputs(input_embeds, patch_type, position_ids)
+        s = h.shape[0]
+        telemetry = PrefillTelemetry(original_length=orig_len, image_token_length=image_token_length)
+
+        if self.mode == "fastv":
+            fastv_k = self.kwargs.get("fastv_k", 3)
+            fastv_r = self.kwargs.get("fastv_r", 0.5)
+            keep_img = _round(image_token_length * (1 - fastv_r))
+            new_valid = orig_len - image_token_length + keep_img
+            new_len = bucket_length(new_valid, self.bucket)
+            logits, k_pre, v_pre, k_post, v_post = _fastv_program(
+                self.params, h, pos_tok, cfg=cfg, attn_impl=self.attn_impl,
+                fastv_k=fastv_k, img_start=image_token_start,
+                img_len=image_token_length, keep_img=keep_img, new_len=new_len,
+                valid0=orig_len,
+            )
+            caches = [
+                (k_pre[l], v_pre[l], orig_len) if l < fastv_k else (k_post[l], v_post[l], new_valid)
+                for l in range(cfg.num_layers)
+            ]
+            telemetry.events.append(CompressionEvent(
+                layer=fastv_k, kind="fastv_prune",
+                tokens_removed=image_token_length - keep_img, tokens_after=new_valid,
+            ))
+            final_valid = new_valid
+
+        elif self.mode == "streamingllm":
+            init_num = self.kwargs.get("init_num", 8)
+            length_rate = self.kwargs.get("length_rate", 0.3)
+            window = int(length_rate * orig_len) - init_num
+            logits, k_all, v_all = _streamingllm_program(
+                self.params, h, pos_tok, cfg=cfg, init_num=init_num, window=window,
+            )
+            caches = [(k_all[l], v_all[l], orig_len) for l in range(cfg.num_layers)]
+            telemetry.events.append(CompressionEvent(
+                layer=-1, kind="streaming_sink", tokens_removed=0, tokens_after=orig_len,
+            ))
+            final_valid = orig_len
+
+        elif self.mode in ("prefill_merge", "merge_then_fastv", "fastv_then_merge"):
+            logits, caches, final_valid = self._run_merging_family(
+                h, pt, pos_tok, orig_len, patch_num, image_token_start,
+                image_token_length, telemetry,
+            )
+        else:
+            raise NotImplementedError(f"Mode {self.mode} is not implemented yet.")
+
+        telemetry.final_length = final_valid
+        telemetry.final_image_tokens = image_token_length - (orig_len - final_valid)
+        return PrefillResult(
+            logits=logits, layer_caches=caches, valid_len=final_valid,
+            decode_pos_base=caches[0][2], telemetry=telemetry, pos_dims=pos_tok.shape[1],
+        )
+
+    def _run_merging_family(self, h, pt, pos_tok, orig_len, patch_num, img_start, img_len, telemetry):
+        cfg = self.cfg
+        s = h.shape[0]
+        frame_tok = img_len
+
+        if self.mode == "prefill_merge":
+            sparsity = self.kwargs.get("sparsity", [0.0] * cfg.num_layers)
+            weighted, fastv_k, fastv_r = False, -1, 0.0
+        elif self.mode == "merge_then_fastv":
+            sparsity = self.kwargs.get("sparsity", [0.1] * cfg.num_layers)
+            weighted = True
+            fastv_k = self.kwargs.get("fastv_k", 3)
+            fastv_r = self.kwargs.get("fastv_r", 0.5)
+        else:  # fastv_then_merge: no merging before k; one merge after
+            fastv_k = self.kwargs.get("fastv_k", 2)
+            fastv_r = self.kwargs.get("fastv_r", 0.75)
+            merging_sparsity = self.kwargs.get("merging_sparsity", 0.3)
+            sparsity = [0.0] * cfg.num_layers
+            weighted = False
+
+        # Static per-layer merge counts (and the token budget trajectory).
+        k_list, remaining = [], frame_tok
+        for l in range(cfg.num_layers):
+            if self.mode == "fastv_then_merge":
+                k_l = int(merging_sparsity * remaining) if l == fastv_k + 1 else 0
+            else:
+                k_l = int(sparsity[l] * remaining)
+            k_list.append(k_l)
+            remaining -= k_l
+            if k_l:
+                telemetry.events.append(CompressionEvent(
+                    layer=l, kind="merge_fixed", tokens_removed=k_l,
+                    tokens_after=orig_len - (img_len - remaining),
+                ))
+            if self.mode in ("merge_then_fastv", "fastv_then_merge") and l == fastv_k:
+                keep_img = _round(remaining * (1 - fastv_r))
+                removed = remaining - keep_img
+                remaining = keep_img
+                telemetry.events.append(CompressionEvent(
+                    layer=l, kind="fastv_prune", tokens_removed=removed,
+                    tokens_after=orig_len - (img_len - remaining),
+                ))
+
+        final_valid = orig_len - (img_len - remaining)
+        keep_img_static = keep_img if self.mode in ("merge_then_fastv", "fastv_then_merge") else -1
+
+        logits, live, k_pool, v_pool, cache_live = _merging_program(
+            self.params, h, pos_tok, pt, jnp.asarray(k_list, jnp.int32),
+            jnp.int32(orig_len), jnp.int32(img_start), jnp.int32(img_len),
+            cfg=cfg, attn_impl=self.attn_impl, patch_num=patch_num,
+            weighted=weighted, fastv_k=fastv_k if keep_img_static >= 0 else -1,
+            keep_img_static=keep_img_static,
+        )
+
+        k_packed, v_packed, lens = _pack_caches_program(k_pool, v_pool, cache_live)
+        lens_np = np.asarray(lens)
+        caches = [(k_packed[l], v_packed[l], int(lens_np[l])) for l in range(cfg.num_layers)]
+        return logits, caches, final_valid
+
+
+def replace_forward(model, mode="fastv", **kwargs):
+    """Baseline entry point mirroring ``replace_Qwen2_forward``
+    (reference modeling_qwen2_baseline.py:45-109). Returns a copy of the
+    model whose engine runs the requested baseline."""
+    import dataclasses
+
+    from ..interface import FrameFusionModel
+
+    assert isinstance(model, FrameFusionModel)
+    engine = BaselineEngine(
+        model.params, model.cfg, mode, kwargs, attn_impl=model._resolved_attn_impl()
+    )
+    return dataclasses.replace(model, ff=None, _engine=engine)
+
+
+# Reference per-family aliases (modeling_qwen2_baseline.py:45,111,138;
+# modeling_qwen2_vl_baseline.py:21) — all families ride the same backbone
+# here, so these are the same dispatcher.
+replace_qwen2_forward = replace_forward
+replace_minicpmv_forward = replace_forward
+replace_nvila_forward = replace_forward
+replace_qwenvl_forward = replace_forward

@@ -99,3 +99,48 @@ def apply_merge(hidden: jnp.ndarray, marked_pm: jnp.ndarray, order: jnp.ndarray)
     merged = merged_pm[inv_order].astype(hidden.dtype)
     keep = (~marked_pm)[inv_order]
     return merged, keep
+
+
+def apply_merge_weighted(hidden: jnp.ndarray, weights: jnp.ndarray, marked_pm: jnp.ndarray, order: jnp.ndarray):
+    """Mass-weighted run merging (the merge->FastV baseline's
+    ``token_merge_scale`` accounting, reference
+    models/qwen2/modeling_qwen2_baseline.py:1598,1714-1731): each token
+    carries the number of original tokens it represents; a run head's new
+    value is the mass-weighted mean and its mass becomes the run's total.
+
+    Args:
+        hidden: (S, D); weights: (S,) fp32 per-token mass (original order).
+
+    Returns:
+        (merged, new_weights, keep) — all original order.
+    """
+    s, d = hidden.shape
+    pos = jnp.arange(s, dtype=jnp.int32)
+    inv_order = inverse_permutation(order)
+
+    h_pm = hidden[order].astype(jnp.float32)
+    w_pm = weights[order].astype(jnp.float32)
+    contrib = jnp.where(marked_pm[:, None], h_pm * w_pm[:, None], 0.0)
+    wsum = jnp.where(marked_pm, w_pm, 0.0)
+    csum = jnp.cumsum(contrib, axis=0)
+    wcsum = jnp.cumsum(wsum)
+
+    unmarked_pos = jnp.where(marked_pm, jnp.int32(s), pos)
+    nu_at_or_after = jax.lax.associative_scan(jnp.minimum, unmarked_pos[::-1])[::-1]
+    nu_after = jnp.concatenate([nu_at_or_after[1:], jnp.full((1,), s, jnp.int32)])
+    run_end = jnp.clip(nu_after - 1, 0, s - 1)
+
+    csum_pad = jnp.concatenate([jnp.zeros((1, d), jnp.float32), csum], axis=0)
+    wcsum_pad = jnp.concatenate([jnp.zeros((1,), jnp.float32), wcsum])
+    seg_sum = csum_pad[run_end + 1] - csum_pad[pos + 1]
+    seg_w = wcsum_pad[run_end + 1] - wcsum_pad[pos + 1]
+
+    total_w = w_pm + seg_w
+    merged_pm = (h_pm * w_pm[:, None] + seg_sum) / total_w[:, None]
+    merged_pm = jnp.where(marked_pm[:, None], h_pm, merged_pm)
+    w_new_pm = jnp.where(marked_pm, w_pm, total_w)
+
+    merged = merged_pm[inv_order].astype(hidden.dtype)
+    new_weights = w_new_pm[inv_order]
+    keep = (~marked_pm)[inv_order]
+    return merged, new_weights, keep

@@ -1,0 +1,153 @@
+"""Public API: ``apply_framefusion`` and the model-family registry.
+
+Parity surface: /root/reference/framefusion/interface.py:47-137. The
+reference dispatches on the HF model class and monkey-patches forward
+methods in place; the TPU build dispatches on a family name and returns a
+*new, configured* ``FrameFusionModel`` whose engine runs the compressed
+prefill as jitted XLA programs — same three knobs, no mutation.
+
+Family table (reference interface.py:58-124 + per-script S_th defaults,
+SURVEY.md §5 "Config / flag system"):
+
+| family            | backbone  | positions | importance rows | default S_th |
+|-------------------|-----------|-----------|-----------------|--------------|
+| llava_video       | Qwen2     | 1D        | 1               | 0.6          |
+| llava_next_video  | Qwen2     | 1D        | 1               | 0.6          |
+| minicpmv          | Qwen2     | 1D        | 1               | 0.7          |
+| nvila             | Qwen2     | 1D        | 1               | 0.7          |
+| qwen2_vl          | Qwen2-VL  | 3D mRoPE  | 4               | 0.5          |
+| internvl          | InternLM2 | 1D        | 1               | 0.5          |
+
+All six ride the same functional decoder (models/qwen2.py): Qwen2-VL adds
+``mrope_section`` and InternLM2 drops qkv bias; only weight import differs
+(weights.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+
+from .config import FrameFusionConfig, LLMConfig
+from .models.adapters.common import PrefillInputs
+from .runtime.engine import CompressionEngine, PrefillResult
+
+
+@dataclasses.dataclass
+class FamilySpec:
+    name: str
+    adapter_module: str  # framefusion_tpu.models.adapters.<name>
+    llm_prefix: str  # weight-import prefix of the language model
+    num_importance_queries: int
+    default_similarity_lower_bound: float
+    qkv_bias: bool = True
+    mrope: bool = False
+
+
+FAMILIES = {
+    # reference interface.py:69-77 (LLaVA-Video -> Qwen2 triple)
+    "llava_video": FamilySpec("llava_video", "llava_video", "model.", 1, 0.6),
+    # reference interface.py:58-66 (LLaVA-NeXT-Video -> Qwen2 triple)
+    "llava_next_video": FamilySpec("llava_next_video", "llava_next_video", "language_model.model.", 1, 0.6),
+    # reference interface.py:80-88 (MiniCPM-V -> Qwen2 triple, llm.model)
+    "minicpmv": FamilySpec("minicpmv", "minicpmv", "llm.model.", 1, 0.7),
+    # reference interface.py:91-98 (NVILA -> Qwen2 triple, llm.model)
+    "nvila": FamilySpec("nvila", "nvila", "llm.model.", 1, 0.7),
+    # reference interface.py:101-108 (Qwen2-VL triple, num=4 importance rows)
+    "qwen2_vl": FamilySpec("qwen2_vl", "qwen2_vl", "model.", 4, 0.5, mrope=True),
+    # reference interface.py:111-118 (InternVL -> InternLM2 triple)
+    "internvl": FamilySpec("internvl", "internvl", "language_model.model.", 1, 0.5, qkv_bias=False),
+}
+
+
+@dataclasses.dataclass
+class FrameFusionModel:
+    """A loaded LVLM language model plus (optionally) a FrameFusion config.
+
+    ``params`` is the functional decoder pytree (models/qwen2.py layout);
+    ``vision`` may hold a vision tower (models/vision/) for full end-to-end
+    pipelines — adapters also accept precomputed features, mirroring how the
+    reference splices upstream-encoder outputs.
+    """
+
+    family: str
+    cfg: LLMConfig
+    params: dict
+    ff: Optional[FrameFusionConfig] = None
+    vision: Optional[object] = None
+    attn_impl: str = "auto"
+    pool_layers: int = 8
+    _engine: Optional[CompressionEngine] = dataclasses.field(default=None, repr=False)
+
+    @property
+    def spec(self) -> FamilySpec:
+        return FAMILIES[self.family]
+
+    def _resolved_attn_impl(self) -> str:
+        if self.attn_impl != "auto":
+            return self.attn_impl
+        return "pallas" if jax.default_backend() == "tpu" else "chunked"
+
+    def engine(self) -> CompressionEngine:
+        if self._engine is None:
+            ff = self.ff or FrameFusionConfig(cost=1.0)  # dense placeholder
+            self._engine = CompressionEngine(
+                self.params, self.cfg, ff,
+                attn_impl=self._resolved_attn_impl(), pool_layers=self.pool_layers,
+            )
+        return self._engine
+
+    # -- inference ----------------------------------------------------------
+
+    def prefill(self, inputs: PrefillInputs, mode: str = "fused") -> PrefillResult:
+        """Compressed prefill if FrameFusion is applied, dense otherwise."""
+        if self.ff is None:
+            return self.engine().dense_prefill(inputs.input_embeds, inputs.position_ids)
+        return self.engine().prefill(
+            inputs.input_embeds,
+            inputs.patch_type,
+            inputs.position_ids,
+            patch_num=inputs.patch_num,
+            image_token_start=inputs.image_token_start,
+            image_token_length=inputs.image_token_length,
+            mode=mode,
+        )
+
+    def generate(
+        self,
+        inputs: PrefillInputs,
+        max_new_tokens: int = 64,
+        eos_token_id: Optional[int] = None,
+    ):
+        """Prefill + greedy decode. Returns (token_ids, PrefillResult)."""
+        result = self.prefill(inputs)
+        tokens = self.engine().generate_greedy(result, max_new_tokens, eos_token_id=eos_token_id)
+        return tokens, result
+
+
+def apply_framefusion(model, cost, similarity_lower_bound, ratio_lower_bound):
+    """Configure FrameFusion on a model — the reference's public entry point
+    (interface.py:47), same signature and knob semantics.
+
+    Accepts a ``FrameFusionModel`` and returns a new one with compression
+    enabled (the reference mutates the HF model in place; here the model is a
+    frozen value and the compressed prefill is a property of the returned
+    object). A second call simply installs fresh compression state, like the
+    reference's re-application pattern (example_llava.py:133-136).
+    """
+    if not isinstance(model, FrameFusionModel):
+        raise NotImplementedError(
+            f"Model not supported\nModel type: {type(model)}\n"
+            "apply_framefusion expects a framefusion_tpu FrameFusionModel; "
+            "load one via framefusion_tpu.weights + FrameFusionModel(family=...)."
+        )
+    spec = model.spec
+    ff = FrameFusionConfig(
+        cost=cost,
+        similarity_lower_bound=similarity_lower_bound,
+        ratio_lower_bound=ratio_lower_bound,
+        num_importance_queries=spec.num_importance_queries,
+    )
+    return dataclasses.replace(model, ff=ff, _engine=None)

@@ -166,17 +166,19 @@ def run_layers(
     cfg: LLMConfig,
     *,
     start_layer=0,
+    stop_layer=None,
     attn_impl: str = "chunked",
 ):
-    """Run layers [start_layer, num_layers) over ``h``; returns (h, k_all, v_all).
+    """Run layers [start_layer, stop_layer) over ``h``; returns (h, k_all, v_all).
 
-    ``start_layer`` may be traced: a ``fori_loop`` with dynamic lower bound
-    lets the compressed prefill resume mid-stack at the post-compression
-    bucket without one compiled program per resume depth. Cache entries for
-    layers below ``start_layer`` are zeros (unused).
+    ``start_layer``/``stop_layer`` may be traced: a ``fori_loop`` with dynamic
+    bounds lets the compressed prefill resume mid-stack at the
+    post-compression bucket without one compiled program per resume depth.
+    Cache entries for layers outside the range are zeros (unused).
     """
     s = h.shape[0]
     hd = cfg.head_dim_
+    stop_layer = cfg.num_layers if stop_layer is None else stop_layer
     k_all = jnp.zeros((cfg.num_layers, s, cfg.num_kv_heads, hd), cfg.dtype)
     v_all = jnp.zeros_like(k_all)
 
@@ -189,7 +191,7 @@ def run_layers(
         v_all = jax.lax.dynamic_update_index_in_dim(v_all, v.astype(cfg.dtype), l, 0)
         return h, k_all, v_all
 
-    h, k_all, v_all = jax.lax.fori_loop(start_layer, cfg.num_layers, body, (h, k_all, v_all))
+    h, k_all, v_all = jax.lax.fori_loop(start_layer, stop_layer, body, (h, k_all, v_all))
     return h, k_all, v_all
 
 

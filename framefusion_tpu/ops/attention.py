@@ -60,9 +60,16 @@ def causal_attention_einsum(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, key_
     return out.transpose(2, 0, 1, 3).reshape(s, hq, d).astype(q.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k"))
-def causal_attention_chunked(q, k, v, key_valid=None, block_q: int = 256, block_k: int = 256):
-    """Online-softmax causal attention, O(block^2) memory. Shapes as einsum."""
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "sink"))
+def causal_attention_chunked(q, k, v, key_valid=None, block_q: int = 256, block_k: int = 256, sink=None):
+    """Online-softmax causal attention, O(block^2) memory. Shapes as einsum.
+
+    ``sink=(init_num, window)`` restricts each query to the first ``init_num``
+    keys plus its trailing ``window`` keys — the StreamingLLM attention-sink
+    pattern (reference models/qwen2/modeling_qwen2_baseline.py:691-705, which
+    delegates to minference.streaming_forward; here it is just a mask in the
+    same online-softmax loop).
+    """
     s, hq, d = q.shape
     hk = k.shape[1]
     g = hq // hk
@@ -99,6 +106,9 @@ def causal_attention_chunked(q, k, v, key_valid=None, block_q: int = 256, block_
             kb, vb, kp, kval = inputs
             scores = jnp.einsum("hgqd,hkd->hgqk", qb, kb, preferred_element_type=jnp.float32) * scale
             mask = (kp[None, :] <= qp[:, None]) & kval[None, :]
+            if sink is not None:
+                init_num, window = sink
+                mask = mask & ((kp[None, :] < init_num) | (kp[None, :] > qp[:, None] - window))
             scores = jnp.where(mask[None, None], scores, NEG_INF)
             m_new = jnp.maximum(m, scores.max(axis=-1))
             alpha = jnp.exp(m - m_new)
