@@ -1,0 +1,132 @@
+"""SigLIP-style vision transformer (LLaVA-Video's tower: siglip-so400m@384/14).
+
+The reference delegates vision encoding to external model packages
+(SURVEY.md §2: LLaVA-NeXT's vision_tower, reference
+modeling_llava_video.py:47-56 calls ``encode_images``); a standalone TPU
+framework needs its own. This is a functional ViT: conv patch embedding +
+learned position embeddings (no CLS token — SigLIP), pre-LN encoder blocks
+with bidirectional MHA and GELU-tanh MLP, final layernorm. Verified against
+HF ``SiglipVisionModel`` in tests/test_vision.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    image_size: int = 384
+    patch_size: int = 14
+    hidden_size: int = 1152
+    intermediate_size: int = 4304
+    num_layers: int = 27
+    num_heads: int = 16
+    layer_norm_eps: float = 1e-6
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def patches_per_side(self) -> int:
+        return self.image_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.patches_per_side ** 2
+
+
+def tiny_vit_config(**kw) -> ViTConfig:
+    base = dict(image_size=28, patch_size=7, hidden_size=64, intermediate_size=128,
+                num_layers=2, num_heads=4)
+    base.update(kw)
+    return ViTConfig(**base)
+
+
+def init_params(cfg: ViTConfig, key: jax.Array) -> dict:
+    keys = iter(jax.random.split(key, 8))
+
+    def norm(*shape, scale=0.02):
+        return jax.random.normal(next(keys), shape, cfg.dtype) * jnp.asarray(scale, cfg.dtype)
+
+    d, i, n_l = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    layers = {
+        "ln1_w": jnp.ones((n_l, d), cfg.dtype), "ln1_b": jnp.zeros((n_l, d), cfg.dtype),
+        "ln2_w": jnp.ones((n_l, d), cfg.dtype), "ln2_b": jnp.zeros((n_l, d), cfg.dtype),
+        "wq": norm(n_l, d, d), "bq": jnp.zeros((n_l, d), cfg.dtype),
+        "wk": norm(n_l, d, d), "bk": jnp.zeros((n_l, d), cfg.dtype),
+        "wv": norm(n_l, d, d), "bv": jnp.zeros((n_l, d), cfg.dtype),
+        "wo": norm(n_l, d, d), "bo": jnp.zeros((n_l, d), cfg.dtype),
+        "w_fc1": norm(n_l, d, i), "b_fc1": jnp.zeros((n_l, i), cfg.dtype),
+        "w_fc2": norm(n_l, i, d), "b_fc2": jnp.zeros((n_l, d), cfg.dtype),
+    }
+    return {
+        "patch_kernel": norm(cfg.patch_size, cfg.patch_size, 3, d),
+        "patch_bias": jnp.zeros((d,), cfg.dtype),
+        "pos_embed": norm(cfg.num_patches, d),
+        "layers": layers,
+        "post_ln_w": jnp.ones((d,), cfg.dtype),
+        "post_ln_b": jnp.zeros((d,), cfg.dtype),
+    }
+
+
+def _layernorm(x, w, b, eps):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w + b
+
+
+def _mha(lp, x, num_heads):
+    n, d = x.shape
+    hd = d // num_heads
+    q = (x @ lp["wq"] + lp["bq"]).reshape(n, num_heads, hd)
+    k = (x @ lp["wk"] + lp["bk"]).reshape(n, num_heads, hd)
+    v = (x @ lp["wv"] + lp["bv"]).reshape(n, num_heads, hd)
+    scores = jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(scores / jnp.sqrt(hd).astype(jnp.float32), axis=-1)
+    out = jnp.einsum("hqk,khd->qhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    return out.reshape(n, d).astype(x.dtype) @ lp["wo"] + lp["bo"]
+
+
+def encode(params: dict, pixels: jnp.ndarray, cfg: ViTConfig, feature_layer: int = -1):
+    """Encode images.
+
+    Args:
+        pixels: (B, H, W, 3) in [-1, 1].
+        feature_layer: which encoder layer's output to return (-1 = after the
+            last block; -2 = penultimate — LLaVA's default vision feature).
+            The final ``post_layernorm`` is NOT applied to intermediate
+            features, matching HF hidden_states semantics.
+
+    Returns:
+        (B, num_patches, D) features.
+    """
+    b = pixels.shape[0]
+    patches = jax.lax.conv_general_dilated(
+        pixels.astype(cfg.dtype),
+        params["patch_kernel"],
+        window_strides=(cfg.patch_size, cfg.patch_size),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    x = patches.reshape(b, cfg.num_patches, cfg.hidden_size) + params["patch_bias"]
+    x = x + params["pos_embed"][None]
+
+    n_keep = cfg.num_layers + feature_layer + 1 if feature_layer < 0 else feature_layer
+
+    def block(x, lp):
+        def one(xi):
+            h = xi + _mha(lp, _layernorm(xi, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps), cfg.num_heads)
+            z = _layernorm(h, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
+            z = jax.nn.gelu(z @ lp["w_fc1"] + lp["b_fc1"], approximate=True)
+            return h + z @ lp["w_fc2"] + lp["b_fc2"]
+
+        return jax.vmap(one)(x), None
+
+    sliced = jax.tree.map(lambda a: a[:n_keep], params["layers"])
+    x, _ = jax.lax.scan(block, x, sliced)
+    if feature_layer == -1:
+        x = jax.vmap(lambda xi: _layernorm(xi, params["post_ln_w"], params["post_ln_b"], cfg.layer_norm_eps))(x)
+    return x
