@@ -1,0 +1,87 @@
+"""Shared utilities for the playground scripts.
+
+The reference's example scripts (reference script/playground/*) load real HF
+checkpoints and decode videos with decord. This environment has no network and
+no video decoders, so every script supports two modes:
+  * ``--checkpoint DIR``: load real safetensors weights (framefusion_tpu.weights)
+    and, with ``--video`` plus an available decoder (decord/av), real frames;
+  * default: random weights at the family's geometry and a synthetic
+    temporally-coherent video — the timing A/B and compression telemetry are
+    real either way.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_compile_cache")
+
+import numpy as np
+
+
+def load_video_frames(path: str, num_frames: int, size: int):
+    """Uniformly sample frames; decord then av fallbacks (reference
+    example_llava.py:69-86 uses decord)."""
+    try:
+        import decord
+
+        vr = decord.VideoReader(path)
+        idx = np.linspace(0, len(vr) - 1, num_frames).astype(int)
+        frames = vr.get_batch(idx).asnumpy()
+    except Exception:
+        import av  # may also be absent; caller handles failure
+
+        container = av.open(path)
+        all_frames = [f.to_ndarray(format="rgb24") for f in container.decode(video=0)]
+        idx = np.linspace(0, len(all_frames) - 1, num_frames).astype(int)
+        frames = np.stack([all_frames[i] for i in idx])
+    # center-crop + resize to (size, size), normalize to [-1, 1]
+    import PIL.Image as Image
+
+    out = []
+    for f in frames:
+        im = Image.fromarray(f).resize((size, size))
+        out.append(np.asarray(im, np.float32) / 127.5 - 1.0)
+    return np.stack(out)
+
+
+def synthetic_video(rng, num_frames: int, size: int, scene_len: int = 16):
+    """Temporally coherent random video: slow drift within scenes, cuts between."""
+    frames = np.empty((num_frames, size, size, 3), np.float32)
+    cur = rng.standard_normal((size, size, 3)).astype(np.float32)
+    for i in range(num_frames):
+        if i % scene_len == 0 and i:
+            cur = rng.standard_normal((size, size, 3)).astype(np.float32)
+        cur = cur + 0.08 * rng.standard_normal((size, size, 3)).astype(np.float32)
+        frames[i] = np.clip(cur, -1, 1)
+    return frames
+
+
+class DeviceTimer:
+    """Wall-clock timing that actually waits for device work: on remote-relay
+    runners only a device->host read is a true barrier."""
+
+    @staticmethod
+    def force(x):
+        import jax.numpy as jnp
+
+        return float(jnp.sum(x.astype(jnp.float32)))
+
+    @staticmethod
+    def timeit(fn, probe, reps=3):
+        out = fn()
+        DeviceTimer.force(probe(out))  # warmup / compile
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        DeviceTimer.force(probe(out))
+        return (time.perf_counter() - t0) / reps, out
+
+
+def ab_table(rows):
+    import pandas as pd
+
+    return pd.DataFrame(rows).to_string(index=False)

@@ -1,0 +1,64 @@
+"""Baseline-methods comparison — FrameFusion vs FastV / StreamingLLM /
+fixed-schedule merging / hybrids on the same prompt.
+
+Counterpart of the reference's baseline entry points
+(reference models/qwen2/modeling_qwen2_baseline.py:45-109)."""
+
+import argparse
+
+import numpy as np
+
+from common import DeviceTimer, ab_table
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--num-frames", type=int, default=16)
+    args = p.parse_args()
+
+    import jax
+
+    from framefusion_tpu.baselines import replace_forward
+    from framefusion_tpu.config import tiny_llm_config
+    from framefusion_tpu.interface import FrameFusionModel, apply_framefusion
+    from framefusion_tpu.models import qwen2
+    from framefusion_tpu.models.adapters import llava_video
+
+    rng = np.random.default_rng(0)
+    cfg = tiny_llm_config(num_layers=8, hidden_size=256, num_heads=8, num_kv_heads=4)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+
+    patch_num = 20
+    video = np.empty((args.num_frames * patch_num, cfg.hidden_size), np.float32)
+    frame = rng.standard_normal((patch_num, cfg.hidden_size)) * 0.05
+    for f in range(args.num_frames):
+        frame = frame + 0.01 * rng.standard_normal(frame.shape)
+        video[f * patch_num : (f + 1) * patch_num] = frame
+    text = (rng.standard_normal((30, cfg.hidden_size)) * 0.05).astype(np.float32)
+    inputs = llava_video.build_prefill_inputs(text, video, 25, num_patches_per_side=9)
+
+    model = FrameFusionModel(family="llava_video", cfg=cfg, params=params)
+    n_l = cfg.num_layers
+    variants = {
+        "dense": model,
+        "framefusion": apply_framefusion(model, 0.3, 0.6, 0.1),
+        "fastv": replace_forward(model, "fastv", fastv_k=3, fastv_r=0.5),
+        "streamingllm": replace_forward(model, "streamingllm", init_num=8, length_rate=0.3),
+        "prefill_merge": replace_forward(model, "prefill_merge", sparsity=[0.1] * n_l),
+        "merge_then_fastv": replace_forward(model, "merge_then_fastv", sparsity=[0.1] * n_l, fastv_k=3, fastv_r=0.5),
+        "fastv_then_merge": replace_forward(model, "fastv_then_merge", fastv_k=2, fastv_r=0.75, merging_sparsity=0.3),
+    }
+    if variants["framefusion"].ff:
+        variants["framefusion"].ff = variants["framefusion"].ff.replace(schedule_num_layers=n_l)
+
+    rows = []
+    for name, m in variants.items():
+        t, res = DeviceTimer.timeit(lambda m=m: m.prefill(inputs), lambda r: r.logits)
+        rows.append({"method": name, "prefill_ms": round(t * 1e3, 1),
+                     "tokens_kept": res.valid_len,
+                     "reduction": f"{1 - res.valid_len / inputs.input_embeds.shape[0]:.1%}"})
+    print(ab_table(rows))
+
+
+if __name__ == "__main__":
+    main()
