@@ -1,0 +1,103 @@
+"""Multi-chip tests on the 8-virtual-device CPU mesh: sharded training step
+and tensor-parallel compressed inference (the 72B stretch path,
+BASELINE.json configs[4])."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from framefusion_tpu.config import FrameFusionConfig, tiny_llm_config
+from framefusion_tpu.models import qwen2
+from framefusion_tpu.parallel.sharding import make_mesh, param_shardings, shard_params
+from framefusion_tpu.parallel.train import make_train_step
+from framefusion_tpu.runtime.engine import CompressionEngine
+
+from test_core import make_sequence
+
+pytestmark = pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+
+
+class TestMesh:
+    def test_mesh_factorization(self):
+        mesh = make_mesh(jax.devices()[:8], tensor=2)
+        assert mesh.shape == {"data": 4, "tensor": 2}
+        mesh = make_mesh(jax.devices()[:8])
+        assert mesh.shape["data"] * mesh.shape["tensor"] == 8
+
+    def test_param_shardings_cover_pytree(self):
+        cfg = tiny_llm_config()
+        mesh = make_mesh(jax.devices()[:8], tensor=2)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+        shardings = param_shardings(cfg, mesh)
+        assert jax.tree.structure(params) == jax.tree.structure(shardings)
+
+
+class TestTrainStep:
+    def test_loss_decreases(self):
+        cfg = tiny_llm_config(num_layers=2, vocab_size=128)
+        mesh = make_mesh(jax.devices()[:8], tensor=2)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+        train_step, init, batch_shard = make_train_step(cfg, mesh)
+        with mesh:
+            params, opt_state = init(params)
+            rng = np.random.default_rng(0)
+            batch = jax.device_put(jnp.asarray(rng.integers(0, 128, (8, 16))), batch_shard)
+            losses = []
+            for _ in range(5):
+                params, opt_state, loss = train_step(params, opt_state, batch)
+                losses.append(float(loss))
+        assert losses[-1] < losses[0]
+
+
+class TestShardedInference:
+    """Tensor-parallel compressed prefill: shard the params over the mesh and
+    run the SAME engine programs — GSPMD partitions them; results must match
+    the unsharded run exactly (same decisions) and numerically closely."""
+
+    def test_fused_prefill_matches_unsharded(self):
+        cfg = tiny_llm_config(num_layers=4)
+        ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75,
+                               ratio_lower_bound=0.05, schedule_num_layers=4, bucket=32)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        h, pt, img_start, n_img = make_sequence(rng, 4, 6, 10, 3, hidden=cfg.hidden_size, coherent=0.8)
+        h = (h * 0.05).astype(np.float32)
+        pos = np.arange(len(pt), dtype=np.int32)
+
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res_ref = engine.prefill(h, pt, pos, 6, img_start, n_img)
+
+        mesh = make_mesh(jax.devices()[:8], tensor=2)
+        with mesh:
+            sharded = shard_params(params, cfg, mesh)
+            engine_tp = CompressionEngine(sharded, cfg, ff, attn_impl="einsum")
+            res_tp = engine_tp.prefill(h, pt, pos, 6, img_start, n_img)
+
+        assert res_tp.valid_len == res_ref.valid_len
+        got = [(e.layer, e.kind, e.tokens_removed) for e in res_tp.telemetry.events]
+        want = [(e.layer, e.kind, e.tokens_removed) for e in res_ref.telemetry.events]
+        assert got == want
+        np.testing.assert_allclose(
+            np.asarray(res_tp.logits), np.asarray(res_ref.logits), rtol=2e-3, atol=2e-3
+        )
+
+    def test_dense_prefill_and_decode_sharded(self):
+        cfg = tiny_llm_config(num_layers=2)
+        ff = FrameFusionConfig()
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(1))
+        rng = np.random.default_rng(1)
+        h = (rng.standard_normal((40, cfg.hidden_size)) * 0.05).astype(np.float32)
+        pos = np.arange(40, dtype=np.int32)
+
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        toks_ref = engine.generate_greedy(engine.dense_prefill(h, pos), max_new_tokens=4)
+
+        mesh = make_mesh(jax.devices()[:8], tensor=2)
+        with mesh:
+            sharded = shard_params(params, cfg, mesh)
+            engine_tp = CompressionEngine(sharded, cfg, ff, attn_impl="einsum")
+            toks_tp = engine_tp.generate_greedy(engine_tp.dense_prefill(h, pos), max_new_tokens=4)
+        assert toks_tp == toks_ref
