@@ -100,6 +100,58 @@ def qwen2_7b_config(**kw) -> LLMConfig:
     return LLMConfig(**base)
 
 
+def qwen2_vl_7b_config(**kw) -> LLMConfig:
+    """Qwen2-VL-7B-Instruct LLM geometry (mRoPE sections t16/h24/w24 over
+    head_dim 128)."""
+    base = dict(
+        vocab_size=152064,
+        hidden_size=3584,
+        intermediate_size=18944,
+        num_layers=28,
+        num_heads=28,
+        num_kv_heads=4,
+        rope_theta=1e6,
+        mrope_section=(16, 24, 24),
+    )
+    base.update(kw)
+    return LLMConfig(**base)
+
+
+def qwen25_vl_72b_config(**kw) -> LLMConfig:
+    """Qwen2.5-VL-72B geometry — the long-video stretch config
+    (BASELINE.json configs[4]); shard with parallel.sharding over a v5p mesh
+    (num_kv_heads=8 supports tensor=8)."""
+    base = dict(
+        vocab_size=152064,
+        hidden_size=8192,
+        intermediate_size=29568,
+        num_layers=80,
+        num_heads=64,
+        num_kv_heads=8,
+        rope_theta=1e6,
+        mrope_section=(16, 24, 24),
+    )
+    base.update(kw)
+    return LLMConfig(**base)
+
+
+def internlm2_8b_config(**kw) -> LLMConfig:
+    """InternLM2.5-7B/8B geometry (InternVL2.5-8B backbone): 32 layers,
+    GQA 32/8, no qkv bias."""
+    base = dict(
+        vocab_size=92553,
+        hidden_size=4096,
+        intermediate_size=14336,
+        num_layers=32,
+        num_heads=32,
+        num_kv_heads=8,
+        rope_theta=1e6,
+        qkv_bias=False,
+    )
+    base.update(kw)
+    return LLMConfig(**base)
+
+
 def qwen2_1_5b_config(**kw) -> LLMConfig:
     """Qwen2-1.5B geometry (LLaVA-OneVision-class small backbone)."""
     base = dict(

@@ -96,6 +96,58 @@ def params_from_state_dict(state_dict, cfg: LLMConfig, prefix: str = "model.") -
     return params
 
 
+def params_from_state_dict_internlm2(state_dict, cfg: LLMConfig, prefix: str = "language_model.model.") -> dict:
+    """InternLM2 (InternVL2.5 backbone) checkpoint -> pytree.
+
+    InternLM2 stores attention as one fused ``wqkv`` with per-KV-group
+    interleaving — each group is [g query heads, 1 key head, 1 value head]
+    (the reference unpacks it with einops at
+    models/internvl/modeling_internlm2.py:309-321). MLP names are
+    w1/w3/w2 = gate/up/down; norms are attention_norm/ffn_norm; no qkv bias.
+    """
+    assert not cfg.qkv_bias, "InternLM2 has no qkv bias"
+    sd = dict(state_dict)
+    hd = cfg.head_dim_
+    g = cfg.num_heads // cfg.num_kv_heads
+
+    wq, wk, wv, rest = [], [], [], {}
+    for i in range(cfg.num_layers):
+        fused = _to_numpy(sd[f"{prefix}layers.{i}.attention.wqkv.weight"])  # (Hkv*(g+2)*hd, D)
+        grouped = fused.reshape(cfg.num_kv_heads, g + 2, hd, cfg.hidden_size)
+        q = grouped[:, :g].reshape(cfg.num_heads * hd, cfg.hidden_size)
+        k = grouped[:, g].reshape(cfg.num_kv_heads * hd, cfg.hidden_size)
+        v = grouped[:, g + 1].reshape(cfg.num_kv_heads * hd, cfg.hidden_size)
+        wq.append(q.T)
+        wk.append(k.T)
+        wv.append(v.T)
+        for ours, name, transpose in (
+            ("ln1", "attention_norm.weight", False),
+            ("ln2", "ffn_norm.weight", False),
+            ("wo", "attention.wo.weight", True),
+            ("w_gate", "feed_forward.w1.weight", True),
+            ("w_up", "feed_forward.w3.weight", True),
+            ("w_down", "feed_forward.w2.weight", True),
+        ):
+            arr = _to_numpy(sd[f"{prefix}layers.{i}.{name}"])
+            rest.setdefault(ours, []).append(arr.T if transpose else arr)
+
+    layers = {ours: jnp.asarray(np.stack(v), dtype=cfg.dtype) for ours, v in rest.items()}
+    layers["wq"] = jnp.asarray(np.stack(wq), dtype=cfg.dtype)
+    layers["wk"] = jnp.asarray(np.stack(wk), dtype=cfg.dtype)
+    layers["wv"] = jnp.asarray(np.stack(wv), dtype=cfg.dtype)
+
+    params = {
+        "embed": jnp.asarray(_to_numpy(sd[prefix + "tok_embeddings.weight"]), dtype=cfg.dtype),
+        "layers": layers,
+        "final_norm": jnp.asarray(_to_numpy(sd[prefix + "norm.weight"]), dtype=cfg.dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        head_candidates = [k for k in sd if k.endswith("output.weight") or k.endswith("lm_head.weight")]
+        assert head_candidates, "no output head in checkpoint"
+        params["lm_head"] = jnp.asarray(_to_numpy(sd[head_candidates[0]]).T, dtype=cfg.dtype)
+    return params
+
+
 def load_safetensors(checkpoint_dir: str, cfg: LLMConfig, prefix: str = "model.") -> dict:
     """Load a (possibly sharded) safetensors checkpoint directory."""
     from safetensors import safe_open  # lazy: optional dependency
