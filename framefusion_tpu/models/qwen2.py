@@ -211,6 +211,7 @@ def decode_step(
     v_pool: jnp.ndarray,
     cache_lens: jnp.ndarray,
     cfg: LLMConfig,
+    attn_impl: str = "jax",
 ):
     """One decode step against a padded per-layer cache pool.
 
@@ -240,7 +241,12 @@ def decode_step(
         length = cache_lens[l]
         k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
         v_pool = jax.lax.dynamic_update_slice(v_pool, v.astype(cfg.dtype)[None], (l, length, 0, 0))
-        attn = decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
+        if attn_impl == "pallas":
+            from ..ops.kernels.decode_attention import ragged_decode_attention
+
+            attn = ragged_decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
+        else:
+            attn = decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
         h = h + attn.reshape(1, -1) @ lp["wo"]
         h = layer_mlp(lp, h, cfg)
         return h, k_pool, v_pool

@@ -166,7 +166,7 @@ def _dense_prefill_program(params, embeds, pos_tok, cfg: LLMConfig, attn_impl: s
     return qwen2.dense_prefill(params, embeds, _pos_axes(pos_tok), cfg, attn_impl=attn_impl)
 
 
-_decode_program = jax.jit(qwen2.decode_step, static_argnames=("cfg",))
+_decode_program = jax.jit(qwen2.decode_step, static_argnames=("cfg", "attn_impl"))
 
 
 # ---------------------------------------------------------------------------
@@ -785,7 +785,8 @@ class CompressionEngine:
                 else jnp.asarray(pos + step, jnp.int32)
             )
             logits, k_pool, v_pool, cache_lens = _decode_program(
-                self.params, te, pos_id, k_pool, v_pool, cache_lens, cfg=cfg
+                self.params, te, pos_id, k_pool, v_pool, cache_lens, cfg=cfg,
+                attn_impl="pallas" if self.attn_impl == "pallas" else "jax",
             )
             tok = int(jnp.argmax(logits))
             out.append(tok)

@@ -56,3 +56,32 @@ class TestFlashPrefill:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
         )
+
+
+class TestRaggedDecode:
+    @pytest.mark.parametrize("cache_len", [5, 256, 300, 512])
+    def test_matches_masked_reference(self, cache_len):
+        from framefusion_tpu.ops.attention import decode_attention
+        from framefusion_tpu.ops.kernels.decode_attention import ragged_decode_attention
+
+        rng = np.random.default_rng(cache_len)
+        s_pad, hq, hk, d = 512, 8, 2, 128
+        q = jnp.asarray(rng.standard_normal((hq, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((s_pad, hk, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((s_pad, hk, d)), jnp.float32)
+        ref = decode_attention(q, k, v, jnp.int32(cache_len))
+        got = ragged_decode_attention(q, k, v, jnp.int32(cache_len), block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_unaligned_pad(self):
+        from framefusion_tpu.ops.attention import decode_attention
+        from framefusion_tpu.ops.kernels.decode_attention import ragged_decode_attention
+
+        rng = np.random.default_rng(0)
+        s_pad, hq, hk, d = 320, 4, 4, 128  # not a block multiple
+        q = jnp.asarray(rng.standard_normal((hq, d)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((s_pad, hk, d)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((s_pad, hk, d)), jnp.float32)
+        ref = decode_attention(q, k, v, jnp.int32(200))
+        got = ragged_decode_attention(q, k, v, jnp.int32(200), block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
