@@ -757,11 +757,16 @@ class CompressionEngine:
         v_pool = jnp.zeros_like(k_pool)
         lens = []
         for l, (k, v, length) in enumerate(result.layer_caches):
+            # Phase-layer caches are bucketed at the full prompt length, which
+            # can exceed the pool when the pre-layer-0 merge shrank every
+            # layer's valid region below it — slice to the pool (rows past
+            # ``length`` are dead padding either way).
+            rows = min(k.shape[0], s_pool)
             k_pool = jax.lax.dynamic_update_slice(
-                k_pool, k[: k.shape[0]].astype(cfg.dtype)[None], (l, 0, 0, 0)
+                k_pool, k[:rows].astype(cfg.dtype)[None], (l, 0, 0, 0)
             )
             v_pool = jax.lax.dynamic_update_slice(
-                v_pool, v[: v.shape[0]].astype(cfg.dtype)[None], (l, 0, 0, 0)
+                v_pool, v[:rows].astype(cfg.dtype)[None], (l, 0, 0, 0)
             )
             lens.append(length)
         cache_lens = jnp.asarray(lens, jnp.int32)
