@@ -169,6 +169,37 @@ def _dense_prefill_program(params, embeds, pos_tok, cfg: LLMConfig, attn_impl: s
 _decode_program = jax.jit(qwen2.decode_step, static_argnames=("cfg", "attn_impl"))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "attn_impl", "n_steps", "pos_dims"),
+    donate_argnums=(2, 3),
+)
+def _greedy_decode_loop(
+    params, first_logits, k_pool, v_pool, cache_lens, pos_base,
+    *, cfg: LLMConfig, attn_impl: str, n_steps: int, pos_dims: int,
+):
+    """Whole greedy decode as ONE program (lax.scan): the sampled token feeds
+    back in-graph, pools are donated (updated in place), and the host reads
+    the finished token array once — per-token host syncs would otherwise
+    dominate decode latency on relay-attached runners."""
+
+    def body(carry, step):
+        tok, k_pool, v_pool, lens = carry
+        te = qwen2.embed(params, tok, cfg)
+        pos = pos_base + step
+        pos_id = jnp.full((3,), pos, jnp.int32) if pos_dims == 3 else pos
+        logits, k_pool, v_pool, lens = qwen2.decode_step(
+            params, te, pos_id, k_pool, v_pool, lens, cfg, attn_impl=attn_impl
+        )
+        new_tok = jnp.argmax(logits).astype(jnp.int32)
+        return (new_tok, k_pool, v_pool, lens), new_tok
+
+    tok0 = jnp.argmax(first_logits).astype(jnp.int32)
+    (_, k_pool, v_pool, cache_lens), toks = jax.lax.scan(
+        body, (tok0, k_pool, v_pool, cache_lens), jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    return jnp.concatenate([tok0[None], toks]), k_pool, v_pool, cache_lens
+
+
 # ---------------------------------------------------------------------------
 # Fused compression phase: the whole merge/prune stage as ONE on-device
 # lax.while_loop program (see module docstring). Event kind codes for the
@@ -773,26 +804,21 @@ class CompressionEngine:
         return k_pool, v_pool, cache_lens
 
     def generate_greedy(self, result: PrefillResult, max_new_tokens: int, eos_token_id: Optional[int] = None):
-        """Greedy decode loop. Returns a python list of generated token ids."""
+        """Greedy decode. Returns a python list of generated token ids.
+
+        Runs the full loop as one on-device scan (single host sync);
+        ``eos_token_id`` truncates host-side afterwards — the reference
+        generates to length in its timed A/Bs too.
+        """
         cfg = self.cfg
         k_pool, v_pool, cache_lens = self.make_decode_state(result, max_new_tokens)
-        out = []
-        tok = int(jnp.argmax(result.logits))
-        out.append(tok)
-        pos = int(result.decode_pos_base)
-        for step in range(max_new_tokens - 1):
-            if eos_token_id is not None and tok == eos_token_id:
-                break
-            te = qwen2.embed(self.params, jnp.asarray(tok, jnp.int32), cfg)
-            pos_id = (
-                jnp.full((3,), pos + step, jnp.int32)
-                if result.pos_dims == 3
-                else jnp.asarray(pos + step, jnp.int32)
-            )
-            logits, k_pool, v_pool, cache_lens = _decode_program(
-                self.params, te, pos_id, k_pool, v_pool, cache_lens, cfg=cfg,
-                attn_impl="pallas" if self.attn_impl == "pallas" else "jax",
-            )
-            tok = int(jnp.argmax(logits))
-            out.append(tok)
+        toks, _, _, _ = _greedy_decode_loop(
+            self.params, result.logits, k_pool, v_pool, cache_lens,
+            jnp.asarray(result.decode_pos_base, jnp.int32),
+            cfg=cfg, attn_impl="pallas" if self.attn_impl == "pallas" else "jax",
+            n_steps=max_new_tokens - 1, pos_dims=result.pos_dims,
+        )
+        out = [int(t) for t in np.asarray(toks)]
+        if eos_token_id is not None and eos_token_id in out:
+            out = out[: out.index(eos_token_id) + 1]
         return out
