@@ -105,18 +105,35 @@ def main():
         return engine.prefill(h, patch_type, pos, patch_num=182,
                               image_token_start=img_start, image_token_length=n_img)
 
-    def timed(fn, reps):
+    def timed(fn, reps, rounds=3):
+        """Median of ``rounds`` chained-run measurements (robust to relay
+        scheduling artifacts), read overhead subtracted."""
         out = fn()
         force(out.logits)  # warmup: compile + drain
         overhead = read_overhead()
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        force(out.logits)
-        return max((time.perf_counter() - t0 - overhead) / reps, 1e-9), out
+        times = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(reps):
+                out = fn()
+            force(out.logits)
+            times.append(max((time.perf_counter() - t0 - overhead) / reps, 1e-9))
+        times.sort()
+        return times[len(times) // 2], out
 
-    dense_t, _ = timed(run_dense, reps)
+    dense_t, dense_res = timed(run_dense, reps)
     ff_t, res = timed(run_ff, reps)
+
+    # End-to-end: prefill + 32 greedy tokens (single on-device decode scan).
+    def e2e(prefill_fn):
+        r = prefill_fn()
+        toks = engine.generate_greedy(r, max_new_tokens=32)
+        return toks
+
+    e2e(run_ff)  # compile decode programs
+    e2e(run_dense)
+    t0 = time.perf_counter(); e2e(run_ff); ff_e2e = time.perf_counter() - t0
+    t0 = time.perf_counter(); e2e(run_dense); dense_e2e = time.perf_counter() - t0
 
     speedup = dense_t / ff_t
     record = {
@@ -130,6 +147,9 @@ def main():
             "dense_ms": round(dense_t * 1e3, 1),
             "framefusion_ms": round(ff_t * 1e3, 1),
             "prefill_tokens_per_s": round(len(patch_type) / ff_t, 1),
+            "e2e_speedup_32tok": round(dense_e2e / ff_e2e, 3),
+            "e2e_dense_ms": round(dense_e2e * 1e3, 1),
+            "e2e_framefusion_ms": round(ff_e2e * 1e3, 1),
             "vision_token_reduction": round(res.telemetry.vision_token_reduction, 3),
             "final_tokens": res.valid_len,
             "tail_start_layer": res.telemetry.tail_start_layer,

@@ -170,32 +170,36 @@ _decode_program = jax.jit(qwen2.decode_step, static_argnames=("cfg", "attn_impl"
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "attn_impl", "n_steps", "pos_dims"),
+    jax.jit, static_argnames=("cfg", "attn_impl", "n_steps", "pos_dims", "sampler"),
     donate_argnums=(2, 3),
 )
-def _greedy_decode_loop(
-    params, first_logits, k_pool, v_pool, cache_lens, pos_base,
-    *, cfg: LLMConfig, attn_impl: str, n_steps: int, pos_dims: int,
+def _decode_loop(
+    params, first_logits, k_pool, v_pool, cache_lens, pos_base, rng_key,
+    *, cfg: LLMConfig, attn_impl: str, n_steps: int, pos_dims: int, sampler,
 ):
-    """Whole greedy decode as ONE program (lax.scan): the sampled token feeds
-    back in-graph, pools are donated (updated in place), and the host reads
-    the finished token array once — per-token host syncs would otherwise
-    dominate decode latency on relay-attached runners."""
+    """Whole decode as ONE program (lax.scan): the sampled token feeds back
+    in-graph, pools are donated (updated in place), and the host reads the
+    finished token array once — per-token host syncs would otherwise dominate
+    decode latency on relay-attached runners."""
+    from ..ops.sampling import sample_token
 
-    def body(carry, step):
+    def body(carry, inputs):
         tok, k_pool, v_pool, lens = carry
+        step, key = inputs
         te = qwen2.embed(params, tok, cfg)
         pos = pos_base + step
         pos_id = jnp.full((3,), pos, jnp.int32) if pos_dims == 3 else pos
         logits, k_pool, v_pool, lens = qwen2.decode_step(
             params, te, pos_id, k_pool, v_pool, lens, cfg, attn_impl=attn_impl
         )
-        new_tok = jnp.argmax(logits).astype(jnp.int32)
+        new_tok = sample_token(logits, sampler, key)
         return (new_tok, k_pool, v_pool, lens), new_tok
 
-    tok0 = jnp.argmax(first_logits).astype(jnp.int32)
+    keys = jax.random.split(rng_key, n_steps + 1)
+    tok0 = sample_token(first_logits, sampler, keys[0])
     (_, k_pool, v_pool, cache_lens), toks = jax.lax.scan(
-        body, (tok0, k_pool, v_pool, cache_lens), jnp.arange(n_steps, dtype=jnp.int32)
+        body, (tok0, k_pool, v_pool, cache_lens),
+        (jnp.arange(n_steps, dtype=jnp.int32), keys[1:]),
     )
     return jnp.concatenate([tok0[None], toks]), k_pool, v_pool, cache_lens
 
@@ -803,22 +807,37 @@ class CompressionEngine:
         cache_lens = jnp.asarray(lens, jnp.int32)
         return k_pool, v_pool, cache_lens
 
-    def generate_greedy(self, result: PrefillResult, max_new_tokens: int, eos_token_id: Optional[int] = None):
-        """Greedy decode. Returns a python list of generated token ids.
+    def generate(
+        self,
+        result: PrefillResult,
+        max_new_tokens: int,
+        eos_token_id: Optional[int] = None,
+        sampler=None,
+        rng_key=None,
+    ):
+        """Decode loop (greedy by default, or a SamplerConfig). Returns a
+        python list of generated token ids.
 
         Runs the full loop as one on-device scan (single host sync);
         ``eos_token_id`` truncates host-side afterwards — the reference
         generates to length in its timed A/Bs too.
         """
+        from ..ops.sampling import SamplerConfig
+
         cfg = self.cfg
+        sampler = sampler or SamplerConfig()
+        rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
         k_pool, v_pool, cache_lens = self.make_decode_state(result, max_new_tokens)
-        toks, _, _, _ = _greedy_decode_loop(
+        toks, _, _, _ = _decode_loop(
             self.params, result.logits, k_pool, v_pool, cache_lens,
-            jnp.asarray(result.decode_pos_base, jnp.int32),
+            jnp.asarray(result.decode_pos_base, jnp.int32), rng_key,
             cfg=cfg, attn_impl="pallas" if self.attn_impl == "pallas" else "jax",
-            n_steps=max_new_tokens - 1, pos_dims=result.pos_dims,
+            n_steps=max_new_tokens - 1, pos_dims=result.pos_dims, sampler=sampler,
         )
         out = [int(t) for t in np.asarray(toks)]
         if eos_token_id is not None and eos_token_id in out:
             out = out[: out.index(eos_token_id) + 1]
         return out
+
+    def generate_greedy(self, result: PrefillResult, max_new_tokens: int, eos_token_id: Optional[int] = None):
+        return self.generate(result, max_new_tokens, eos_token_id=eos_token_id)

@@ -170,3 +170,32 @@ class TestDensePath:
         assert got == ref["events"]
         assert res.valid_len == ref["final_len"]
         np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
+
+
+class TestSampling:
+    def test_temperature_sampling_runs_and_greedy_matches(self, setup):
+        from framefusion_tpu.ops.sampling import SamplerConfig
+        import jax as _jax
+
+        cfg, params, ff = setup
+        h, pt, pos, img_start, n_img = build_inputs(seed=0)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        greedy = engine.generate_greedy(res, max_new_tokens=5)
+        res2 = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        zero_temp = engine.generate(res2, 5, sampler=SamplerConfig(temperature=0.0))
+        assert greedy == zero_temp
+        res3 = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        sampled = engine.generate(res3, 5, sampler=SamplerConfig(temperature=1.0, top_p=0.9),
+                                  rng_key=_jax.random.PRNGKey(7))
+        assert len(sampled) == 5
+
+    def test_eos_truncation(self, setup):
+        cfg, params, ff = setup
+        h, pt, pos, img_start, n_img = build_inputs(seed=0)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        full = engine.generate_greedy(res, max_new_tokens=6)
+        res2 = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        trunc = engine.generate_greedy(res2, max_new_tokens=6, eos_token_id=full[2])
+        assert trunc == full[: full.index(full[2]) + 1]
