@@ -184,14 +184,106 @@ def _merging_program(
     return logits, live, k_pool, v_pool, cache_live
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "n_steps", "window_length", "num_sink_tokens"),
+    donate_argnums=(2, 3),
+)
+def _sink_cache_decode_loop(
+    params, first_logits, k_pool, v_pool, cache_lens, pos_base,
+    *, cfg: LLMConfig, n_steps: int, window_length: int, num_sink_tokens: int,
+):
+    """Greedy decode with SinkCache-style attention: each step attends only
+    the ``num_sink_tokens`` initial cache entries plus the trailing
+    ``window_length - num_sink_tokens`` entries — the Qwen2-VL StreamingLLM
+    decode variant (reference modeling_qwen2_vl_baseline.py:460-476 swaps in
+    ``SinkCache(window_length, num_sink_tokens)``). The cache itself is kept
+    whole (memory is not the constraint here); eviction is expressed as the
+    attention mask, which is what determines the outputs.
+    """
+    from ..ops.attention import NEG_INF
+
+    s_pool = k_pool.shape[1]
+    hd = cfg.head_dim_
+
+    def attend(q, k_cache, v_cache, length):
+        hq = q.shape[0]
+        hk = k_cache.shape[1]
+        g = hq // hk
+        qf = q.reshape(hk, g, hd).astype(jnp.float32)
+        kf = k_cache.transpose(1, 0, 2).astype(jnp.float32)
+        vf = v_cache.transpose(1, 0, 2).astype(jnp.float32)
+        scores = jnp.einsum("hgd,hkd->hgk", qf, kf) / jnp.sqrt(hd).astype(jnp.float32)
+        pos = jnp.arange(s_pool)
+        local_start = length - (window_length - num_sink_tokens)
+        mask = (pos < length) & ((pos < num_sink_tokens) | (pos >= local_start))
+        scores = jnp.where(mask[None, None], scores, NEG_INF)
+        probs = jax.nn.softmax(scores, axis=-1)
+        return jnp.einsum("hgk,hkd->hgd", probs, vf).reshape(hq, hd)
+
+    def body(carry, step):
+        tok, k_pool, v_pool, lens = carry
+        te = qwen2.embed(params, tok, cfg)
+        pos_id = (pos_base + step).reshape(1)
+        cos, sin = qwen2.positions_cos_sin(pos_id, cfg)
+        h = te[None, :]
+
+        def layer(l, c):
+            h, k_pool, v_pool = c
+            lp = qwen2.layer_slice(params["layers"], l)
+            x = qwen2.rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+            q, k, v = qwen2._project_qkv(lp, x, cfg)
+            q, k = apply_rope(q, k, cos, sin)
+            length = lens[l]
+            k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
+            v_pool = jax.lax.dynamic_update_slice(v_pool, v.astype(cfg.dtype)[None], (l, length, 0, 0))
+            attn = attend(q[0], k_pool[l], v_pool[l], length + 1)
+            h = h + attn.reshape(1, -1) @ lp["wo"]
+            h = qwen2.layer_mlp(lp, h, cfg)
+            return h, k_pool, v_pool
+
+        h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, layer, (h, k_pool, v_pool))
+        logits = qwen2.final_logits(params, h, cfg)[0]
+        new_tok = jnp.argmax(logits).astype(jnp.int32)
+        return (new_tok, k_pool, v_pool, lens + 1), new_tok
+
+    tok0 = jnp.argmax(first_logits).astype(jnp.int32)
+    (_, k_pool, v_pool, cache_lens), toks = jax.lax.scan(
+        body, (tok0, k_pool, v_pool, cache_lens), jnp.arange(n_steps, dtype=jnp.int32)
+    )
+    return jnp.concatenate([tok0[None], toks])
+
+
 class BaselineEngine(CompressionEngine):
-    """Prefill executor for one baseline mode; decode inherited."""
+    """Prefill executor for one baseline mode; decode inherited (except the
+    StreamingLLM ``sink_cache_decode`` variant below)."""
 
     def __init__(self, params, cfg, mode: str, kwargs: dict, *, attn_impl: str = "chunked", bucket: int = 128):
         super().__init__(params, cfg, FrameFusionConfig(), attn_impl=attn_impl)
         self.mode = mode
         self.kwargs = kwargs
         self.bucket = bucket
+
+    def generate_greedy(self, result, max_new_tokens, eos_token_id=None):
+        if self.mode == "streamingllm" and self.kwargs.get("sink_cache_decode"):
+            # Qwen2-VL StreamingLLM variant: windowed sink attention during
+            # decode too (reference modeling_qwen2_vl_baseline.py:460-476).
+            window = self.kwargs.get(
+                "window_length",
+                int(self.kwargs.get("length_rate", 0.3) * result.valid_len),
+            )
+            sinks = self.kwargs.get("num_sink_tokens", self.kwargs.get("init_num", 8))
+            k_pool, v_pool, cache_lens = self.make_decode_state(result, max_new_tokens)
+            toks = _sink_cache_decode_loop(
+                self.params, result.logits, k_pool, v_pool, cache_lens,
+                jnp.asarray(result.decode_pos_base, jnp.int32),
+                cfg=self.cfg, n_steps=max_new_tokens - 1,
+                window_length=window, num_sink_tokens=sinks,
+            )
+            out = [int(t) for t in np.asarray(toks)]
+            if eos_token_id is not None and eos_token_id in out:
+                out = out[: out.index(eos_token_id) + 1]
+            return out
+        return super().generate_greedy(result, max_new_tokens, eos_token_id=eos_token_id)
 
     def prefill(self, input_embeds, patch_type, position_ids, patch_num, image_token_start, image_token_length, mode=None):
         cfg = self.cfg

@@ -70,7 +70,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, kvalid_ref, o_ref, *, block_q, block_k, s
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
-def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k: int = 512, interpret: bool = False):
+def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k: int = 1024, interpret: bool = False):
     """Causal GQA flash attention. q: (S, Hq, D); k, v: (S, Hk, D) -> (S, Hq, D)."""
     s, hq, d = q.shape
     hk = k.shape[1]

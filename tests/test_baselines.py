@@ -187,3 +187,39 @@ class TestHybrids:
         eng = BaselineEngine(params, cfg, "nope", {}, attn_impl="einsum")
         with pytest.raises(NotImplementedError):
             eng.prefill(h, pt, pos, 6, img_start, n_img)
+
+
+class TestSinkCacheDecode:
+    def test_windowed_decode_runs_and_differs_from_full(self, setup):
+        cfg, params, h, pt, pos, img_start, n_img = setup
+        eng = BaselineEngine(params, cfg, "streamingllm",
+                             {"init_num": 4, "length_rate": 0.5, "sink_cache_decode": True,
+                              "window_length": 24, "num_sink_tokens": 4},
+                             attn_impl="einsum", bucket=32)
+        res = eng.prefill(h, pt, pos, 6, img_start, n_img)
+        toks_windowed = eng.generate_greedy(res, max_new_tokens=6)
+        assert len(toks_windowed) == 6
+
+        eng_full = BaselineEngine(params, cfg, "streamingllm",
+                                  {"init_num": 4, "length_rate": 0.5},
+                                  attn_impl="einsum", bucket=32)
+        res2 = eng_full.prefill(h, pt, pos, 6, img_start, n_img)
+        toks_full = eng_full.generate_greedy(res2, max_new_tokens=6)
+        assert len(toks_full) == 6
+
+    def test_window_covering_everything_matches_full_decode(self, setup):
+        cfg, params, h, pt, pos, img_start, n_img = setup
+        base_kwargs = {"init_num": 4, "length_rate": 0.5}
+        eng_full = BaselineEngine(params, cfg, "streamingllm", base_kwargs,
+                                  attn_impl="einsum", bucket=32)
+        res = eng_full.prefill(h, pt, pos, 6, img_start, n_img)
+        toks_full = eng_full.generate_greedy(res, max_new_tokens=5)
+
+        # window larger than the whole cache => mask is all-true => identical
+        eng_win = BaselineEngine(params, cfg, "streamingllm",
+                                 {**base_kwargs, "sink_cache_decode": True,
+                                  "window_length": 10_000, "num_sink_tokens": 4},
+                                 attn_impl="einsum", bucket=32)
+        res2 = eng_win.prefill(h, pt, pos, 6, img_start, n_img)
+        toks_win = eng_win.generate_greedy(res2, max_new_tokens=5)
+        assert toks_win == toks_full
