@@ -122,10 +122,15 @@ class FrameFusionModel:
         inputs: PrefillInputs,
         max_new_tokens: int = 64,
         eos_token_id: Optional[int] = None,
+        sampler=None,
+        rng_key=None,
     ):
-        """Prefill + greedy decode. Returns (token_ids, PrefillResult)."""
+        """Prefill + decode (greedy, or an ``ops.sampling.SamplerConfig``).
+        Returns (token_ids, PrefillResult)."""
         result = self.prefill(inputs)
-        tokens = self.engine().generate_greedy(result, max_new_tokens, eos_token_id=eos_token_id)
+        tokens = self.engine().generate(
+            result, max_new_tokens, eos_token_id=eos_token_id, sampler=sampler, rng_key=rng_key
+        )
         return tokens, result
 
 
