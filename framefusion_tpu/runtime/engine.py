@@ -64,6 +64,19 @@ def _round_half_even(x: float) -> int:
     return int(round(x))
 
 
+def plan_length(orig_len: int, image_len: int, ff: FrameFusionConfig, assumed_events: int = 4, margin: float = 1.05) -> int:
+    """Static post-compression bucket for ``prefill_planned``: the cost
+    schedule bounds the post-prune density by
+    ``cost * L / (L - n_events)`` — assume ``assumed_events`` compression
+    events plus a safety margin. Too-tight plans fall back to adaptive mode
+    at runtime."""
+    import math
+
+    layers = ff.schedule_num_layers
+    d_max = min(1.0, ff.cost * layers / max(layers - assumed_events, 1) * margin)
+    return bucket_length(orig_len - image_len + math.ceil(image_len * d_max), ff.bucket)
+
+
 def _pos_axes(pos_tok: jnp.ndarray) -> jnp.ndarray:
     """(S, P) token-major positions -> positions_cos_sin layout."""
     return pos_tok[:, 0] if pos_tok.shape[1] == 1 else pos_tok.T
@@ -496,13 +509,20 @@ class CompressionEngine:
             patch_num: spatial patches per frame.
             image_token_start: first image-token index.
             image_token_length: number of image tokens at S.
-            mode: "fused" (single-program phase, one host sync) or
+            mode: "fused" (single-program phase, one host sync),
+                "planned" (sync-free serving path, static plan bucket), or
                 "segmented" (per-layer programs, one sync per merge event).
         """
         if mode == "fused":
             return self._prefill_fused(
                 input_embeds, patch_type, position_ids, patch_num,
                 image_token_start, image_token_length,
+            )
+        if mode == "planned":
+            return self.prefill_planned(
+                input_embeds, patch_type, position_ids, patch_num,
+                image_token_start, image_token_length,
+                plan_len=plan_length(int(input_embeds.shape[0]), image_token_length, self.ff),
             )
         assert mode == "segmented", mode
         return self._prefill_segmented(
@@ -629,6 +649,107 @@ class CompressionEngine:
             valid_len=n_live_final,
             decode_pos_base=layer_caches[0][2],
             telemetry=telemetry,
+            pos_dims=pos_tok.shape[1],
+        )
+
+    def prefill_planned(
+        self,
+        input_embeds,
+        patch_type,
+        position_ids,
+        patch_num: int,
+        image_token_start: int,
+        image_token_length: int,
+        plan_len: Optional[int] = None,
+    ) -> PrefillResult:
+        """Sync-free compressed prefill for serving pipelines: phase +
+        compaction to a STATIC plan bucket + tail composed into device-side
+        dispatches with no host read on the critical path (logits are
+        computable without any host decision). The single control read
+        happens afterwards, for telemetry/caches, overlapping the tail.
+
+        ``plan_len`` defaults to the full input bucket (always sufficient;
+        the tail then runs at the uncompressed bucket length, trading tail
+        FLOPs for zero adaptivity). Pass a tighter plan (e.g. from
+        ``plan_length``) to recover the compressed-tail speed; if the actual
+        survivor count exceeds it, this falls back to the fused adaptive
+        path.
+        """
+        cfg, ff = self.cfg, self.ff
+        h, pt, pos_tok, orig_len = self._prep_inputs(input_embeds, patch_type, position_ids)
+        s_b = h.shape[0]
+        plan_len = s_b if plan_len is None else max(plan_len, ff.bucket)
+        telemetry = PrefillTelemetry(original_length=orig_len, image_token_length=image_token_length)
+
+        live = jnp.arange(s_b, dtype=jnp.int32) < orig_len
+        frame_tok0 = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
+        max_events = ff.schedule_num_layers
+        st = _phase_program(
+            self.params, h, pos_tok, pt, live, jnp.int32(orig_len),
+            jnp.int32(frame_tok0), jnp.int32(orig_len), jnp.int32(image_token_start),
+            jnp.int32(image_token_length), jnp.zeros((max_events,), jnp.float32),
+            jnp.int32(0), jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
+            jnp.float32(ff.cost), jnp.float32(ff.similarity_lower_bound),
+            jnp.float32(ff.ratio_lower_bound),
+            cfg=cfg, attn_impl=self.attn_impl, capture_num=ff.num_importance_queries,
+            patch_num=patch_num, max_events=max_events,
+            pool_layers=min(self.pool_layers, cfg.num_layers),
+            include_pre_event=True, schedule_num_layers=ff.schedule_num_layers,
+        )
+        # Device-side composition: no host values needed below this line.
+        h2, pos2, pt2 = _compact_state_program(
+            st["h"], pos_tok, pt, st["live"], st["n_live"], new_len=plan_len
+        )
+        logits, k_tail, v_tail = _tail_program(
+            self.params, st["layer"], h2, pos2, st["n_live"],
+            cfg=cfg, attn_impl=self.attn_impl,
+        )
+
+        # Post-hoc control read (telemetry + cache bookkeeping).
+        packed = np.asarray(st["control"])
+        n_ev_slots = max_events + 2
+        layer_end = int(packed[0])
+        n_live_final = int(packed[3])
+        if bool(packed[4]):
+            raise CostInfeasibleError("The cost is too small")
+        if n_live_final > plan_len or layer_end > self.pool_layers:
+            # Plan too tight (or phase deeper than one pool): adaptive fallback.
+            return self._prefill_fused(
+                input_embeds, patch_type, position_ids, patch_num,
+                image_token_start, image_token_length,
+            )
+        off = 7 + max_events
+        ev_layer = packed[off : off + n_ev_slots]
+        ev_kind = packed[off + n_ev_slots : off + 2 * n_ev_slots]
+        ev_removed = packed[off + 2 * n_ev_slots : off + 3 * n_ev_slots]
+        n_ev = int(packed[5])
+        kind_names = {EV_MERGE: "merge", EV_MERGE_CAPPED: "merge_capped", EV_PRUNE: "prune"}
+        tokens_after = orig_len
+        for i in range(n_ev):
+            tokens_after -= int(ev_removed[i])
+            telemetry.events.append(CompressionEvent(
+                layer=int(ev_layer[i]), kind=kind_names[int(ev_kind[i])],
+                tokens_removed=int(ev_removed[i]), tokens_after=tokens_after, bucket=plan_len,
+            ))
+        telemetry.sparsity_list = [float(x) for x in packed[7 : 7 + int(packed[6])]]
+
+        def phase_cache_len(l: int) -> int:
+            return orig_len - int(sum(int(r) for lay, r in zip(ev_layer[:n_ev], ev_removed[:n_ev]) if lay < l))
+
+        k_packed, v_packed, _ = _pack_caches_program(st["k_pool"], st["v_pool"], st["cache_live"])
+        layer_caches: list = [None] * cfg.num_layers
+        for i in range(min(self.pool_layers, cfg.num_layers)):
+            if i < layer_end:
+                layer_caches[i] = (k_packed[i], v_packed[i], phase_cache_len(i))
+        for j in range(layer_end, cfg.num_layers):
+            layer_caches[j] = (k_tail[j], v_tail[j], n_live_final)
+
+        telemetry.final_length = n_live_final
+        telemetry.final_image_tokens = image_token_length - (orig_len - n_live_final)
+        telemetry.tail_start_layer = layer_end
+        return PrefillResult(
+            logits=logits, layer_caches=layer_caches, valid_len=n_live_final,
+            decode_pos_base=layer_caches[0][2], telemetry=telemetry,
             pos_dims=pos_tok.shape[1],
         )
 

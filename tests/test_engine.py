@@ -199,3 +199,39 @@ class TestSampling:
         res2 = engine.prefill(h, pt, pos, 6, img_start, n_img)
         trunc = engine.generate_greedy(res2, max_new_tokens=6, eos_token_id=full[2])
         assert trunc == full[: full.index(full[2]) + 1]
+
+
+class TestPlannedMode:
+    def test_planned_matches_fused(self, setup):
+        _, res_f, ref = run_both(setup, seed=0, coherent=0.8, mode="fused")
+        engine, res_p, _ = run_both(setup, seed=0, coherent=0.8, mode="planned")
+        assert res_p.valid_len == res_f.valid_len == ref["final_len"]
+        got = [(e.layer, e.kind, e.tokens_removed) for e in res_p.telemetry.events]
+        assert got == ref["events"]
+        np.testing.assert_allclose(
+            np.asarray(res_p.logits), np.asarray(res_f.logits), rtol=2e-3, atol=2e-3
+        )
+        for l, ((k_p, _, len_p), (k_f, _, len_f)) in enumerate(
+            zip(res_p.layer_caches, res_f.layer_caches)
+        ):
+            assert len_p == len_f, f"layer {l}"
+            np.testing.assert_allclose(
+                np.asarray(k_p[:len_p], np.float32), np.asarray(k_f[:len_f], np.float32),
+                rtol=2e-3, atol=2e-3, err_msg=f"layer {l}",
+            )
+
+    def test_planned_decode_matches(self, setup):
+        cfg, params, _ = setup
+        engine, res, ref = run_both(setup, seed=0, coherent=0.8, mode="planned")
+        ours = engine.generate_greedy(res, max_new_tokens=6)
+        theirs = ref_pipeline.ref_greedy_decode(ref, params, cfg, n_new=6)
+        assert ours == theirs
+
+    def test_too_tight_plan_falls_back(self, setup):
+        cfg, params, ff = setup
+        h, pt, pos, img_start, n_img = build_inputs(seed=0)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res = engine.prefill_planned(h, pt, pos, 6, img_start, n_img, plan_len=ff.bucket)
+        ref = ref_pipeline.ref_compressed_prefill(params, cfg, ff, h, pt, pos, 6, img_start, n_img)
+        assert res.valid_len == ref["final_len"]
+        np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
