@@ -1,0 +1,57 @@
+"""Text-level pipeline test with a stub tokenizer (no network)."""
+
+import numpy as np
+
+import jax
+
+from framefusion_tpu.config import tiny_llm_config
+from framefusion_tpu.interface import FrameFusionModel, apply_framefusion
+from framefusion_tpu.models import qwen2
+from framefusion_tpu.models.vision import siglip
+from framefusion_tpu.models.vision.llava_frontend import init_projector
+from framefusion_tpu.pipeline import TextPipeline
+
+
+class StubTokenizer:
+    eos_token_id = 7
+
+    def encode(self, text):
+        return [ord(c) % 101 for c in text][:40]
+
+    def decode(self, ids):
+        return " ".join(str(i) for i in ids)
+
+
+def test_ask_end_to_end():
+    cfg = tiny_llm_config(num_layers=4)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    vit_cfg = siglip.tiny_vit_config()
+    vit = siglip.init_params(vit_cfg, jax.random.PRNGKey(1))
+    proj = init_projector(jax.random.PRNGKey(2), vit_cfg.hidden_size, cfg.hidden_size)
+
+    model = FrameFusionModel(family="llava_video", cfg=cfg, params=params, attn_impl="einsum")
+    model = apply_framefusion(model, 0.5, 0.8, 0.05)
+    model.ff = model.ff.replace(schedule_num_layers=cfg.num_layers)
+
+    pipe = TextPipeline(model=model, tokenizer=StubTokenizer(),
+                        vit_params=vit, vit_cfg=vit_cfg, projector=proj)
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+    frames = np.concatenate([base + 0.01 * rng.standard_normal(base.shape) for _ in range(6)]).astype(np.float32)
+
+    answer = pipe.ask("What happens in the video?", frames=frames, max_new_tokens=6)
+    assert isinstance(answer, str) and len(answer) > 0
+    assert pipe.last_result.telemetry is not None
+    assert pipe.last_result.telemetry.vision_token_reduction > 0
+
+
+def test_precomputed_features_path():
+    cfg = tiny_llm_config(num_layers=2)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(3))
+    model = FrameFusionModel(family="llava_video", cfg=cfg, params=params, attn_impl="einsum")
+    vit_cfg = siglip.tiny_vit_config()  # 4 patches/side -> patch_num 6
+    pipe = TextPipeline(model=model, tokenizer=StubTokenizer(), vit_cfg=vit_cfg)
+    rng = np.random.default_rng(1)
+    feats = (rng.standard_normal((6 * 3, cfg.hidden_size)) * 0.05).astype(np.float32)
+    answer = pipe.ask("Q?", video_features=feats, max_new_tokens=4)
+    assert isinstance(answer, str)
