@@ -233,7 +233,7 @@ EV_MERGE, EV_MERGE_CAPPED, EV_PRUNE = 1, 2, 3
 )
 def _phase_program(
     params, h, pos_tok, patch_type, live, n_live, frame_tok, valid0,
-    image_start, image_len, sparsity, n_events, fm, fp, start_layer,
+    capture_end, image_start, image_len, sparsity, n_events, fm, fp, start_layer,
     cost, s_th, r_min,
     *, cfg: LLMConfig, attn_impl: str, capture_num: int, patch_num: int,
     max_events: int, pool_layers: int, include_pre_event: bool,
@@ -245,6 +245,13 @@ def _phase_program(
     Decision parity: FrameFusion.forward (reference main.py:40-140) with the
     fp32 schedule twin. All shapes static; merged/pruned tokens are masked
     dead, not removed; the single post-phase compaction happens outside.
+
+    ``valid0`` is the ORIGINAL prompt length (the prune's
+    ``image_len - (original - current)`` arithmetic, reference main.py:66);
+    ``capture_end`` is the position after the last live token in THIS
+    program's coordinates — they differ when the engine pre-compacted after
+    the layer-0 pre-attention event (hybrid mode). Trailing text never dies,
+    so the importance-capture rows sit at ``capture_end - num``.
 
     Returns the full carried state plus per-layer KV pools, live masks, and
     the device-side event log.
@@ -390,7 +397,7 @@ def _phase_program(
         lp = qwen2.layer_slice(params["layers"], l)
         h_mid, k, v, importance = qwen2.layer_attention(
             lp, st["h"], cos, sin, cfg, attn_impl=attn_impl,
-            capture_num=capture_num, valid_len=valid0, key_valid=st["live"],
+            capture_num=capture_num, valid_len=capture_end, key_valid=st["live"],
         )
         pool_idx = l - start_layer
         st = dict(
@@ -463,6 +470,7 @@ class CompressionEngine:
         *,
         attn_impl: str = "chunked",
         pool_layers: int = 8,
+        compact_pre_event: bool = True,
     ):
         self.params = params
         self.cfg = cfg
@@ -471,6 +479,11 @@ class CompressionEngine:
         # KV-pool depth per fused-phase dispatch; the phase re-dispatches with
         # a fresh pool in the (rare) case compression runs deeper than this.
         self.pool_layers = min(pool_layers, cfg.num_layers)
+        # Hybrid: handle the layer-0 pre-attention merge segmented-style and
+        # compact before the fused phase, so every phase layer runs at the
+        # post-first-merge bucket (usually the largest shrink). Costs one
+        # extra whole-array sync (~1 ms transfer).
+        self.compact_pre_event = compact_pre_event
 
     # -- prefill -----------------------------------------------------------
 
@@ -548,23 +561,68 @@ class CompressionEngine:
             schedule_num_layers=ff.schedule_num_layers,
         )
 
+        # Hybrid pre-event compaction: the layer-0 pre-attention merge is
+        # typically the largest single event (no attention has mixed frames
+        # yet), so handling it segmented-style — score, ONE whole-array count
+        # read, merge+compact to the smaller bucket — lets every phase layer
+        # run compacted. The extra sync transfers ~a hundred floats (cheap);
+        # the decision logic is identical (it IS the segmented merge event).
+        valid = orig_len
+        frame_tok_host = frame_tok0
+        sparsity_host: list[float] = []
+        finish_m = finish_p = False
+        include_pre = True
+        if self.compact_pre_event:
+            sim, order, count = _sim_program(
+                h, pt, jnp.int32(valid), jnp.float32(ff.similarity_lower_bound),
+                patch_num=patch_num,
+            )
+            count = int(np.asarray(count))
+            budget = compute_pruning_ratio(sparsity_host, ff.cost, ff.schedule_num_layers)
+            above_ratio = count / frame_tok_host
+            if above_ratio < budget:
+                k_marked, kind = count, "merge"
+                sparsity_host.append(above_ratio)
+                if above_ratio < ff.ratio_lower_bound:
+                    finish_m = True
+            else:
+                k_marked = int(np.float32(budget) * np.float32(frame_tok_host))
+                finish_m = finish_p = True
+                kind = "merge_capped"
+            new_valid = valid - k_marked
+            new_len = bucket_length(new_valid, ff.bucket)
+            h, pos_tok, pt = _merge_compact_program(
+                self.params, jnp.int32(0), h, sim, order, jnp.int32(k_marked),
+                pos_tok, pt, jnp.int32(new_valid), cfg=cfg, new_len=new_len, do_mlp=False,
+            )
+            telemetry.events.append(CompressionEvent(
+                layer=-1, kind=kind, tokens_removed=k_marked, tokens_after=new_valid,
+                above_ratio=above_ratio, budget=budget, bucket=new_len,
+            ))
+            valid = new_valid
+            frame_tok_host -= k_marked
+            s_b = new_len
+            live = jnp.arange(s_b, dtype=jnp.int32) < valid
+            include_pre = False
+
         st = None
         pools = []  # (start_layer, k_pool, v_pool, cache_live)
         start_layer = 0
-        n_live = jnp.int32(orig_len)
-        frame_tok = jnp.int32(frame_tok0)
+        n_live = jnp.int32(valid)
+        frame_tok = jnp.int32(frame_tok_host)
         sparsity = jnp.zeros((max_events,), jnp.float32)
-        n_events = jnp.int32(0)
-        fm = jnp.bool_(False)
-        fp = jnp.bool_(False)
+        sparsity = sparsity.at[: len(sparsity_host)].set(jnp.asarray(sparsity_host, jnp.float32)) if sparsity_host else sparsity
+        n_events = jnp.int32(len(sparsity_host))
+        fm = jnp.bool_(finish_m)
+        fp = jnp.bool_(finish_p)
         while True:
             st = _phase_program(
                 self.params, h, pos_tok, pt, live, n_live, frame_tok,
-                jnp.int32(orig_len), jnp.int32(image_token_start),
+                jnp.int32(orig_len), jnp.int32(valid), jnp.int32(image_token_start),
                 jnp.int32(image_token_length), sparsity, n_events, fm, fp,
                 jnp.int32(start_layer), jnp.float32(ff.cost),
                 jnp.float32(ff.similarity_lower_bound), jnp.float32(ff.ratio_lower_bound),
-                include_pre_event=(start_layer == 0), **common,
+                include_pre_event=(start_layer == 0 and include_pre), **common,
             )
             pools.append((start_layer, st["k_pool"], st["v_pool"], st["cache_live"]))
             # THE host sync: the packed control vector, one transfer.
@@ -600,7 +658,8 @@ class CompressionEngine:
         ev_ratio = ctl["ev_ratio"][:n_ev]
         ev_budget = ctl["ev_budget"][:n_ev]
         kind_names = {EV_MERGE: "merge", EV_MERGE_CAPPED: "merge_capped", EV_PRUNE: "prune"}
-        tokens_after = orig_len
+        pre_removed = orig_len - valid  # hybrid pre-event removal (0 otherwise)
+        tokens_after = valid
         for i in range(n_ev):
             tokens_after -= int(ev_removed[i])
             telemetry.events.append(
@@ -626,9 +685,10 @@ class CompressionEngine:
         # Per-layer cache lengths come from the event log (no extra sync):
         # layer l's cache holds the tokens live at its attention time, i.e.
         # original length minus removals from all events strictly before l
-        # (a merge/prune event at layer l fires post-attention).
+        # (a merge/prune event at layer l fires post-attention; the hybrid
+        # pre-event removal is accounted separately).
         def phase_cache_len(l: int) -> int:
-            return orig_len - int(sum(int(r) for lay, r in zip(ev_layer, ev_removed) if lay < l))
+            return valid - int(sum(int(r) for lay, r in zip(ev_layer, ev_removed) if lay < l))
 
         layer_caches: list = [None] * cfg.num_layers
         for pool_start, k_pool, v_pool, cache_live in pools:
@@ -686,7 +746,8 @@ class CompressionEngine:
         max_events = ff.schedule_num_layers
         st = _phase_program(
             self.params, h, pos_tok, pt, live, jnp.int32(orig_len),
-            jnp.int32(frame_tok0), jnp.int32(orig_len), jnp.int32(image_token_start),
+            jnp.int32(frame_tok0), jnp.int32(orig_len), jnp.int32(orig_len),
+            jnp.int32(image_token_start),
             jnp.int32(image_token_length), jnp.zeros((max_events,), jnp.float32),
             jnp.int32(0), jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
             jnp.float32(ff.cost), jnp.float32(ff.similarity_lower_bound),
