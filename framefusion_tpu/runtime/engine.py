@@ -470,7 +470,7 @@ class CompressionEngine:
         *,
         attn_impl: str = "chunked",
         pool_layers: int = 8,
-        compact_pre_event: bool = True,
+        compact_pre_event: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -481,8 +481,11 @@ class CompressionEngine:
         self.pool_layers = min(pool_layers, cfg.num_layers)
         # Hybrid: handle the layer-0 pre-attention merge segmented-style and
         # compact before the fused phase, so every phase layer runs at the
-        # post-first-merge bucket (usually the largest shrink). Costs one
-        # extra whole-array sync (~1 ms transfer).
+        # post-first-merge bucket (usually the largest shrink). Saves
+        # ~2x half-a-layer of full-length compute per prefill at the cost of
+        # one extra mid-prefill host sync — a win on directly-attached hosts
+        # (sync ~0.3 ms), a loss through high-latency relays (measured +65 ms
+        # on this runner), hence default False.
         self.compact_pre_event = compact_pre_event
 
     # -- prefill -----------------------------------------------------------

@@ -235,3 +235,22 @@ class TestPlannedMode:
         ref = ref_pipeline.ref_compressed_prefill(params, cfg, ff, h, pt, pos, 6, img_start, n_img)
         assert res.valid_len == ref["final_len"]
         np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
+
+
+class TestHybridPreCompaction:
+    def test_hybrid_matches_default(self, setup):
+        cfg, params, ff = setup
+        h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.8)
+        e_default = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        e_hybrid = CompressionEngine(params, cfg, ff, attn_impl="einsum", compact_pre_event=True)
+        r0 = e_default.prefill(h, pt, pos, 6, img_start, n_img)
+        r1 = e_hybrid.prefill(h, pt, pos, 6, img_start, n_img)
+        assert r1.valid_len == r0.valid_len
+        assert [(e.layer, e.kind, e.tokens_removed) for e in r1.telemetry.events] == \
+               [(e.layer, e.kind, e.tokens_removed) for e in r0.telemetry.events]
+        np.testing.assert_allclose(np.asarray(r1.logits), np.asarray(r0.logits), rtol=2e-3, atol=2e-3)
+        for l, ((k1, _, l1), (k0, _, l0)) in enumerate(zip(r1.layer_caches, r0.layer_caches)):
+            assert l1 == l0, f"layer {l}"
+            np.testing.assert_allclose(np.asarray(k1[:l1], np.float32), np.asarray(k0[:l0], np.float32),
+                                       rtol=2e-3, atol=2e-3, err_msg=f"layer {l}")
+        assert e_hybrid.generate_greedy(r1, 5) == e_default.generate_greedy(r0, 5)
