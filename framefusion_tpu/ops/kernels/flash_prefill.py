@@ -69,6 +69,92 @@ def _flash_kernel(q_ref, k_ref, v_ref, kvalid_ref, o_ref, *, block_q, block_k, s
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
 
+def _flash_kernel_blocked(q_ref, k_ref, v_ref, kvalid_ref, o_ref, m_scr, l_scr, acc_scr, *, block_q, block_k, scale):
+    """KV-blocked variant: grid (H, nq, nk) with the online-softmax state in
+    scratch persisted across the nk dimension — K/V arrive one block at a
+    time, so sequence length is bounded by HBM, not VMEM (needed for the
+    128-256-frame long-video configs where a whole head's K/V exceeds VMEM).
+    The k-block index_map clamps above the causal diagonal, so out-of-range
+    blocks repeat the previous index and skip their DMA entirely.
+    """
+    iq = pl.program_id(1)
+    jk = pl.program_id(2)
+    q_start = iq * block_q
+    n_kv = (q_start + block_q + block_k - 1) // block_k  # blocks up to diagonal
+
+    @pl.when(jk == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(jk < n_kv)
+    def _():
+        q = q_ref[0]
+        kb = k_ref[0]
+        vb = v_ref[0]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        k_pos = jk * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        kv_ok = kvalid_ref[0] > 0
+        s = jnp.where((k_pos <= q_pos) & kv_ok[None, :], s, NEG_INF)
+        m_prev, l_prev, acc_prev = m_scr[:], l_scr[:], acc_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        m_scr[:] = m_new
+        l_scr[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_prev * alpha + jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(jk == pl.num_programs(2) - 1)
+    def _():
+        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+
+
+def _flash_blocked(q_t, k_t, v_t, kv_mask, block_q, block_k, interpret, scale):
+    hq, sp, d = q_t.shape
+    hk = k_t.shape[0]
+    g = hq // hk
+    nk = sp // block_k
+
+    def k_index(h, i, j):
+        diag = ((i + 1) * block_q + block_k - 1) // block_k - 1
+        return (h // g, jnp.minimum(j, diag), 0)
+
+    def mask_index(h, i, j):
+        diag = ((i + 1) * block_q + block_k - 1) // block_k - 1
+        return (0, jnp.minimum(j, diag))
+
+    return pl.pallas_call(
+        functools.partial(_flash_kernel_blocked, block_q=block_q, block_k=block_k, scale=scale),
+        grid=(hq, sp // block_q, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), k_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), k_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), mask_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d), lambda h, i, j: (h, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hq, sp, d), q_t.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_t, k_t, v_t, kv_mask)
+
+
+# Above this sequence length a whole head's K/V (2 * S * D * 2 bytes) no
+# longer comfortably fits VMEM alongside the working set; switch to the
+# KV-blocked grid.
+RESIDENT_KV_MAX_S = 16384
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k: int = 1024, interpret: bool = False):
     """Causal GQA flash attention. q: (S, Hq, D); k, v: (S, Hk, D) -> (S, Hq, D)."""
@@ -92,6 +178,10 @@ def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k:
     k_t = k.transpose(1, 0, 2)  # (Hk, S, D)
     v_t = v.transpose(1, 0, 2)
     kv_mask = key_valid.astype(jnp.int32)[None, :]  # (1, S)
+
+    if sp > RESIDENT_KV_MAX_S:
+        out = _flash_blocked(q_t, k_t, v_t, kv_mask, block_q, block_k, interpret, scale)
+        return out.transpose(1, 0, 2)[:s]
 
     grid = (hq, sp // block_q)
     out = pl.pallas_call(

@@ -85,3 +85,34 @@ class TestRaggedDecode:
         ref = decode_attention(q, k, v, jnp.int32(200))
         got = ragged_decode_attention(q, k, v, jnp.int32(200), block_k=128, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+class TestBlockedFlash:
+    def test_blocked_matches_resident(self):
+        from framefusion_tpu.ops.kernels.flash_prefill import _flash_blocked
+        import functools
+
+        rng = np.random.default_rng(5)
+        s, hq, hk, d = 768, 4, 2, 128
+        q, k, v = make_qkv(rng, s, hq, hk, d)
+        ref = causal_attention_einsum(q, k, v)
+
+        q_t, k_t, v_t = (x.transpose(1, 0, 2) for x in (q, k, v))
+        kv_mask = jnp.ones((1, s), jnp.int32)
+        got = _flash_blocked(q_t, k_t, v_t, kv_mask, 128, 256, True, 1.0 / d ** 0.5)
+        got = got.transpose(1, 0, 2)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_blocked_key_valid(self):
+        from framefusion_tpu.ops.kernels.flash_prefill import _flash_blocked
+
+        rng = np.random.default_rng(6)
+        s, hq, hk, d = 512, 2, 2, 128
+        q, k, v = make_qkv(rng, s, hq, hk, d)
+        key_valid = jnp.asarray(rng.random(s) > 0.4).at[0].set(True)
+        ref = causal_attention_einsum(q, k, v, key_valid=key_valid)
+        q_t, k_t, v_t = (x.transpose(1, 0, 2) for x in (q, k, v))
+        got = _flash_blocked(q_t, k_t, v_t, key_valid.astype(jnp.int32)[None], 128, 128, True, 1.0 / d ** 0.5)
+        got = got.transpose(1, 0, 2)
+        live = np.asarray(key_valid)
+        np.testing.assert_allclose(np.asarray(got)[live], np.asarray(ref)[live], rtol=2e-3, atol=2e-3)
