@@ -134,6 +134,21 @@ class FrameFusionModel:
         return tokens, result
 
 
+def get_token_type(family: str):
+    """Return the family's prompt-metadata builder — the reference's
+    ``get_token_type`` (interface.py:140-166) installs only the embedding
+    hooks (patch-type derivation) without enabling compression; here that
+    surface is simply the adapter module's ``build_prefill_inputs``."""
+    import importlib
+
+    if family not in FAMILIES:
+        raise NotImplementedError(f"Model family not supported: {family}")
+    mod = importlib.import_module(
+        f".models.adapters.{FAMILIES[family].adapter_module}", __package__
+    )
+    return mod
+
+
 def apply_framefusion(model, cost, similarity_lower_bound, ratio_lower_bound):
     """Configure FrameFusion on a model — the reference's public entry point
     (interface.py:47), same signature and knob semantics.

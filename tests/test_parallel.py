@@ -101,3 +101,45 @@ class TestShardedInference:
             engine_tp = CompressionEngine(sharded, cfg, ff, attn_impl="einsum")
             toks_tp = engine_tp.generate_greedy(engine_tp.dense_prefill(h, pos), max_new_tokens=4)
         assert toks_tp == toks_ref
+
+
+class TestLargeModelSharding:
+    """72B-stretch shape checks: Qwen2.5-VL-72B geometry shards cleanly
+    (tensor axis divides heads/kv-heads/mlp), and a scaled-down deep variant
+    runs the compressed prefill tensor-parallel."""
+
+    def test_72b_config_shards(self):
+        from framefusion_tpu.config import qwen25_vl_72b_config
+        from framefusion_tpu.parallel.sharding import param_pspecs
+
+        cfg = qwen25_vl_72b_config()
+        assert cfg.num_kv_heads % 4 == 0 and cfg.num_heads % 8 == 0
+        assert cfg.intermediate_size % 8 == 0
+        specs = param_pspecs(cfg)
+        assert specs["layers"]["wq"] == jax.sharding.PartitionSpec(None, None, "tensor")
+
+    def test_deep_tp4_compressed_prefill(self):
+        from framefusion_tpu.config import qwen25_vl_72b_config
+
+        cfg = qwen25_vl_72b_config(
+            vocab_size=256, hidden_size=128, intermediate_size=256,
+            num_layers=6, num_heads=8, num_kv_heads=4, head_dim=16,
+            mrope_section=(2, 3, 3), dtype=jnp.float32,
+        )
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+        ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75,
+                               ratio_lower_bound=0.05, schedule_num_layers=6,
+                               bucket=32, num_importance_queries=4)
+        rng = np.random.default_rng(0)
+        h, pt, img_start, n_img = make_sequence(rng, 4, 6, 10, 3, hidden=cfg.hidden_size, coherent=0.8)
+        h = (h * 0.05).astype(np.float32)
+        pos3d = np.tile(np.arange(len(pt), dtype=np.int32), (3, 1))
+
+        mesh = make_mesh(jax.devices()[:8], tensor=4)
+        with mesh:
+            sharded = shard_params(params, cfg, mesh)
+            engine = CompressionEngine(sharded, cfg, ff, attn_impl="einsum")
+            res = engine.prefill(h, pt, pos3d, 6, img_start, n_img)
+            toks = engine.generate_greedy(res, max_new_tokens=3)
+        assert res.valid_len < len(pt)
+        assert len(toks) == 3
