@@ -180,7 +180,17 @@ def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k:
     kv_mask = key_valid.astype(jnp.int32)[None, :]  # (1, S)
 
     if sp > RESIDENT_KV_MAX_S:
-        out = _flash_blocked(q_t, k_t, v_t, kv_mask, block_q, block_k, interpret, scale)
+        # Grid-step count dominates the blocked path's cost (each (q,k) tile
+        # is one pipelined step); use large tiles — VMEM per step stays small
+        # since only single blocks are resident.
+        bq, bk = max(block_q, 512), max(block_k, 2048)
+        pad2 = (-sp) % max(bq, bk)
+        if pad2:
+            q_t = jnp.pad(q_t, ((0, 0), (0, pad2), (0, 0)))
+            k_t = jnp.pad(k_t, ((0, 0), (0, pad2), (0, 0)))
+            v_t = jnp.pad(v_t, ((0, 0), (0, pad2), (0, 0)))
+            kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad2)))
+        out = _flash_blocked(q_t, k_t, v_t, kv_mask, bq, bk, interpret, scale)
         return out.transpose(1, 0, 2)[:s]
 
     grid = (hq, sp // block_q)
