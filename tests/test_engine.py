@@ -254,3 +254,42 @@ class TestHybridPreCompaction:
             np.testing.assert_allclose(np.asarray(k1[:l1], np.float32), np.asarray(k0[:l0], np.float32),
                                        rtol=2e-3, atol=2e-3, err_msg=f"layer {l}")
         assert e_hybrid.generate_greedy(r1, 5) == e_default.generate_greedy(r0, 5)
+
+
+class TestInterleavedLayout:
+    """InternVL-style interleaved FrameN:<image> prompts through the engine:
+    merging must only pair same-patch tokens across frame blocks, and the
+    prune window spans the interleaved text (reference quirk,
+    modeling_internvl_chat.py:60)."""
+
+    def _build(self, cfg, seed=0, n_frames=8, tpf=4, coherent=0.9):
+        rng = np.random.default_rng(seed)
+        chunks, pt = [], []
+        chunks.append(rng.standard_normal((5, cfg.hidden_size)) * 0.05); pt += [-1] * 5
+        frame = rng.standard_normal((tpf, cfg.hidden_size)) * 0.05
+        for f in range(n_frames):
+            chunks.append(rng.standard_normal((2, cfg.hidden_size)) * 0.05); pt += [-1] * 2
+            scale = rng.uniform(0.05, 0.6)
+            frame = frame + (scale if rng.random() < coherent else 5.0) * rng.standard_normal(frame.shape)
+            chunks.append(frame.copy()); pt += list(range(tpf))
+        chunks.append(rng.standard_normal((4, cfg.hidden_size)) * 0.05); pt += [-1] * 4
+        h = np.concatenate(chunks).astype(np.float32)
+        pt = np.asarray(pt, np.int32)
+        img_idx = np.nonzero(pt >= 0)[0]
+        img_start = int(img_idx[0])
+        img_len = int(img_idx[-1]) - img_start + 1  # span INCLUDES interleaved text
+        return h, pt, np.arange(len(pt), dtype=np.int32), img_start, img_len, tpf
+
+    def test_matches_reference_pipeline(self, setup):
+        cfg, params, ff = setup
+        h, pt, pos, img_start, img_len, tpf = self._build(cfg)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res = engine.prefill(h, pt, pos, tpf, img_start, img_len)
+        ref = ref_pipeline.ref_compressed_prefill(params, cfg, ff, h, pt, pos, tpf, img_start, img_len)
+        assert [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events] == ref["events"]
+        assert res.valid_len == ref["final_len"]
+        np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
+        # decode parity too (ragged caches with interleaved survivors)
+        ours = engine.generate_greedy(res, max_new_tokens=4)
+        theirs = ref_pipeline.ref_greedy_decode(ref, params, cfg, n_new=4)
+        assert ours == theirs
