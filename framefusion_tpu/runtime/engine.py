@@ -19,11 +19,21 @@ one gather compacts to the bucketed compressed length, and a ``fori_loop``
 tail program runs every remaining layer at the small shape — where the
 wall-clock win lives. Host round-trips per prefill: exactly one.
 
+**Planned mode** (``prefill(..., mode="planned")`` / ``prefill_planned``).
+The same phase program composed with compaction to a STATIC plan bucket and
+the tail — zero host reads on the logits' critical path; for serving
+pipelines that cannot tolerate mid-request host round-trips. Falls back to
+fused when the plan bucket proves too tight.
+
 **Segmented mode** (``prefill(..., mode="segmented")``). One jitted
 layer-program per compression layer with a scalar readback per merge event,
 compacting to a fresh bucket after every event. Matches the reference's
 shrinking-shape behavior most literally; useful for debugging and when
 host<->device latency is negligible.
+
+``compact_pre_event=True`` additionally handles the layer-0 pre-attention
+merge segmented-style in fused mode (hybrid), shrinking every phase layer —
+profitable when host syncs are cheap (see DEVNOTES).
 
 All jitted programs are module-level with hashable static arguments, so they
 are compiled once per shape bucket and shared across prompts and layers.
@@ -661,7 +671,8 @@ class CompressionEngine:
         ev_ratio = ctl["ev_ratio"][:n_ev]
         ev_budget = ctl["ev_budget"][:n_ev]
         kind_names = {EV_MERGE: "merge", EV_MERGE_CAPPED: "merge_capped", EV_PRUNE: "prune"}
-        pre_removed = orig_len - valid  # hybrid pre-event removal (0 otherwise)
+        # Device events start from the post-pre-event count (== orig_len
+        # unless the hybrid pre-compaction already removed tokens).
         tokens_after = valid
         for i in range(n_ev):
             tokens_after -= int(ev_removed[i])

@@ -173,3 +173,13 @@ class TestInterfaceEndToEnd:
 
         with pytest.raises(NotImplementedError):
             apply_framefusion(object(), 0.3, 0.6, 0.1)
+
+
+def test_get_token_type_registry():
+    from framefusion_tpu.interface import get_token_type
+
+    for family in ("llava_video", "qwen2_vl", "internvl", "minicpmv", "nvila", "llava_next_video"):
+        mod = get_token_type(family)
+        assert hasattr(mod, "build_prefill_inputs") or hasattr(mod, "build_prefill_inputs_video")
+    with pytest.raises(NotImplementedError):
+        get_token_type("nope")
