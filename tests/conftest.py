@@ -5,11 +5,20 @@ Must run before the first `import jax` anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# FORCE CPU: the runner environment pins JAX_PLATFORMS to the TPU relay and
+# its sitecustomize imports jax + registers the plugin before any test code
+# runs, so env vars alone are not enough — jax.config.update overrides the
+# platform as long as no backend has been initialized yet (true here: the
+# plugin registers a factory without touching devices).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 
