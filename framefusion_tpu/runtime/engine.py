@@ -239,6 +239,7 @@ EV_MERGE, EV_MERGE_CAPPED, EV_PRUNE = 1, 2, 3
     static_argnames=(
         "cfg", "attn_impl", "capture_num", "patch_num", "max_events",
         "pool_layers", "include_pre_event", "schedule_num_layers",
+        "collect_similarities",
     ),
 )
 def _phase_program(
@@ -247,7 +248,7 @@ def _phase_program(
     cost, s_th, r_min,
     *, cfg: LLMConfig, attn_impl: str, capture_num: int, patch_num: int,
     max_events: int, pool_layers: int, include_pre_event: bool,
-    schedule_num_layers: int,
+    schedule_num_layers: int, collect_similarities: bool = False,
 ):
     """Run decoder layers with in-place (mask-only) compression until both
     merging and pruning finish, the stack ends, or the KV pool fills.
@@ -289,6 +290,11 @@ def _phase_program(
 
         i = st["ev_n"]
         kind = jnp.where(threshold_branch, EV_MERGE, EV_MERGE_CAPPED)
+        if collect_similarities:
+            # Research introspection parity: the reference's baselines log the
+            # per-layer similarity tensors to ``model.similarities``
+            # (modeling_qwen2_baseline.py:994-998).
+            st = dict(st, sim_log=st["sim_log"].at[i].set(sim))
         st = dict(
             st,
             h=merged,
@@ -364,6 +370,8 @@ def _phase_program(
         ev_budget=jnp.zeros((n_ev_slots,), jnp.float32),
         ev_n=jnp.int32(0),
     )
+    if collect_similarities:
+        st["sim_log"] = jnp.zeros((n_ev_slots, s), jnp.float32)
 
     if include_pre_event:
         # Layer-0 pre-attention merge (reference modeling_qwen2.py:44-47) —
@@ -497,6 +505,9 @@ class CompressionEngine:
         # (sync ~0.3 ms), a loss through high-latency relays (measured +65 ms
         # on this runner), hence default False.
         self.compact_pre_event = compact_pre_event
+        # Research introspection: record each merge event's similarity vector
+        # into telemetry (reference ``model.similarities``).
+        self.debug_similarities = False
 
     # -- prefill -----------------------------------------------------------
 
@@ -572,6 +583,7 @@ class CompressionEngine:
             cfg=cfg, attn_impl=self.attn_impl, capture_num=ff.num_importance_queries,
             patch_num=patch_num, max_events=max_events, pool_layers=self.pool_layers,
             schedule_num_layers=ff.schedule_num_layers,
+            collect_similarities=self.debug_similarities,
         )
 
         # Hybrid pre-event compaction: the layer-0 pre-attention merge is
@@ -685,6 +697,8 @@ class CompressionEngine:
                 )
             )
         telemetry.sparsity_list = [float(x) for x in ctl["sparsity"][: int(ctl["n_events"])]]
+        if self.debug_similarities:
+            telemetry.similarities = [np.asarray(st["sim_log"][i]) for i in range(n_ev)]
 
         # Single compaction to the compressed bucket, then the fori_loop tail.
         s_small = bucket_length(n_live_final, ff.bucket)

@@ -34,6 +34,10 @@ class PrefillTelemetry:
     final_image_tokens: int = 0
     compression_start_layer: int = 0
     tail_start_layer: int = 0
+    # Per-merge-event similarity vectors (engine.debug_similarities=True) —
+    # the reference's ``model.similarities`` research instrumentation
+    # (modeling_qwen2_baseline.py:994-998). Not serialised by summary().
+    similarities: Optional[list] = None
 
     @property
     def vision_token_reduction(self) -> float:

@@ -11,6 +11,7 @@ from framefusion_tpu.config import FrameFusionConfig, tiny_llm_config
 from framefusion_tpu.models import qwen2
 from framefusion_tpu.runtime.engine import CompressionEngine
 
+import oracle
 import ref_pipeline
 from test_core import make_sequence
 
@@ -293,3 +294,18 @@ class TestInterleavedLayout:
         ours = engine.generate_greedy(res, max_new_tokens=4)
         theirs = ref_pipeline.ref_greedy_decode(ref, params, cfg, n_new=4)
         assert ours == theirs
+
+
+class TestSimilarityCollection:
+    def test_debug_similarities_match_oracle(self, setup):
+        cfg, params, ff = setup
+        h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.8)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        engine.debug_similarities = True
+        res = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        sims = res.telemetry.similarities
+        assert sims is not None and len(sims) == len(res.telemetry.events)
+        # First event = layer-0 pre-attention merge on the raw embeddings:
+        # must match the oracle similarity vector exactly.
+        ref_sim, _ = oracle.similarity_by_patch(np.asarray(h, np.float32), pt, 6)
+        np.testing.assert_allclose(sims[0][: len(ref_sim)], ref_sim, rtol=1e-4, atol=1e-5)
