@@ -16,7 +16,7 @@ import ref_pipeline
 from test_core import make_sequence
 
 
-def build_inputs(seed=0, n_pre=4, patch_num=6, n_frames=10, n_post=3, hidden=128, coherent=0.8):
+def build_inputs(seed=0, n_pre=4, patch_num=6, n_frames=10, n_post=3, hidden=128, coherent=0.8):  # noqa: kwargs used by fuzz
     rng = np.random.default_rng(seed)
     h, pt, img_start, n_img = make_sequence(rng, n_pre, patch_num, n_frames, n_post, hidden=hidden, coherent=coherent)
     # Scale down: raw N(0,1) embeddings explode through random layers; keep
@@ -309,3 +309,42 @@ class TestSimilarityCollection:
         # must match the oracle similarity vector exactly.
         ref_sim, _ = oracle.similarity_by_patch(np.asarray(h, np.float32), pt, 6)
         np.testing.assert_allclose(sims[0][: len(ref_sim)], ref_sim, rtol=1e-4, atol=1e-5)
+
+
+class TestCrossModeFuzz:
+    """Broad randomized sweep: random knobs, geometries, and layouts; all
+    three executors must agree with the NumPy reference pipeline."""
+
+    def test_fuzz(self, setup):
+        cfg, params, _ = setup
+        for seed in range(20, 28):
+            rng = np.random.default_rng(seed)
+            ff = FrameFusionConfig(
+                cost=float(rng.uniform(0.25, 0.7)),
+                similarity_lower_bound=float(rng.uniform(0.45, 0.9)),
+                ratio_lower_bound=float(rng.uniform(0.02, 0.15)),
+                schedule_num_layers=6,
+                bucket=int(rng.choice([32, 64])),
+                num_importance_queries=int(rng.choice([1, 4])),
+            )
+            patch_num = int(rng.integers(3, 8))
+            h, pt, pos, img_start, n_img = build_inputs(
+                seed=seed, patch_num=patch_num, n_frames=int(rng.integers(4, 12)),
+                n_pre=int(rng.integers(1, 6)), n_post=int(rng.integers(1, 6)),
+                coherent=float(rng.uniform(0.2, 1.0)),
+            )
+            ref = ref_pipeline.ref_compressed_prefill(
+                params, cfg, ff, h, pt, pos, patch_num, img_start, n_img
+            )
+            mode = ["fused", "planned", "segmented"][seed % 3]
+            engine = CompressionEngine(params, cfg, ff, attn_impl="einsum",
+                                       compact_pre_event=bool(seed % 2))
+            if mode == "segmented":
+                engine.compact_pre_event = False
+            res = engine.prefill(h, pt, pos, patch_num, img_start, n_img, mode=mode)
+            msg = f"seed={seed} mode={mode} ff={ff}"
+            assert [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events] == ref["events"], msg
+            assert res.valid_len == ref["final_len"], msg
+            np.testing.assert_allclose(
+                np.asarray(res.logits), ref["logits"], rtol=5e-3, atol=5e-3, err_msg=msg
+            )
