@@ -52,16 +52,29 @@ def encode_video(
     frames: jnp.ndarray,
     feature_layer: int = -2,
     pool_stride: int = 2,
+    frame_batch: int = 16,
 ) -> jnp.ndarray:
     """(n_frames, H, W, 3) pixels -> (n_frames * patch_num, llm_dim) tokens.
 
     patch_num = pooled_side * (pooled_side + 1): each pooled row is followed
-    by the learned newline token.
+    by the learned newline token. Frames are encoded in batches of
+    ``frame_batch`` — the ViT's full-attention activations for 64 frames at
+    384px would not fit next to a resident 7B LLM.
     """
-    feats = siglip.encode(vit_params, frames, vit_cfg, feature_layer=feature_layer)
-    feats = project(proj, feats)
-    grid, pooled_side = pool_2d(feats, vit_cfg.patches_per_side, pool_stride)
-    b, ps, _, d = grid.shape[0], pooled_side, pooled_side, grid.shape[-1]
-    newline = jnp.broadcast_to(proj["image_newline"], (b, ps, 1, d)).astype(grid.dtype)
-    with_newline = jnp.concatenate([grid, newline], axis=2)  # (B, ps, ps+1, D)
-    return with_newline.reshape(b * ps * (ps + 1), d)
+
+    def encode_batch(batch):
+        feats = siglip.encode(vit_params, batch, vit_cfg, feature_layer=feature_layer)
+        feats = project(proj, feats)
+        grid, pooled_side = pool_2d(feats, vit_cfg.patches_per_side, pool_stride)
+        b, ps, d = grid.shape[0], pooled_side, grid.shape[-1]
+        newline = jnp.broadcast_to(proj["image_newline"], (b, ps, 1, d)).astype(grid.dtype)
+        with_newline = jnp.concatenate([grid, newline], axis=2)  # (B, ps, ps+1, D)
+        return with_newline.reshape(b * ps * (ps + 1), d)
+
+    n = frames.shape[0]
+    if n <= frame_batch:
+        return encode_batch(frames)
+    chunks = [
+        encode_batch(frames[i : i + frame_batch]) for i in range(0, n, frame_batch)
+    ]
+    return jnp.concatenate(chunks, axis=0)

@@ -75,6 +75,11 @@ def main():
         text, video_tokens, image_token_pos=35,
         num_patches_per_side=vit_cfg.patches_per_side,
     )
+    # Pin the prompt on device once — per-run host->device uploads are not
+    # part of the LLM timing being A/B'd (the reference times model.generate
+    # over resident tensors).
+    inputs.input_embeds = jax.device_put(jnp.asarray(inputs.input_embeds, cfg.dtype))
+    jax.block_until_ready(inputs.input_embeds)
     print(f"prompt: {inputs.input_embeds.shape[0]} tokens "
           f"({inputs.image_token_length} video, patch_num={inputs.patch_num})")
 
