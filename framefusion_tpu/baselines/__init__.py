@@ -1,4 +1,5 @@
 from .qwen2_baselines import (
+    compute_density_overhead,
     BaselineEngine,
     replace_forward,
     replace_qwen2_forward,
@@ -8,6 +9,7 @@ from .qwen2_baselines import (
 )
 
 __all__ = [
+    "compute_density_overhead",
     "BaselineEngine",
     "replace_forward",
     "replace_qwen2_forward",

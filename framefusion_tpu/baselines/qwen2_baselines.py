@@ -38,6 +38,19 @@ def _round(x: float) -> int:
     return int(round(x))
 
 
+def compute_density_overhead(sparsity_list) -> tuple:
+    """(normalised cost, remaining density) of a fixed per-layer sparsity
+    schedule — the reference's schedule-inspection helper
+    (modeling_qwen2_baseline.py:26-43), used when configuring prefill_merge.
+    """
+    cost = 0.0
+    remaining_density = 1.0
+    for s in sparsity_list:
+        remaining_density *= 1.0 - s
+        cost += remaining_density
+    return cost / len(sparsity_list), remaining_density
+
+
 # ---------------------------------------------------------------------------
 # FastV (reference modeling_qwen2_baseline.py:221-578): at static layer k,
 # prune image tokens by the last query row's head-averaged attention from

@@ -223,3 +223,13 @@ class TestSinkCacheDecode:
         res2 = eng_win.prefill(h, pt, pos, 6, img_start, n_img)
         toks_win = eng_win.generate_greedy(res2, max_new_tokens=5)
         assert toks_win == toks_full
+
+
+def test_compute_density_overhead():
+    from framefusion_tpu.baselines.qwen2_baselines import compute_density_overhead
+
+    cost, rem = compute_density_overhead([0.0, 0.0, 0.0, 0.0])
+    assert cost == pytest.approx(1.0) and rem == pytest.approx(1.0)
+    cost, rem = compute_density_overhead([0.5, 0.5])
+    assert rem == pytest.approx(0.25)
+    assert cost == pytest.approx((0.5 + 0.25) / 2)
