@@ -149,10 +149,85 @@ def _flash_blocked(q_t, k_t, v_t, kv_mask, block_q, block_k, interpret, scale):
     )(q_t, k_t, v_t, kv_mask)
 
 
+def _flash_kernel_grouped(q_ref, k_ref, v_ref, kvalid_ref, o_ref, *, block_q, block_k, scale, group):
+    """Grouped-GQA variant: one grid step computes ALL ``group`` query heads
+    sharing a KV head, stacked as rows of one MXU matmul — amortising the
+    ~14 us fixed per-grid-step cost that dominates small sequences (the
+    compressed tail's regime). fp32 score tiles are (group*block_q, block_k),
+    so this only fits VMEM next to resident K/V for moderate S (see
+    GROUPED_MAX_S)."""
+    iq = pl.program_id(1)
+    q = q_ref[0].reshape(group * block_q, q_ref.shape[-1])  # (G*Bq, D)
+    d = q.shape[-1]
+    rows = group * block_q
+    q_start = iq * block_q
+    n_kv = (q_start + block_q + block_k - 1) // block_k
+
+    # Row r of the stacked block is query position q_start + (r % block_q).
+    row_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 0) % block_q
+    k_off = jax.lax.broadcasted_iota(jnp.int32, (rows, block_k), 1)
+
+    def body(j, carry):
+        m, l, acc = carry
+        k_start = j * block_k
+        kb = k_ref[0, pl.ds(k_start, block_k), :]
+        vb = v_ref[0, pl.ds(k_start, block_k), :]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (G*Bq, block_k)
+        kv_ok = kvalid_ref[0, pl.ds(k_start, block_k)] > 0
+        mask = (k_start + k_off <= row_pos) & kv_ok[None, :]
+        s = jnp.where(mask, s, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_new = acc * alpha + pv
+        return m_new, l_new, acc_new
+
+    m0 = jnp.full((rows, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).reshape(group, block_q, d).astype(o_ref.dtype)
+
+
+def _flash_grouped(q, k, v, kv_mask, block_q, block_k, interpret, scale):
+    """q: (S, Hq, D) padded; k/v: (S, Hk, D) padded. Query heads for KV head
+    j are [j*g, (j+1)*g) — HF repeat_kv convention."""
+    sp, hq, d = q.shape
+    hk = k.shape[1]
+    g = hq // hk
+    q_g = q.reshape(sp, hk, g, d).transpose(1, 2, 0, 3)  # (Hk, G, S, D)
+    k_t = k.transpose(1, 0, 2)
+    v_t = v.transpose(1, 0, 2)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_grouped, block_q=block_q, block_k=block_k, scale=scale, group=g),
+        grid=(hk, sp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, g, block_q, d), lambda h, i: (h, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, block_q, d), lambda h, i: (h, 0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hk, g, sp, d), q.dtype),
+        interpret=interpret,
+    )(q_g, k_t, v_t, kv_mask)
+    return out.transpose(2, 0, 1, 3).reshape(sp, hq, d)
+
+
 # Above this sequence length a whole head's K/V (2 * S * D * 2 bytes) no
 # longer comfortably fits VMEM alongside the working set; switch to the
 # KV-blocked grid.
 RESIDENT_KV_MAX_S = 16384
+# Grouped-head path: fp32 score tiles of (G*block_q, block_k) must coexist
+# with resident K/V — safe up to moderate sequence lengths.
+GROUPED_MAX_S = 8192
 
 
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
@@ -192,6 +267,11 @@ def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k:
             kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad2)))
         out = _flash_blocked(q_t, k_t, v_t, kv_mask, bq, bk, interpret, scale)
         return out.transpose(1, 0, 2)[:s]
+
+    if g > 1 and sp <= GROUPED_MAX_S:
+        # Small-sequence regime (the compressed tail): amortize grid-step
+        # overhead across the KV group. Modest score tiles keep VMEM safe.
+        return _flash_grouped(q, k, v, kv_mask, min(block_q, 256), min(block_k, 512), interpret, scale)[:s]
 
     grid = (hq, sp // block_q)
     out = pl.pallas_call(
