@@ -348,3 +348,20 @@ class TestCrossModeFuzz:
             np.testing.assert_allclose(
                 np.asarray(res.logits), ref["logits"], rtol=5e-3, atol=5e-3, err_msg=msg
             )
+
+
+class TestInfeasibleCost:
+    def test_raises_in_all_modes(self, setup):
+        from framefusion_tpu.core.schedule import CostInfeasibleError
+
+        cfg, params, ff = setup
+        # With zero merging possible (coherent=0 -> sparse sims) and a cost
+        # far below what pruning alone can reach within the schedule, the
+        # budget goes negative -> the reference raises ValueError
+        # (main.py:339-340); CostInfeasibleError is its subclass-equivalent.
+        bad_ff = ff.replace(cost=0.01, similarity_lower_bound=0.99)
+        h, pt, pos, img_start, n_img = build_inputs(seed=3, coherent=0.0)
+        for mode in ("fused", "segmented"):
+            engine = CompressionEngine(params, cfg, bad_ff, attn_impl="einsum")
+            with pytest.raises((CostInfeasibleError, ValueError)):
+                engine.prefill(h, pt, pos, 6, img_start, n_img, mode=mode)
