@@ -475,6 +475,11 @@ class PrefillResult:
     decode_pos_base: int  # first decode rotary position (= layer-0 cache len)
     telemetry: Optional[PrefillTelemetry]
     pos_dims: int  # 1 or 3 (mRoPE)
+    # Executor that actually produced this result. Serving callers using
+    # "planned" can detect degradation: a too-tight plan bucket or a phase
+    # that outruns its KV pool falls back to the adaptive fused executor and
+    # reports "planned_fallback_fused" here.
+    mode: str = "fused"
 
 
 class CompressionEngine:
@@ -632,6 +637,13 @@ class CompressionEngine:
 
         st = None
         pools = []  # (start_layer, k_pool, v_pool, cache_live)
+        # Event log accumulated ACROSS phase dispatches: each _phase_program
+        # call starts a fresh on-device ev_* log, so when compression spans
+        # more layers than pool_layers the earlier dispatches' events must be
+        # merged host-side — per-layer cache lengths and telemetry both
+        # derive from the full log.
+        ev_rows: list[tuple] = []  # (layer, kind, removed, ratio, budget)
+        sim_logs: list = []
         start_layer = 0
         n_live = jnp.int32(valid)
         frame_tok = jnp.int32(frame_tok_host)
@@ -662,6 +674,15 @@ class CompressionEngine:
             ctl["sparsity"] = packed[off : off + max_events]; off += max_events
             for name in ("ev_layer", "ev_kind", "ev_removed", "ev_ratio", "ev_budget"):
                 ctl[name] = packed[off : off + n_ev_slots]; off += n_ev_slots
+            n_ev_d = int(ctl["ev_n"])
+            for i in range(n_ev_d):
+                ev_rows.append((
+                    int(ctl["ev_layer"][i]), int(ctl["ev_kind"][i]),
+                    int(ctl["ev_removed"][i]), float(ctl["ev_ratio"][i]),
+                    float(ctl["ev_budget"][i]),
+                ))
+            if self.debug_similarities:
+                sim_logs += [np.asarray(st["sim_log"][i]) for i in range(n_ev_d)]
             layer_end = int(ctl["layer"])
             finished = bool(ctl["fm"]) and bool(ctl["fp"])
             if finished or layer_end >= cfg.num_layers:
@@ -676,29 +697,23 @@ class CompressionEngine:
             raise CostInfeasibleError("The cost is too small")
 
         n_live_final = int(ctl["n_live"])
-        n_ev = int(ctl["ev_n"])
-        ev_layer = ctl["ev_layer"][:n_ev]
-        ev_kind = ctl["ev_kind"][:n_ev]
-        ev_removed = ctl["ev_removed"][:n_ev]
-        ev_ratio = ctl["ev_ratio"][:n_ev]
-        ev_budget = ctl["ev_budget"][:n_ev]
         kind_names = {EV_MERGE: "merge", EV_MERGE_CAPPED: "merge_capped", EV_PRUNE: "prune"}
         # Device events start from the post-pre-event count (== orig_len
         # unless the hybrid pre-compaction already removed tokens).
         tokens_after = valid
-        for i in range(n_ev):
-            tokens_after -= int(ev_removed[i])
+        for lay, kind, removed, ratio, budget in ev_rows:
+            tokens_after -= removed
             telemetry.events.append(
                 CompressionEvent(
-                    layer=int(ev_layer[i]), kind=kind_names[int(ev_kind[i])],
-                    tokens_removed=int(ev_removed[i]), tokens_after=tokens_after,
-                    above_ratio=float(ev_ratio[i]) if ev_ratio[i] >= 0 else None,
-                    budget=float(ev_budget[i]), bucket=s_b,
+                    layer=lay, kind=kind_names[kind],
+                    tokens_removed=removed, tokens_after=tokens_after,
+                    above_ratio=ratio if ratio >= 0 else None,
+                    budget=budget, bucket=s_b,
                 )
             )
         telemetry.sparsity_list = [float(x) for x in ctl["sparsity"][: int(ctl["n_events"])]]
         if self.debug_similarities:
-            telemetry.similarities = [np.asarray(st["sim_log"][i]) for i in range(n_ev)]
+            telemetry.similarities = sim_logs
 
         # Single compaction to the compressed bucket, then the fori_loop tail.
         s_small = bucket_length(n_live_final, ff.bucket)
@@ -716,7 +731,7 @@ class CompressionEngine:
         # (a merge/prune event at layer l fires post-attention; the hybrid
         # pre-event removal is accounted separately).
         def phase_cache_len(l: int) -> int:
-            return valid - int(sum(int(r) for lay, r in zip(ev_layer, ev_removed) if lay < l))
+            return valid - sum(r for lay, _, r, _, _ in ev_rows if lay < l)
 
         layer_caches: list = [None] * cfg.num_layers
         for pool_start, k_pool, v_pool, cache_live in pools:
@@ -801,12 +816,17 @@ class CompressionEngine:
         n_live_final = int(packed[3])
         if bool(packed[4]):
             raise CostInfeasibleError("The cost is too small")
-        if n_live_final > plan_len or layer_end > self.pool_layers:
-            # Plan too tight (or phase deeper than one pool): adaptive fallback.
-            return self._prefill_fused(
+        finished = bool(packed[1]) and bool(packed[2])
+        if n_live_final > plan_len or (not finished and layer_end < cfg.num_layers):
+            # Plan too tight, or the phase exhausted its single KV pool with
+            # compression unfinished (fm/fp not both set — the remaining
+            # merge/prune events would be silently skipped): adaptive fallback.
+            res = self._prefill_fused(
                 input_embeds, patch_type, position_ids, patch_num,
                 image_token_start, image_token_length,
             )
+            res.mode = "planned_fallback_fused"
+            return res
         off = 7 + max_events
         ev_layer = packed[off : off + n_ev_slots]
         ev_kind = packed[off + n_ev_slots : off + 2 * n_ev_slots]
@@ -839,7 +859,7 @@ class CompressionEngine:
         return PrefillResult(
             logits=logits, layer_caches=layer_caches, valid_len=n_live_final,
             decode_pos_base=layer_caches[0][2], telemetry=telemetry,
-            pos_dims=pos_tok.shape[1],
+            pos_dims=pos_tok.shape[1], mode="planned",
         )
 
     def _prefill_segmented(
@@ -931,7 +951,12 @@ class CompressionEngine:
                 # the captured importance, then run this layer's MLP.
                 ratio = compute_pruning_ratio(sparsity, ff.cost, ff.schedule_num_layers)
                 cur_img_len = image_token_length - (orig_len - valid)
-                k_keep = _round_half_even(cur_img_len * (1.0 - ratio))
+                # fp32 product before rounding — keeps the segmented executor
+                # bit-identical to the fused twin's jnp.round(fp32) at
+                # representational half-way ties.
+                k_keep = _round_half_even(
+                    float(np.float32(cur_img_len) * (np.float32(1.0) - np.float32(ratio)))
+                )
                 removed = cur_img_len - k_keep
                 new_valid = valid - removed
                 new_len = bucket_length(new_valid, ff.bucket)
@@ -970,6 +995,7 @@ class CompressionEngine:
             decode_pos_base=layer_caches[0][2],
             telemetry=telemetry,
             pos_dims=pos_tok.shape[1],
+            mode="segmented",
         )
 
     # -- dense path (A/B baseline) ------------------------------------------
@@ -987,7 +1013,7 @@ class CompressionEngine:
         caches = [(k_all[l], v_all[l], s) for l in range(self.cfg.num_layers)]
         return PrefillResult(
             logits=logits, layer_caches=caches, valid_len=s, decode_pos_base=s,
-            telemetry=None, pos_dims=pos_tok.shape[1],
+            telemetry=None, pos_dims=pos_tok.shape[1], mode="dense",
         )
 
     # -- decode --------------------------------------------------------------

@@ -140,7 +140,9 @@ def ref_compressed_prefill(params, cfg, ff, embeds, patch_type, pos, patch_num, 
         else:
             ratio = oracle.compute_pruning_ratio(sparsity, ff.cost, ff.schedule_num_layers)
             cur_img_len = img_len - (orig_len - h_mid.shape[0])
-            k_keep = int(round(cur_img_len * (1.0 - ratio)))
+            # fp32 product before banker's rounding — lockstep with both
+            # engine executors (host np.float32 / device jnp.round(fp32)).
+            k_keep = int(round(float(np.float32(cur_img_len) * (np.float32(1.0) - np.float32(ratio)))))
             kept = oracle.prune_keep_indices(importance, img_start, cur_img_len, k_keep)
             events.append((layer, "prune", h_mid.shape[0] - len(kept)))
             h, pt, pos = h_mid[kept], pt[kept], pos[kept]

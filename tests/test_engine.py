@@ -164,13 +164,31 @@ class TestDensePath:
 
 
     def test_fused_pool_redispatch(self, setup):
-        # pool_layers=1 forces a phase-program re-dispatch per layer; results
-        # must be identical to the single-dispatch path.
-        _, res, ref = run_both(setup, seed=0, coherent=0.8, mode="fused", pool_layers=1)
+        # pool_layers=1 forces a phase-program re-dispatch per decoder layer.
+        # The scenario must span >=2 decoder layers so the host actually
+        # merges event logs across dispatches — with a single-dispatch
+        # trajectory this test cannot catch the event-log/cache-length bug it
+        # exists for (cost=0.5/S_th=0.8/coherent=0.3 yields events at layers
+        # -1, 0 and 1).
+        cfg, _, _ = setup
+        ff = FrameFusionConfig(cost=0.5, similarity_lower_bound=0.8, ratio_lower_bound=0.05,
+                               schedule_num_layers=6, bucket=32)
+        engine, res, ref = run_both(setup, seed=0, coherent=0.3, mode="fused",
+                                    pool_layers=1, ff_override=ff)
         got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
         assert got == ref["events"]
+        decoder_event_layers = {lay for lay, _, _ in ref["events"] if lay >= 0}
+        assert len(decoder_event_layers) >= 2, "scenario no longer spans multiple dispatches"
         assert res.valid_len == ref["final_len"]
+        # Per-layer cache raggedness: earlier-pool layers must reflect the
+        # FULL accumulated event log, not just the last dispatch's.
+        for l in range(cfg.num_layers):
+            k_ref, _ = ref["caches"][l]
+            assert res.layer_caches[l][2] == k_ref.shape[0], f"layer {l}"
         np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
+        got_toks = engine.generate_greedy(res, max_new_tokens=4)
+        ref_toks = ref_pipeline.ref_greedy_decode(ref, None, cfg, 4)
+        assert got_toks == ref_toks
 
 
 class TestSampling:
@@ -229,13 +247,40 @@ class TestPlannedMode:
         assert ours == theirs
 
     def test_too_tight_plan_falls_back(self, setup):
-        cfg, params, ff = setup
+        cfg, params, _ = setup
+        # bucket=16 so a 16-token plan is genuinely below the survivor count
+        # (the compressed length here is 32) — the fallback must fire.
+        ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75, ratio_lower_bound=0.05,
+                               schedule_num_layers=6, bucket=16)
         h, pt, pos, img_start, n_img = build_inputs(seed=0)
         engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
         res = engine.prefill_planned(h, pt, pos, 6, img_start, n_img, plan_len=ff.bucket)
         ref = ref_pipeline.ref_compressed_prefill(params, cfg, ff, h, pt, pos, 6, img_start, n_img)
+        assert res.valid_len > ff.bucket, "scenario no longer overflows the plan"
+        assert res.mode == "planned_fallback_fused"
         assert res.valid_len == ref["final_len"]
         np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
+
+    def test_deep_phase_falls_back(self, setup):
+        # A phase that exhausts its single KV pool with compression unfinished
+        # must fall back to the fused executor (the planned program would
+        # silently skip the remaining merge/prune events otherwise).
+        cfg, params, _ = setup
+        ff = FrameFusionConfig(cost=0.5, similarity_lower_bound=0.8, ratio_lower_bound=0.05,
+                               schedule_num_layers=6, bucket=32)
+        h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.3)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum", pool_layers=1)
+        res = engine.prefill(h, pt, pos, 6, img_start, n_img, mode="planned")
+        ref = ref_pipeline.ref_compressed_prefill(params, cfg, ff, h, pt, pos, 6, img_start, n_img)
+        assert res.mode == "planned_fallback_fused"
+        assert res.valid_len == ref["final_len"]
+        got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+        assert got == ref["events"]
+        np.testing.assert_allclose(np.asarray(res.logits), ref["logits"], rtol=2e-3, atol=2e-3)
+
+    def test_planned_mode_reported(self, setup):
+        _, res_p, _ = run_both(setup, seed=0, coherent=0.8, mode="planned")
+        assert res_p.mode == "planned"
 
 
 class TestHybridPreCompaction:
