@@ -11,13 +11,19 @@ asynchronous stubs (remote-relay execution); only a device->host read forces
 completion. Each path is therefore timed as N queued runs closed by a single
 forced logits read, with the measured read round-trip subtracted.
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
-where value = dense_prefill_ms / framefusion_prefill_ms and vs_baseline
-normalises by the reference's lower-bound LLM speedup claim (3.4x,
-reference README.md:13).
+Robustness contract (CLAUDE.md): this script prints exactly ONE JSON line
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+no matter what happens. Memory discipline on a 16 GB chip holding a ~13 GB
+random-init 7B: the dense timing path runs a logits-only program (the KV
+stacks are fori_loop carry and cannot be DCE'd — ``want_caches=False``), no
+path's result is kept alive across phases, the optional e2e phase runs dense
+then FrameFusion sequentially with buffers dropped in between, and a
+RESOURCE_EXHAUSTED in a required phase retries the whole measurement at a
+reduced geometry (smaller benchmark vocab — prefill speed is
+vocab-independent) before degrading to prefill-only.
 """
 
+import gc
 import json
 import os
 import sys
@@ -56,25 +62,25 @@ def build_video_prompt(rng, hidden, n_frames=64, patch_num=182, n_pre=35, n_post
     return h, patch_type, n_pre, n_img
 
 
-def main():
+def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
+    """One full measurement at the given geometry. Returns the record dict.
+    Raises on failure in a REQUIRED phase (dense/FF prefill timing); the
+    optional e2e phase degrades in-place."""
+    import functools
+
     import jax
     import jax.numpy as jnp
 
-    from framefusion_tpu.config import FrameFusionConfig, qwen2_7b_config
+    from framefusion_tpu.config import FrameFusionConfig, LLMConfig, qwen2_7b_config
     from framefusion_tpu.models import qwen2
     from framefusion_tpu.runtime.engine import CompressionEngine
 
-    backend = jax.default_backend()
-    # Benchmark geometry: Qwen2-7B decoder with benchmark-reduced vocab
-    # (prefill speed is vocab-independent; full 152k embeddings would not
-    # leave activation headroom on one 16 GB v5e chip).
     if backend == "cpu":
         cfg = qwen2_7b_config(vocab_size=4096, num_layers=4, hidden_size=512,
                               intermediate_size=1024, num_heads=8, num_kv_heads=2)
         n_frames, reps = 8, 1
     else:
-        cfg = qwen2_7b_config(vocab_size=32768)
-        n_frames, reps = 64, 5
+        cfg = qwen2_7b_config(vocab_size=vocab_size)
 
     ff = FrameFusionConfig(cost=0.3, similarity_lower_bound=0.6, ratio_lower_bound=0.1)
     params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
@@ -89,6 +95,7 @@ def main():
     # already-resident tensors).
     h = jax.device_put(jnp.asarray(h, cfg.dtype))
     jax.block_until_ready(h)
+    pos_dev = jax.device_put(jnp.asarray(pos))
 
     def force(x):
         return float(jnp.sum(x))  # device->host read: the only true barrier here
@@ -98,8 +105,19 @@ def main():
         force(jnp.zeros((4,), jnp.float32))
         return time.perf_counter() - t0
 
-    def run_dense():
-        return engine.dense_prefill(h, pos)
+    # Dense timing path: logits only — carrying the 28-layer full-S KV
+    # stacks through the loop costs ~0.7 GB we cannot afford next to the
+    # model (round-1 driver OOM, VERDICT item 1).
+    @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+    def dense_logits(params, embeds, pos, *, cfg: LLMConfig, attn_impl: str):
+        logits, _, _ = qwen2.dense_prefill(params, embeds, pos, cfg,
+                                           attn_impl=attn_impl, want_caches=False)
+        return logits
+
+    def run_dense_timing():
+        class R:  # duck-typed: timed() only touches .logits
+            logits = dense_logits(params, h, pos_dev, cfg=cfg, attn_impl=attn_impl)
+        return R
 
     def run_ff():
         return engine.prefill(h, patch_type, pos, patch_num=182,
@@ -121,41 +139,101 @@ def main():
         times.sort()
         return times[len(times) // 2], out
 
-    dense_t, dense_res = timed(run_dense, reps)
+    dense_t, _ = timed(run_dense_timing, reps)
     ff_t, res = timed(run_ff, reps)
+    detail = {
+        "backend": backend,
+        "seq_len": len(patch_type),
+        "vocab_size": cfg.vocab_size,
+        "dense_ms": round(dense_t * 1e3, 1),
+        "framefusion_ms": round(ff_t * 1e3, 1),
+        "prefill_tokens_per_s": round(len(patch_type) / ff_t, 1),
+        "vision_token_reduction": round(res.telemetry.vision_token_reduction, 3),
+        "final_tokens": res.valid_len,
+        "tail_start_layer": res.telemetry.tail_start_layer,
+        "events": [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events],
+    }
+    del res
+    gc.collect()
 
-    # End-to-end: prefill + 32 greedy tokens (single on-device decode scan).
-    def e2e(prefill_fn):
-        r = prefill_fn()
-        toks = engine.generate_greedy(r, max_new_tokens=32)
-        return toks
+    # End-to-end (optional): prefill + e2e_tokens greedy tokens, dense first
+    # then FrameFusion, nothing kept across the two. Failures here degrade
+    # the detail, never the headline.
+    if e2e_tokens:
+        try:
+            def e2e(prefill_fn):
+                r = prefill_fn()
+                toks = engine.generate_greedy(r, max_new_tokens=e2e_tokens)
+                del r, toks
 
-    e2e(run_ff)  # compile decode programs
-    e2e(run_dense)
-    t0 = time.perf_counter(); e2e(run_ff); ff_e2e = time.perf_counter() - t0
-    t0 = time.perf_counter(); e2e(run_dense); dense_e2e = time.perf_counter() - t0
+            def run_dense_full():
+                return engine.dense_prefill(h, pos)
+
+            e2e(run_dense_full)  # compile
+            t0 = time.perf_counter(); e2e(run_dense_full); dense_e2e = time.perf_counter() - t0
+            gc.collect()
+            e2e(run_ff)  # compile
+            t0 = time.perf_counter(); e2e(run_ff); ff_e2e = time.perf_counter() - t0
+            gc.collect()
+            detail.update({
+                "e2e_speedup": round(dense_e2e / ff_e2e, 3),
+                "e2e_new_tokens": e2e_tokens,
+                "e2e_dense_ms": round(dense_e2e * 1e3, 1),
+                "e2e_framefusion_ms": round(ff_e2e * 1e3, 1),
+            })
+        except Exception as e:  # noqa: BLE001 — e2e is best-effort
+            detail["e2e_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+            gc.collect()
 
     speedup = dense_t / ff_t
-    record = {
+    return {
         "metric": "llm_prefill_speedup_64frames",
         "value": round(speedup, 3),
         "unit": "x_vs_dense",
         "vs_baseline": round(speedup / 3.4, 3),
-        "detail": {
-            "backend": backend,
-            "seq_len": len(patch_type),
-            "dense_ms": round(dense_t * 1e3, 1),
-            "framefusion_ms": round(ff_t * 1e3, 1),
-            "prefill_tokens_per_s": round(len(patch_type) / ff_t, 1),
-            "e2e_speedup_32tok": round(dense_e2e / ff_e2e, 3),
-            "e2e_dense_ms": round(dense_e2e * 1e3, 1),
-            "e2e_framefusion_ms": round(ff_e2e * 1e3, 1),
-            "vision_token_reduction": round(res.telemetry.vision_token_reduction, 3),
-            "final_tokens": res.valid_len,
-            "tail_start_layer": res.telemetry.tail_start_layer,
-            "events": [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events],
-        },
+        "detail": detail,
     }
+
+
+def main():
+    import jax
+
+    backend = jax.default_backend()
+    # Degradation ladder: full geometry first; on a required-phase failure
+    # (e.g. RESOURCE_EXHAUSTED on a busier-than-expected chip) retry with a
+    # smaller benchmark vocab (prefill speed is vocab-independent; full 152k
+    # embeddings never fit anyway), then drop the optional e2e phase.
+    attempts = [
+        dict(vocab_size=32768, n_frames=64, reps=5, e2e_tokens=32),
+        dict(vocab_size=8192, n_frames=64, reps=5, e2e_tokens=32),
+        dict(vocab_size=8192, n_frames=64, reps=3, e2e_tokens=0),
+    ]
+    errors = []
+    record = None
+    for i, att in enumerate(attempts):
+        try:
+            record = measure(backend, **att)
+            break
+        except Exception as e:  # noqa: BLE001 — ladder must reach the JSON line
+            errors.append(f"attempt{i}({att['vocab_size']}v): {type(e).__name__}: {str(e)[:200]}")
+            gc.collect()
+            try:
+                jax.clear_caches()
+            except Exception:  # noqa: BLE001
+                pass
+        if backend == "cpu":
+            break  # CPU geometry is fixed; no point re-running the ladder
+
+    if record is None:
+        record = {
+            "metric": "llm_prefill_speedup_64frames",
+            "value": None,
+            "unit": "x_vs_dense",
+            "vs_baseline": None,
+            "detail": {"backend": backend, "errors": errors},
+        }
+    elif errors:
+        record["detail"]["degraded_from"] = errors
     print(json.dumps(record))
 
 

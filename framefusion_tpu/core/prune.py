@@ -6,10 +6,11 @@ probabilities the last query token(s) pay to every key over heads and query
 rows, keep the top-k image tokens (k chosen by the cost scheduler), and keep
 everything outside the image window untouched.
 
-The attention rows themselves are produced by the attention op (see
-ops/attention.py), which folds the last-``num_last_queries`` row softmax into
-the flash kernel epilogue instead of re-running attention like the reference's
-``framefusion/utils.py:27-57`` extractor.
+The attention rows themselves are produced by the attention op: the pallas
+resident-KV kernel folds the last-``num_last_queries`` row softmax into its
+epilogue (flash_causal_attention_importance), other paths compute just those
+rows as a small einsum — either way attention is never re-run in full like
+the reference's ``framefusion/utils.py:27-57`` extractor.
 """
 
 from __future__ import annotations

@@ -121,18 +121,35 @@ def layer_attention(
 
     Returns (h_out, k_cache, v_cache, importance-or-None). ``capture_num > 0``
     additionally emits the prune importance vector — the mean softmax mass the
-    last ``capture_num`` valid rows pay to each key (reference
-    models/qwen2/modeling_qwen2.py:166-178 recomputes attention for this;
-    here it is a cheap O(num·S·D) side computation / fused kernel epilogue).
+    last ``capture_num`` valid rows pay to each key (the reference recomputes
+    a full manual softmax for this, models/qwen2/modeling_qwen2.py:166-188).
+    On the pallas path in the resident-KV regime the capture is fused into
+    the flash kernel's epilogue (one kernel, zero extra HBM traffic); other
+    impls / the long-sequence blocked path compute only those rows as a
+    separate O(num·S·D) einsum (ops.attention.last_rows_importance).
     ``key_valid`` masks dead keys in the mask-only fused compression phase.
     """
     x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
     q, k, v = _project_qkv(lp, x, cfg)
     q, k = apply_rope(q, k, cos, sin)
-    attn = causal_attention(q, k, v, impl=attn_impl, key_valid=key_valid)
     importance = None
-    if capture_num:
-        importance = last_rows_importance(q, k, capture_num, valid_len, key_valid=key_valid)
+    if capture_num and attn_impl == "pallas":
+        from ..ops.kernels.flash_prefill import (
+            RESIDENT_KV_MAX_S,
+            flash_causal_attention_importance,
+        )
+
+        if h.shape[0] <= RESIDENT_KV_MAX_S:
+            attn, importance = flash_causal_attention_importance(
+                q, k, v, valid_len, capture_num, key_valid=key_valid
+            )
+        else:
+            attn = causal_attention(q, k, v, impl=attn_impl, key_valid=key_valid)
+            importance = last_rows_importance(q, k, capture_num, valid_len, key_valid=key_valid)
+    else:
+        attn = causal_attention(q, k, v, impl=attn_impl, key_valid=key_valid)
+        if capture_num:
+            importance = last_rows_importance(q, k, capture_num, valid_len, key_valid=key_valid)
     s = h.shape[0]
     h_out = h + attn.reshape(s, -1) @ lp["wo"]
     return h_out, k, v, importance
@@ -168,6 +185,7 @@ def run_layers(
     start_layer=0,
     stop_layer=None,
     attn_impl: str = "chunked",
+    want_caches: bool = True,
 ):
     """Run layers [start_layer, stop_layer) over ``h``; returns (h, k_all, v_all).
 
@@ -175,10 +193,25 @@ def run_layers(
     bounds lets the compressed prefill resume mid-stack at the
     post-compression bucket without one compiled program per resume depth.
     Cache entries for layers outside the range are zeros (unused).
+
+    ``want_caches=False`` (static) carries only the activations — the KV
+    stacks are loop carry and XLA cannot DCE them, so a logits-only caller
+    (e.g. bench timing of the dense path) must opt out explicitly to avoid
+    the L*S*Hk*hd*2 allocation; returns (h, None, None).
     """
     s = h.shape[0]
     hd = cfg.head_dim_
     stop_layer = cfg.num_layers if stop_layer is None else stop_layer
+
+    if not want_caches:
+        def body_h(l, h):
+            lp = layer_slice(params["layers"], l)
+            h, _, _, _ = layer_attention(lp, h, cos, sin, cfg, attn_impl=attn_impl)
+            return layer_mlp(lp, h, cfg)
+
+        h = jax.lax.fori_loop(start_layer, stop_layer, body_h, h)
+        return h, None, None
+
     k_all = jnp.zeros((cfg.num_layers, s, cfg.num_kv_heads, hd), cfg.dtype)
     v_all = jnp.zeros_like(k_all)
 
@@ -195,10 +228,12 @@ def run_layers(
     return h, k_all, v_all
 
 
-def dense_prefill(params: dict, input_embeds: jnp.ndarray, position_ids: jnp.ndarray, cfg: LLMConfig, *, attn_impl: str = "chunked"):
-    """Full dense prefill. Returns (logits_last, k_all, v_all)."""
+def dense_prefill(params: dict, input_embeds: jnp.ndarray, position_ids: jnp.ndarray, cfg: LLMConfig, *, attn_impl: str = "chunked", want_caches: bool = True):
+    """Full dense prefill. Returns (logits_last, k_all, v_all);
+    ``want_caches=False`` returns (logits_last, None, None) without
+    allocating the KV stacks (see run_layers)."""
     cos, sin = positions_cos_sin(position_ids, cfg)
-    h, k_all, v_all = run_layers(params, input_embeds, cos, sin, cfg, attn_impl=attn_impl)
+    h, k_all, v_all = run_layers(params, input_embeds, cos, sin, cfg, attn_impl=attn_impl, want_caches=want_caches)
     logits = final_logits(params, h[-1:], cfg)
     return logits[0], k_all, v_all
 

@@ -11,14 +11,17 @@ front, so inside prefill a plain causal mask is sufficient — a valid query at
 position i only attends j <= i, which are all valid. Padding rows produce
 well-defined garbage that is masked at the next event. The KV entries of
 padding slots are excluded from decode by per-layer cache lengths
-(runtime/kvcache.py).
+(runtime/engine.make_decode_state packs them into a padded pool with a
+per-layer ``cache_lens`` vector).
 
 Importance capture parity: the reference recomputes a manual softmax for the
 last ``num`` query rows when the prune layer is reached
 (/root/reference/framefusion/utils.py:27-57, models/qwen2/modeling_qwen2.py:
-166-178) — attention runs twice there. Here ``last_rows_importance`` computes
-only those rows (O(num * S * D)) and the Pallas kernel path fuses the rows
-into the main kernel's epilogue.
+166-188) — attention runs twice there. Here ``last_rows_importance`` computes
+only those rows (O(num * S * D)); on the pallas path in the resident-KV
+regime the rows are instead computed inside the flash kernel's epilogue
+(ops/kernels/flash_prefill.flash_causal_attention_importance, selected by
+models/qwen2.layer_attention).
 """
 
 from __future__ import annotations

@@ -221,6 +221,137 @@ def _flash_grouped(q, k, v, kv_mask, block_q, block_k, interpret, scale):
     return out.transpose(2, 0, 1, 3).reshape(sp, hq, d)
 
 
+def _flash_kernel_imp(vl_ref, q_ref, k_ref, v_ref, kvalid_ref, o_ref, imp_ref,
+                      *, block_q, block_k, scale, num):
+    """Resident-KV flash kernel with the prune-importance capture fused as a
+    true epilogue: after the online-softmax main loop, the query block that
+    contains the last ``num`` valid rows (positions [vl-num, vl)) replays its
+    KV walk — K is already VMEM-resident, zero extra HBM traffic — and writes
+    those rows' exact softmax probabilities exp(s - m_final)/l_final into a
+    per-head importance row. Replaces the reference's double-computed manual
+    softmax (/root/reference/framefusion/utils.py:27-57 +
+    models/qwen2/modeling_qwen2.py:166-188) with one kernel pass."""
+    iq = pl.program_id(1)
+    q = q_ref[0]
+    d = q.shape[-1]
+    q_start = iq * block_q
+    n_kv = (q_start + block_q + block_k - 1) // block_k
+
+    q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+    k_off = jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+
+    def scores(j):
+        k_start = j * block_k
+        kb = k_ref[0, pl.ds(k_start, block_k), :]
+        s = jax.lax.dot_general(
+            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale
+        kv_ok = kvalid_ref[0, pl.ds(k_start, block_k)] > 0
+        mask = (k_start + k_off <= q_pos) & kv_ok[None, :]
+        return jnp.where(mask, s, NEG_INF)
+
+    def body(j, carry):
+        m, l, acc = carry
+        s = scores(j)
+        vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc * alpha + pv
+
+    m0 = jnp.full((block_q, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((block_q, 1), jnp.float32)
+    acc0 = jnp.zeros((block_q, d), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+    o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+
+    # --- importance epilogue -------------------------------------------------
+    @pl.when(iq == 0)
+    def _():
+        imp_ref[0] = jnp.zeros_like(imp_ref[0])
+
+    vl = vl_ref[0]
+    row_global = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
+    row_mask = (row_global >= vl - num) & (row_global < vl)  # (block_q, 1)
+
+    @pl.when(jnp.any(row_mask))
+    def _():
+        inv_l = 1.0 / jnp.maximum(l, 1e-30)
+
+        def imp_body(j, _):
+            p = jnp.exp(scores(j) - m) * inv_l  # exact softmax probs
+            contrib = jnp.sum(jnp.where(row_mask, p, 0.0), axis=0)  # (block_k,)
+            ks = j * block_k
+            imp_ref[0, pl.ds(ks, block_k)] = imp_ref[0, pl.ds(ks, block_k)] + contrib
+            return 0
+
+        jax.lax.fori_loop(0, n_kv, imp_body, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("num", "block_q", "block_k", "interpret"))
+def flash_causal_attention_importance(
+    q, k, v, valid_len, num: int, key_valid=None,
+    block_q: int = 256, block_k: int = 1024, interpret: bool = False,
+):
+    """Causal GQA flash attention that ALSO returns the prune importance —
+    the mean softmax mass the last ``num`` valid query rows pay to each key
+    (fused epilogue; see _flash_kernel_imp). Resident-KV regime only
+    (S <= RESIDENT_KV_MAX_S); longer sequences use the separate
+    ops.attention.last_rows_importance computation.
+
+    Returns (out (S, Hq, D), importance (S,) fp32).
+    """
+    s, hq, d = q.shape
+    hk = k.shape[1]
+    g = hq // hk
+    scale = 1.0 / (d ** 0.5)
+    if key_valid is None:
+        key_valid = jnp.ones((s,), bool)
+
+    pad = (-s) % max(block_q, block_k)
+    if pad:
+        q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+        k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+        v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+        key_valid = jnp.pad(key_valid, (0, pad), constant_values=False)
+    sp = q.shape[0]
+
+    q_t = q.transpose(1, 0, 2)
+    k_t = k.transpose(1, 0, 2)
+    v_t = v.transpose(1, 0, 2)
+    kv_mask = key_valid.astype(jnp.int32)[None, :]
+    vl = jnp.asarray(valid_len, jnp.int32).reshape(1)
+
+    out, imp = pl.pallas_call(
+        functools.partial(_flash_kernel_imp, block_q=block_q, block_k=block_k,
+                          scale=scale, num=num),
+        grid=(hq, sp // block_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda h, i: (h // g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda h, i: (h // g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda h, i: (h, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hq, sp, d), q.dtype),
+            jax.ShapeDtypeStruct((hq, sp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(vl, q_t, k_t, v_t, kv_mask)
+    importance = imp.mean(axis=0) / num  # mean over heads and the num rows
+    return out.transpose(1, 0, 2)[:s], importance[:s]
+
+
 # Above this sequence length a whole head's K/V (2 * S * D * 2 bytes) no
 # longer comfortably fits VMEM alongside the working set; switch to the
 # KV-blocked grid.

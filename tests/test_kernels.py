@@ -139,3 +139,66 @@ class TestGroupedFlash:
         got = flash_causal_attention(q, k, v, key_valid=key_valid, block_q=128, block_k=128, interpret=True)
         live = np.asarray(key_valid)
         np.testing.assert_allclose(np.asarray(got)[live], np.asarray(ref)[live], rtol=2e-3, atol=2e-3)
+
+
+class TestFusedImportanceEpilogue:
+    """flash_causal_attention_importance: attention output AND prune
+    importance from one kernel, vs the separate reference computations."""
+
+    @pytest.mark.parametrize("num,valid_len", [(1, 512), (4, 500), (1, 300)])
+    def test_matches_separate_paths(self, num, valid_len):
+        from framefusion_tpu.ops.attention import last_rows_importance
+        from framefusion_tpu.ops.kernels.flash_prefill import (
+            flash_causal_attention_importance,
+        )
+
+        rng = np.random.default_rng(7)
+        s = 512
+        q, k, v = make_qkv(rng, s, 4, 2, 128)
+        out, imp = flash_causal_attention_importance(
+            q, k, v, jnp.int32(valid_len), num, block_q=128, block_k=128, interpret=True
+        )
+        ref_out = causal_attention_einsum(q, k, v)
+        ref_imp = last_rows_importance(q, k, num, jnp.int32(valid_len))
+        np.testing.assert_allclose(
+            np.asarray(out)[:valid_len], np.asarray(ref_out)[:valid_len], rtol=2e-3, atol=2e-3
+        )
+        np.testing.assert_allclose(np.asarray(imp), np.asarray(ref_imp), rtol=1e-4, atol=1e-6)
+
+    def test_key_valid_and_capture_rows_straddling_blocks(self, ):
+        from framefusion_tpu.ops.attention import last_rows_importance
+        from framefusion_tpu.ops.kernels.flash_prefill import (
+            flash_causal_attention_importance,
+        )
+
+        rng = np.random.default_rng(8)
+        s = 384
+        q, k, v = make_qkv(rng, s, 4, 2, 128)
+        key_valid = jnp.asarray(rng.random(s) > 0.3).at[0].set(True)
+        # valid_len=130 with num=4 puts capture rows 126..129 across the
+        # 128-row query-block boundary.
+        out, imp = flash_causal_attention_importance(
+            q, k, v, jnp.int32(130), 4, key_valid=key_valid,
+            block_q=128, block_k=128, interpret=True,
+        )
+        ref_imp = last_rows_importance(q, k, 4, jnp.int32(130), key_valid=key_valid)
+        np.testing.assert_allclose(np.asarray(imp), np.asarray(ref_imp), rtol=1e-4, atol=1e-6)
+
+    def test_prune_decision_parity(self):
+        # The downstream contract: top-k over the fused importance picks the
+        # same tokens as over the separate-einsum importance.
+        from framefusion_tpu.ops.attention import last_rows_importance
+        from framefusion_tpu.ops.kernels.flash_prefill import (
+            flash_causal_attention_importance,
+        )
+
+        rng = np.random.default_rng(9)
+        s, vl = 256, 220
+        q, k, v = make_qkv(rng, s, 4, 2, 128)
+        _, imp = flash_causal_attention_importance(
+            q, k, v, jnp.int32(vl), 1, block_q=128, block_k=128, interpret=True
+        )
+        ref_imp = last_rows_importance(q, k, 1, jnp.int32(vl))
+        got = np.argsort(-np.asarray(imp)[:vl], kind="stable")[:40]
+        want = np.argsort(-np.asarray(ref_imp)[:vl], kind="stable")[:40]
+        np.testing.assert_array_equal(got, want)
