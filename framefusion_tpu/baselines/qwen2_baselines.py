@@ -122,6 +122,33 @@ def _streamingllm_program(params, h, pos_tok, *, cfg: LLMConfig, init_num, windo
     return logits, k_all, v_all
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "init_num", "window"))
+def _streamingllm_program_pallas(params, h, pos_tok, *, cfg: LLMConfig, init_num, window):
+    """TPU-kernel StreamingLLM prefill: the O(S*window) sink kernel
+    (ops/kernels/sink_prefill — the minference.streaming_forward equivalent,
+    reference modeling_qwen2_baseline.py:691-705) inside a lax.scan over
+    layers. scan stacks the per-layer caches as outputs — carrying
+    preallocated (L, S, Hk, hd) stacks through a fori_loop costs real copies
+    (measured on the dense path; see bench.py want_caches note)."""
+    from ..ops.kernels.sink_prefill import sink_flash_attention
+
+    s = h.shape[0]
+    cos, sin = qwen2.positions_cos_sin(_pos_axes(pos_tok), cfg)
+
+    def body(hh, lp):
+        x = qwen2.rmsnorm(hh, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = qwen2._project_qkv(lp, x, cfg)
+        q, k = apply_rope(q, k, cos, sin)
+        attn = sink_flash_attention(q, k, v, init_num, window)
+        hh = hh + attn.reshape(s, -1) @ lp["wo"]
+        hh = qwen2.layer_mlp(lp, hh, cfg)
+        return hh, (k.astype(cfg.dtype), v.astype(cfg.dtype))
+
+    h, (k_all, v_all) = jax.lax.scan(body, h, params["layers"])
+    logits = qwen2.final_logits(params, h[-1:], cfg)[0]
+    return logits, k_all, v_all
+
+
 # ---------------------------------------------------------------------------
 # Fixed-schedule prefill merging (reference :860-1335): before each layer's
 # attention, merge the top int(sparsity_l * frame_tokens_l) most-similar
@@ -131,70 +158,96 @@ def _streamingllm_program(params, h, pos_tok, *, cfg: LLMConfig, init_num, windo
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "attn_impl", "patch_num", "weighted", "fastv_k", "keep_img_static"),
+    static_argnames=(
+        "cfg", "attn_impl", "patch_num", "weighted", "fastv_k", "keep_img_static",
+        "start_layer", "seg_len", "capture",
+    ),
 )
-def _merging_program(
-    params, h, pos_tok, patch_type, k_per_layer, valid0, img_start, img_len,
-    *, cfg: LLMConfig, attn_impl, patch_num, weighted: bool, fastv_k: int = -1,
-    keep_img_static: int = -1,
+def _merging_segment_program(
+    params, h, pos_tok, patch_type, weights, live, k_seg, n_entry, valid0,
+    img_start, img_len,
+    *, cfg: LLMConfig, attn_impl, patch_num, weighted: bool, fastv_k: int,
+    keep_img_static: int, start_layer: int, seg_len: int, capture: bool,
 ):
-    """Mask-only fixed-schedule merging, optionally with a FastV prune at the
-    static layer ``fastv_k`` (merge->FastV hybrid). Counts are static; dead
-    tokens stay masked (per-layer live masks give the ragged caches).
+    """One SEGMENT of the fixed-schedule merging stack: layers
+    [start_layer, start_layer+seg_len) at the current (compacted) bucket,
+    with KV pools sized (seg_len, bucket) instead of the whole stack at full
+    S. The fixed schedule makes every removal count static, so the host
+    compacts between segments with zero device syncs and per-layer cache
+    lengths are known ahead of time — this is the engine's phase-pool +
+    compacted-tail memory shape applied to the reference's
+    prefill_merge/merge->FastV/FastV->merge family
+    (modeling_qwen2_baseline.py:860-1335, :1339-2054, :2055-2618), which this
+    executor previously ran as one all-layer full-S program (3.4 GB of pools
+    at 7B/64f — round-1 OOM).
+
+    ``n_entry`` is the live count at segment entry (== the last live row's
+    index + 1: compaction packs live tokens to the front and trailing text
+    never dies), used for the importance-capture rows. ``fastv_k`` is the
+    ABSOLUTE layer index of the FastV prune (-1: none).
     """
     s = h.shape[0]
     cos, sin = qwen2.positions_cos_sin(_pos_axes(pos_tok), cfg)
     hd = cfg.head_dim_
-    k_pool = jnp.zeros((cfg.num_layers, s, cfg.num_kv_heads, hd), cfg.dtype)
+    k_pool = jnp.zeros((seg_len, s, cfg.num_kv_heads, hd), cfg.dtype)
     v_pool = jnp.zeros_like(k_pool)
-    cache_live = jnp.zeros((cfg.num_layers, s), bool)
+    cache_live = jnp.zeros((seg_len, s), bool)
 
-    def body(l, carry):
+    def body(i, carry):
         h, live, weights, k_pool, v_pool, cache_live = carry
-        # Merge at the layer input (the reference merges pre-QKV inside the
-        # attention forward, :942-985).
+        l = start_layer + i
         order, n_img = order_by_patch(patch_type, live, patch_num)
         sim = similarity_by_patch(h, patch_type, order, n_img)
-        marked = mark_topk(sim, k_per_layer[l])
+        marked = mark_topk(sim, k_seg[i])
         if weighted:
             h, weights, keep = apply_merge_weighted(h, weights, marked, order)
         else:
             h, keep = apply_merge(h, marked, order)
         live = live & keep
 
-        lp = qwen2.layer_slice(params["layers"], l)
+        lp = qwen2.layer_slice(params["layers"], jnp.int32(l))
         h, k, v, importance = qwen2.layer_attention(
             lp, h, cos, sin, cfg, attn_impl=attn_impl,
-            capture_num=1 if fastv_k >= 0 else 0, valid_len=valid0, key_valid=live,
+            capture_num=1 if capture else 0, valid_len=n_entry, key_valid=live,
         )
-        k_pool = jax.lax.dynamic_update_index_in_dim(k_pool, k.astype(cfg.dtype), l, 0)
-        v_pool = jax.lax.dynamic_update_index_in_dim(v_pool, v.astype(cfg.dtype), l, 0)
-        cache_live = jax.lax.dynamic_update_index_in_dim(cache_live, live, l, 0)
+        k_pool = jax.lax.dynamic_update_index_in_dim(k_pool, k.astype(cfg.dtype), i, 0)
+        v_pool = jax.lax.dynamic_update_index_in_dim(v_pool, v.astype(cfg.dtype), i, 0)
+        cache_live = jax.lax.dynamic_update_index_in_dim(cache_live, live, i, 0)
 
-        if fastv_k >= 0:
-            # FastV prune after layer fastv_k's attention, using that layer's
-            # captured last-row importance (merge->FastV, :1339-2054).
+        if capture and fastv_k >= 0:
             def prune(live):
                 live_rank = jnp.cumsum(live.astype(jnp.int32)) - 1
-                cur_img = img_len - (valid0 - jnp.sum(live))  # removed were image tokens
+                cur_img = img_len - (valid0 - jnp.sum(live))
                 in_window = live & (live_rank >= img_start) & (live_rank < img_start + cur_img)
                 score = jnp.where(in_window, importance, -jnp.inf)
-                keep_img = jnp.int32(keep_img_static)
-                return (live & ~in_window) | (in_window & (descending_rank(score) < keep_img))
+                return (live & ~in_window) | (
+                    in_window & (descending_rank(score) < jnp.int32(keep_img_static))
+                )
 
             live = jax.lax.cond(l == fastv_k, prune, lambda x: x, live)
         h = qwen2.layer_mlp(lp, h, cfg)
         return h, live, weights, k_pool, v_pool, cache_live
 
-    live0 = jnp.arange(s, dtype=jnp.int32) < valid0
-    weights0 = jnp.ones((s,), jnp.float32)
+    weights = weights if weighted else jnp.ones((s,), jnp.float32)
     h, live, weights, k_pool, v_pool, cache_live = jax.lax.fori_loop(
-        0, cfg.num_layers, body, (h, live0, weights0, k_pool, v_pool, cache_live)
+        0, seg_len, body, (h, live, weights, k_pool, v_pool, cache_live)
     )
-    # Final logits at the last original row (trailing text is never removed).
-    last = jax.lax.dynamic_slice_in_dim(h, valid0 - 1, 1, axis=0)
-    logits = qwen2.final_logits(params, last, cfg)[0]
-    return logits, live, k_pool, v_pool, cache_live
+    return h, live, weights, k_pool, v_pool, cache_live
+
+
+@functools.partial(jax.jit, static_argnames=("new_len",))
+def _compact_merging_state(h, pos_tok, patch_type, weights, live, new_valid, *, new_len: int):
+    out, _ = compact_tokens(
+        live, new_len, new_valid,
+        {"h": h, "pos": pos_tok, "patch_type": patch_type, "weights": weights},
+    )
+    return out["h"], out["pos"], out["patch_type"], out["weights"]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _final_logits_at(params, h, idx, *, cfg: LLMConfig):
+    last = jax.lax.dynamic_slice_in_dim(h, idx, 1, axis=0)
+    return qwen2.final_logits(params, last, cfg)[0]
 
 
 @functools.partial(
@@ -330,7 +383,11 @@ class BaselineEngine(CompressionEngine):
             init_num = self.kwargs.get("init_num", 8)
             length_rate = self.kwargs.get("length_rate", 0.3)
             window = int(length_rate * orig_len) - init_num
-            logits, k_all, v_all = _streamingllm_program(
+            program = (
+                _streamingllm_program_pallas if self.attn_impl == "pallas"
+                else _streamingllm_program
+            )
+            logits, k_all, v_all = program(
                 self.params, h, pos_tok, cfg=cfg, init_num=init_num, window=window,
             )
             caches = [(k_all[l], v_all[l], orig_len) for l in range(cfg.num_layers)]
@@ -375,7 +432,12 @@ class BaselineEngine(CompressionEngine):
             weighted = False
 
         # Static per-layer merge counts (and the token budget trajectory).
+        # Every removal count is host-known, so the per-layer cache lengths
+        # and all compaction buckets are too — the executor below never syncs.
         k_list, remaining = [], frame_tok
+        cache_len_at = []  # layer l's cache length: post-merge, pre-prune
+        len_end_of_layer = []  # live count once layer l is fully done
+        cur_total = orig_len
         for l in range(cfg.num_layers):
             if self.mode == "fastv_then_merge":
                 k_l = int(merging_sparsity * remaining) if l == fastv_k + 1 else 0
@@ -383,34 +445,68 @@ class BaselineEngine(CompressionEngine):
                 k_l = int(sparsity[l] * remaining)
             k_list.append(k_l)
             remaining -= k_l
+            cur_total -= k_l
             if k_l:
                 telemetry.events.append(CompressionEvent(
                     layer=l, kind="merge_fixed", tokens_removed=k_l,
-                    tokens_after=orig_len - (img_len - remaining),
+                    tokens_after=cur_total,
                 ))
+            cache_len_at.append(cur_total)
             if self.mode in ("merge_then_fastv", "fastv_then_merge") and l == fastv_k:
                 keep_img = _round(remaining * (1 - fastv_r))
                 removed = remaining - keep_img
                 remaining = keep_img
+                cur_total -= removed
                 telemetry.events.append(CompressionEvent(
                     layer=l, kind="fastv_prune", tokens_removed=removed,
-                    tokens_after=orig_len - (img_len - remaining),
+                    tokens_after=cur_total,
                 ))
+            len_end_of_layer.append(cur_total)
 
-        final_valid = orig_len - (img_len - remaining)
+        final_valid = cur_total
         keep_img_static = keep_img if self.mode in ("merge_then_fastv", "fastv_then_merge") else -1
+        use_fastv = keep_img_static >= 0
 
-        logits, live, k_pool, v_pool, cache_live = _merging_program(
-            self.params, h, pos_tok, pt, jnp.asarray(k_list, jnp.int32),
-            jnp.int32(orig_len), jnp.int32(img_start), jnp.int32(img_len),
-            cfg=cfg, attn_impl=self.attn_impl, patch_num=patch_num,
-            weighted=weighted, fastv_k=fastv_k if keep_img_static >= 0 else -1,
-            keep_img_static=keep_img_static,
-        )
+        # Segmented execution: pool_layers-deep KV pools at the CURRENT
+        # bucket, compaction between segments once the live count drops a
+        # bucket quantum (static schedule -> static buckets, no host reads).
+        seg = self.pool_layers
+        caches: list = [None] * cfg.num_layers
+        s_cur = h.shape[0]
+        live = jnp.arange(s_cur, dtype=jnp.int32) < orig_len
+        weights = jnp.ones((s_cur,), jnp.float32)
+        n_entry = orig_len  # live count at segment entry (== last live row + 1)
+        logits = None
+        for seg_start in range(0, cfg.num_layers, seg):
+            seg_end = min(seg_start + seg, cfg.num_layers)
+            capture = use_fastv and seg_start <= fastv_k < seg_end
+            h, live, weights, k_pool, v_pool, cache_live = _merging_segment_program(
+                self.params, h, pos_tok, pt, weights, live,
+                jnp.asarray(k_list[seg_start:seg_end], jnp.int32),
+                jnp.int32(n_entry), jnp.int32(orig_len),
+                jnp.int32(img_start), jnp.int32(img_len),
+                cfg=cfg, attn_impl=self.attn_impl, patch_num=patch_num,
+                weighted=weighted, fastv_k=fastv_k if capture else -1,
+                keep_img_static=keep_img_static, start_layer=seg_start,
+                seg_len=seg_end - seg_start, capture=capture,
+            )
+            k_packed, v_packed, _ = _pack_caches_program(k_pool, v_pool, cache_live)
+            for i, l in enumerate(range(seg_start, seg_end)):
+                caches[l] = (k_packed[i], v_packed[i], cache_len_at[l])
 
-        k_packed, v_packed, lens = _pack_caches_program(k_pool, v_pool, cache_live)
-        lens_np = np.asarray(lens)
-        caches = [(k_packed[l], v_packed[l], int(lens_np[l])) for l in range(cfg.num_layers)]
+            n_after = len_end_of_layer[seg_end - 1]
+            if seg_end >= cfg.num_layers:
+                logits = _final_logits_at(self.params, h, jnp.int32(n_entry - 1), cfg=cfg)
+                break
+            new_bucket = bucket_length(n_after, self.ff.bucket)
+            if new_bucket < s_cur:
+                h, pos_tok, pt, weights = _compact_merging_state(
+                    h, pos_tok, pt, weights, live, jnp.int32(n_after), new_len=new_bucket
+                )
+                s_cur = new_bucket
+                live = jnp.arange(s_cur, dtype=jnp.int32) < n_after
+                n_entry = n_after
+
         return logits, caches, final_valid
 
 

@@ -271,9 +271,13 @@ def _flash_kernel_imp(vl_ref, q_ref, k_ref, v_ref, kvalid_ref, o_ref, imp_ref,
     o_ref[0] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
 
     # --- importance epilogue -------------------------------------------------
-    @pl.when(iq == 0)
+    # The (8, S) accumulator block is constant across the whole grid (Pallas
+    # keeps it VMEM-resident, one writeback at the end), so contributions sum
+    # over heads in place; row 0 carries the data, rows 1-7 are tile padding
+    # (TPU block shapes need a sublane-multiple second-to-last dim).
+    @pl.when((pl.program_id(0) == 0) & (iq == 0))
     def _():
-        imp_ref[0] = jnp.zeros_like(imp_ref[0])
+        imp_ref[:] = jnp.zeros_like(imp_ref)
 
     vl = vl_ref[0]
     row_global = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
@@ -340,15 +344,15 @@ def flash_causal_attention_importance(
         ],
         out_specs=(
             pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sp), lambda h, i: (h, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((hq, sp, d), q.dtype),
-            jax.ShapeDtypeStruct((hq, sp), jnp.float32),
+            jax.ShapeDtypeStruct((8, sp), jnp.float32),
         ),
         interpret=interpret,
     )(vl, q_t, k_t, v_t, kv_mask)
-    importance = imp.mean(axis=0) / num  # mean over heads and the num rows
+    importance = imp[0] / (hq * num)  # mean over all heads and the num rows
     return out.transpose(1, 0, 2)[:s], importance[:s]
 
 

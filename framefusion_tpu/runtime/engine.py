@@ -87,6 +87,18 @@ def plan_length(orig_len: int, image_len: int, ff: FrameFusionConfig, assumed_ev
     return bucket_length(orig_len - image_len + math.ceil(image_len * d_max), ff.bucket)
 
 
+def pre_plan_length(orig_len: int, frame_token_num: int, ff: FrameFusionConfig,
+                    expected_first_merge: float = 0.25) -> int:
+    """Static bucket for the post-first-merge state in two-stage planned
+    mode. The layer-0 pre-attention merge typically removes 40-50% of the
+    image tokens at the default S_th (the paper's ~70% total reduction is
+    front-loaded there); ``expected_first_merge`` is deliberately
+    conservative — an under-coherent video whose first merge removes less
+    overflows the bucket and falls back to the adaptive executor (correct,
+    just slower), it never truncates silently."""
+    return bucket_length(orig_len - int(expected_first_merge * frame_token_num), ff.bucket)
+
+
 def _pos_axes(pos_tok: jnp.ndarray) -> jnp.ndarray:
     """(S, P) token-major positions -> positions_cos_sin layout."""
     return pos_tok[:, 0] if pos_tok.shape[1] == 1 else pos_tok.T
@@ -441,6 +453,75 @@ def _phase_program(
     return st
 
 
+@functools.partial(
+    jax.jit, static_argnames=("patch_num", "max_events", "schedule_num_layers", "plan_len")
+)
+def _pre_event_program(
+    h, pos_tok, patch_type, n_live, frame_tok, budget0, s_th, r_min,
+    *, patch_num: int, max_events: int, schedule_num_layers: int, plan_len: int,
+):
+    """Device-side layer-0 pre-attention merge event + compaction to a STATIC
+    plan bucket — the sync-free twin of the hybrid ``compact_pre_event`` path.
+
+    The first merge is typically the largest single shrink (reference
+    modeling_qwen2.py:44-47 fires it before any attention mixes frames), so
+    compacting here lets every phase layer run at the post-merge bucket with
+    no host read: the merge decision (threshold-vs-budget branch, fp32
+    schedule — reference main.py:113-127) and the schedule state the phase
+    program needs (sparsity/n_events/finish flags) are all computed on
+    device. If the surviving count exceeds ``plan_len`` the compaction would
+    truncate live tokens — the caller detects that post-hoc via the control
+    vector and falls back to the adaptive executor.
+
+    ``budget0`` is the first event's schedule budget, computed by the HOST
+    fp32 twin (the empty-sparsity-list case needs no device state): passing
+    the value in keeps the threshold-vs-cap decision bit-identical to the
+    other executors — recomputing it here let XLA reassociate the fp32 chain
+    differently across programs (observed: 0.59999996 vs 0.59999998 for
+    cost=0.4/L=6, flipping floor(budget*60) between 35 and 36).
+
+    Returns (h, pos, patch_type) compacted to ``plan_len``, the phase-entry
+    scalars, and a 6-float control vector
+    (k_marked, kind, above_ratio, budget, infeasible, n_after).
+    """
+    s = h.shape[0]
+    live = jnp.arange(s, dtype=jnp.int32) < n_live
+    budget = budget0
+    infeas = jnp.bool_(False)  # empty sparsity list: remaining = L*cost >= 0
+    order, n_img = order_by_patch(patch_type, live, patch_num)
+    sim = similarity_by_patch(h, patch_type, order, n_img)
+    count = jnp.sum(sim >= s_th).astype(jnp.int32)
+    ftok = frame_tok.astype(jnp.float32)
+    above = count.astype(jnp.float32) / ftok
+    threshold_branch = above < budget
+    k_capped = jnp.floor(budget * ftok).astype(jnp.int32)
+    k_marked = jnp.where(threshold_branch, count, k_capped)
+    marked = mark_topk(sim, k_marked)
+    merged, keep = apply_merge(h, marked, order)
+    keep = keep & live
+    n_new = n_live - k_marked
+    out, _ = compact_tokens(
+        keep, plan_len, n_new, {"h": merged, "pos": pos_tok, "patch_type": patch_type}
+    )
+    sparsity = jnp.where(
+        threshold_branch,
+        jnp.zeros((max_events,), jnp.float32).at[0].set(above),
+        jnp.zeros((max_events,), jnp.float32),
+    )
+    n_events = threshold_branch.astype(jnp.int32)
+    fm = (threshold_branch & (above < r_min)) | ~threshold_branch
+    fp = ~threshold_branch
+    kind = jnp.where(threshold_branch, EV_MERGE, EV_MERGE_CAPPED)
+    control = jnp.stack([
+        k_marked.astype(jnp.float32), kind.astype(jnp.float32), above, budget,
+        infeas.astype(jnp.float32), n_new.astype(jnp.float32),
+    ])
+    return (
+        out["h"], out["pos"], out["patch_type"],
+        n_new, frame_tok - k_marked, sparsity, n_events, fm, fp, control,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("new_len",))
 def _compact_state_program(h, pos_tok, patch_type, live, new_valid, *, new_len: int):
     """Single post-phase compaction: pack live tokens, slice to the bucket."""
@@ -561,10 +642,13 @@ class CompressionEngine:
                 image_token_start, image_token_length,
             )
         if mode == "planned":
+            orig = int(input_embeds.shape[0])
+            frame_tok = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
             return self.prefill_planned(
                 input_embeds, patch_type, position_ids, patch_num,
                 image_token_start, image_token_length,
-                plan_len=plan_length(int(input_embeds.shape[0]), image_token_length, self.ff),
+                plan_len=plan_length(orig, image_token_length, self.ff),
+                pre_plan_len=pre_plan_length(orig, frame_tok, self.ff),
             )
         assert mode == "segmented", mode
         return self._prefill_segmented(
@@ -764,19 +848,29 @@ class CompressionEngine:
         image_token_start: int,
         image_token_length: int,
         plan_len: Optional[int] = None,
+        pre_plan_len: Optional[int] = None,
     ) -> PrefillResult:
-        """Sync-free compressed prefill for serving pipelines: phase +
-        compaction to a STATIC plan bucket + tail composed into device-side
-        dispatches with no host read on the critical path (logits are
-        computable without any host decision). The single control read
-        happens afterwards, for telemetry/caches, overlapping the tail.
+        """Sync-free compressed prefill for serving pipelines: [pre-event
+        merge + compaction to a STATIC pre-plan bucket +] phase + compaction
+        to a STATIC plan bucket + tail, composed into device-side dispatches
+        with no host read on the critical path (logits are computable without
+        any host decision). The control reads happen afterwards, for
+        telemetry/caches, overlapping the tail.
 
         ``plan_len`` defaults to the full input bucket (always sufficient;
         the tail then runs at the uncompressed bucket length, trading tail
         FLOPs for zero adaptivity). Pass a tighter plan (e.g. from
-        ``plan_length``) to recover the compressed-tail speed; if the actual
-        survivor count exceeds it, this falls back to the fused adaptive
-        path.
+        ``plan_length``) to recover the compressed-tail speed.
+
+        ``pre_plan_len`` (e.g. from ``pre_plan_length``) additionally runs
+        the layer-0 pre-attention merge as its own device program and
+        compacts to that bucket BEFORE the phase — every phase layer then
+        runs at the post-first-merge length instead of full S, still with
+        zero host reads (the sync-free twin of ``compact_pre_event``).
+
+        If any actual survivor count exceeds its plan bucket, or the phase
+        exits with compression unfinished, this falls back to the fused
+        adaptive path (result.mode == "planned_fallback_fused").
         """
         cfg, ff = self.cfg, self.ff
         h, pt, pos_tok, orig_len = self._prep_inputs(input_embeds, patch_type, position_ids)
@@ -784,32 +878,91 @@ class CompressionEngine:
         plan_len = s_b if plan_len is None else max(plan_len, ff.bucket)
         telemetry = PrefillTelemetry(original_length=orig_len, image_token_length=image_token_length)
 
-        live = jnp.arange(s_b, dtype=jnp.int32) < orig_len
         frame_tok0 = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
         max_events = ff.schedule_num_layers
-        st = _phase_program(
-            self.params, h, pos_tok, pt, live, jnp.int32(orig_len),
-            jnp.int32(frame_tok0), jnp.int32(orig_len), jnp.int32(orig_len),
-            jnp.int32(image_token_start),
-            jnp.int32(image_token_length), jnp.zeros((max_events,), jnp.float32),
-            jnp.int32(0), jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
-            jnp.float32(ff.cost), jnp.float32(ff.similarity_lower_bound),
-            jnp.float32(ff.ratio_lower_bound),
+        phase_common = dict(
             cfg=cfg, attn_impl=self.attn_impl, capture_num=ff.num_importance_queries,
             patch_num=patch_num, max_events=max_events,
             pool_layers=min(self.pool_layers, cfg.num_layers),
-            include_pre_event=True, schedule_num_layers=ff.schedule_num_layers,
+            schedule_num_layers=ff.schedule_num_layers,
         )
+
+        def fallback():
+            res = self._prefill_fused(
+                input_embeds, patch_type, position_ids, patch_num,
+                image_token_start, image_token_length,
+            )
+            res.mode = "planned_fallback_fused"
+            return res
+
+        pre_ctl = None
+        two_stage = pre_plan_len is not None and ff.bucket <= pre_plan_len < s_b
+        if two_stage:
+            # The phase runs at the pre-plan bucket; survivors only shrink
+            # from there, so the final compaction never needs to be larger.
+            plan_len = min(plan_len, pre_plan_len)
+            budget0 = compute_pruning_ratio([], ff.cost, ff.schedule_num_layers)
+            h1, pos1, pt1, n_live_d, frame_tok_d, sparsity_d, n_events_d, fm_d, fp_d, pre_ctl_dev = (
+                _pre_event_program(
+                    h, pos_tok, pt, jnp.int32(orig_len), jnp.int32(frame_tok0),
+                    jnp.float32(budget0), jnp.float32(ff.similarity_lower_bound),
+                    jnp.float32(ff.ratio_lower_bound),
+                    patch_num=patch_num, max_events=max_events,
+                    schedule_num_layers=ff.schedule_num_layers, plan_len=pre_plan_len,
+                )
+            )
+            live1 = jnp.arange(pre_plan_len, dtype=jnp.int32) < n_live_d
+            st = _phase_program(
+                self.params, h1, pos1, pt1, live1, n_live_d, frame_tok_d,
+                jnp.int32(orig_len), n_live_d, jnp.int32(image_token_start),
+                jnp.int32(image_token_length), sparsity_d, n_events_d, fm_d, fp_d,
+                jnp.int32(0), jnp.float32(ff.cost),
+                jnp.float32(ff.similarity_lower_bound), jnp.float32(ff.ratio_lower_bound),
+                include_pre_event=False, **phase_common,
+            )
+            pos_for_compact, pt_for_compact = pos1, pt1
+        else:
+            live = jnp.arange(s_b, dtype=jnp.int32) < orig_len
+            st = _phase_program(
+                self.params, h, pos_tok, pt, live, jnp.int32(orig_len),
+                jnp.int32(frame_tok0), jnp.int32(orig_len), jnp.int32(orig_len),
+                jnp.int32(image_token_start),
+                jnp.int32(image_token_length), jnp.zeros((max_events,), jnp.float32),
+                jnp.int32(0), jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
+                jnp.float32(ff.cost), jnp.float32(ff.similarity_lower_bound),
+                jnp.float32(ff.ratio_lower_bound),
+                include_pre_event=True, **phase_common,
+            )
+            pos_for_compact, pt_for_compact = pos_tok, pt
+
         # Device-side composition: no host values needed below this line.
         h2, pos2, pt2 = _compact_state_program(
-            st["h"], pos_tok, pt, st["live"], st["n_live"], new_len=plan_len
+            st["h"], pos_for_compact, pt_for_compact, st["live"], st["n_live"], new_len=plan_len
         )
         logits, k_tail, v_tail = _tail_program(
             self.params, st["layer"], h2, pos2, st["n_live"],
             cfg=cfg, attn_impl=self.attn_impl,
         )
 
-        # Post-hoc control read (telemetry + cache bookkeeping).
+        # Post-hoc control reads (telemetry + cache bookkeeping), off the
+        # logits' critical path — they overlap the tail's execution.
+        kind_names = {EV_MERGE: "merge", EV_MERGE_CAPPED: "merge_capped", EV_PRUNE: "prune"}
+        valid = orig_len  # live count entering the phase program
+        if two_stage:
+            pre_ctl = np.asarray(pre_ctl_dev)
+            if bool(pre_ctl[4]):
+                raise CostInfeasibleError("The cost is too small")
+            n_after_pre = int(pre_ctl[5])
+            if n_after_pre > pre_plan_len:
+                return fallback()  # pre-plan too tight: compaction would truncate
+            pre_removed = int(pre_ctl[0])
+            telemetry.events.append(CompressionEvent(
+                layer=-1, kind=kind_names[int(pre_ctl[1])], tokens_removed=pre_removed,
+                tokens_after=orig_len - pre_removed, above_ratio=float(pre_ctl[2]),
+                budget=float(pre_ctl[3]), bucket=pre_plan_len,
+            ))
+            valid = n_after_pre
+
         packed = np.asarray(st["control"])
         n_ev_slots = max_events + 2
         layer_end = int(packed[0])
@@ -821,19 +974,13 @@ class CompressionEngine:
             # Plan too tight, or the phase exhausted its single KV pool with
             # compression unfinished (fm/fp not both set — the remaining
             # merge/prune events would be silently skipped): adaptive fallback.
-            res = self._prefill_fused(
-                input_embeds, patch_type, position_ids, patch_num,
-                image_token_start, image_token_length,
-            )
-            res.mode = "planned_fallback_fused"
-            return res
+            return fallback()
         off = 7 + max_events
         ev_layer = packed[off : off + n_ev_slots]
         ev_kind = packed[off + n_ev_slots : off + 2 * n_ev_slots]
         ev_removed = packed[off + 2 * n_ev_slots : off + 3 * n_ev_slots]
         n_ev = int(packed[5])
-        kind_names = {EV_MERGE: "merge", EV_MERGE_CAPPED: "merge_capped", EV_PRUNE: "prune"}
-        tokens_after = orig_len
+        tokens_after = valid
         for i in range(n_ev):
             tokens_after -= int(ev_removed[i])
             telemetry.events.append(CompressionEvent(
@@ -843,7 +990,7 @@ class CompressionEngine:
         telemetry.sparsity_list = [float(x) for x in packed[7 : 7 + int(packed[6])]]
 
         def phase_cache_len(l: int) -> int:
-            return orig_len - int(sum(int(r) for lay, r in zip(ev_layer[:n_ev], ev_removed[:n_ev]) if lay < l))
+            return valid - int(sum(int(r) for lay, r in zip(ev_layer[:n_ev], ev_removed[:n_ev]) if lay < l))
 
         k_packed, v_packed, _ = _pack_caches_program(st["k_pool"], st["v_pool"], st["cache_live"])
         layer_caches: list = [None] * cfg.num_layers

@@ -1,0 +1,251 @@
+"""TPU kernel microbenchmarks: attention variants at the compressed-prefill
+geometries, plus engine phase/tail breakdown. Run on the chip to guide kernel
+tuning (one TPU process at a time — see DEVNOTES.md).
+
+Usage: python scripts/kernel_bench.py [--what attn|engine|all]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import time
+
+import common  # noqa: F401  (sys.path + compile cache)
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def force(x):
+    return float(jnp.sum(x))
+
+
+def read_overhead():
+    t0 = time.perf_counter()
+    force(jnp.zeros((4,), jnp.float32))
+    return time.perf_counter() - t0
+
+
+def timeit(fn, reps=20, rounds=3):
+    fn()  # compile
+    force(fn())
+    ovh = read_overhead()
+    ts = []
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(reps):
+            out = fn()
+        force(out)
+        ts.append(max((time.perf_counter() - t0 - ovh) / reps, 1e-9))
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def attn_flops(s, hq, d):
+    # causal half: QK^T + PV
+    return 2 * 2 * hq * s * s * d / 2
+
+
+def bench_attention():
+    from framefusion_tpu.ops.attention import causal_attention_chunked
+    from framefusion_tpu.ops.kernels.flash_prefill import (
+        _flash_blocked,
+        _flash_grouped,
+        flash_causal_attention,
+    )
+
+    rng = np.random.default_rng(0)
+    hq, hk, d = 28, 4, 128
+    for s in (3328, 3456, 6656, 11776):
+        q = jnp.asarray(rng.standard_normal((s, hq, d)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((s, hk, d)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((s, hk, d)), jnp.bfloat16)
+        fl = attn_flops(s, hq, d)
+        print(f"--- S={s} (Hq={hq}, Hk={hk}, D={d}); causal flops={fl/1e9:.1f} GF")
+
+        t = timeit(lambda: flash_causal_attention(q, k, v))
+        print(f"  default dispatch            : {t*1e3:7.2f} ms  {fl/t/1e12:6.1f} TF/s")
+
+        g = hq // hk
+        kv_mask = jnp.ones((1, s), jnp.int32)
+        for bq, bk in ((128, 512), (256, 512), (256, 1024), (512, 512), (512, 1024)):
+            if s % bq or s % bk:
+                continue
+            try:
+                f = jax.jit(functools.partial(_flash_grouped, block_q=bq, block_k=bk,
+                                              interpret=False, scale=1.0 / d ** 0.5))
+                t = timeit(lambda: f(q, k, v, kv_mask))
+                print(f"  grouped bq={bq:4d} bk={bk:4d}    : {t*1e3:7.2f} ms  {fl/t/1e12:6.1f} TF/s")
+            except Exception as e:
+                print(f"  grouped bq={bq:4d} bk={bk:4d}    : FAIL {type(e).__name__} {str(e)[:80]}")
+
+        q_t = q.transpose(1, 0, 2); k_t = k.transpose(1, 0, 2); v_t = v.transpose(1, 0, 2)
+        for bq, bk in ((512, 1024), (512, 2048), (256, 1024)):
+            if s % bq or s % bk:
+                continue
+            try:
+                f = jax.jit(functools.partial(_flash_blocked, block_q=bq, block_k=bk,
+                                              interpret=False, scale=1.0 / d ** 0.5))
+                t = timeit(lambda: f(q_t, k_t, v_t, kv_mask))
+                print(f"  kv-blocked bq={bq:4d} bk={bk:4d} : {t*1e3:7.2f} ms  {fl/t/1e12:6.1f} TF/s")
+            except Exception as e:
+                print(f"  kv-blocked bq={bq:4d} bk={bk:4d} : FAIL {type(e).__name__} {str(e)[:80]}")
+
+        t = timeit(lambda: causal_attention_chunked(q, k, v))
+        print(f"  xla chunked                 : {t*1e3:7.2f} ms  {fl/t/1e12:6.1f} TF/s")
+
+
+def bench_engine():
+    """Breakdown of the FF prefill at bench geometry: phase / compact / tail."""
+    import sys
+
+    sys.path.insert(0, "..")
+    import bench as benchmod
+    from framefusion_tpu.config import FrameFusionConfig, qwen2_7b_config
+    from framefusion_tpu.models import qwen2
+    from framefusion_tpu.runtime import engine as eng
+
+    cfg = qwen2_7b_config(vocab_size=8192)
+    ff = FrameFusionConfig(cost=0.3, similarity_lower_bound=0.6, ratio_lower_bound=0.1)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    h_np, patch_type, img_start, n_img = benchmod.build_video_prompt(rng, cfg.hidden_size, n_frames=64)
+    pos = np.arange(len(patch_type), dtype=np.int32)
+    e = eng.CompressionEngine(params, cfg, ff, attn_impl="pallas")
+    h = jax.device_put(jnp.asarray(h_np, cfg.dtype))
+
+    # --- end-to-end prefill variants. reps=1 and force BOTH logits and a
+    # phase-layer cache buffer: chained unforced reps can be elided through
+    # the relay (observed: chained fused reps measured below their own tail's
+    # cost), so every timing here is a fully-materialised single run.
+    def force_res(r):
+        force(r.logits)
+        force(r.layer_caches[0][0])
+        force(r.layer_caches[-1][0])
+        return r.logits
+
+    t_fused = timeit(lambda: force_res(e.prefill(h, patch_type, pos, 182, img_start, n_img)), reps=1)
+    print(f"fused prefill               : {t_fused*1e3:8.1f} ms")
+    t_planned1 = timeit(lambda: force_res(e.prefill_planned(h, patch_type, pos, 182, img_start, n_img,
+                                                  plan_len=3456)), reps=1)
+    print(f"planned (1-stage, plan 3456): {t_planned1*1e3:8.1f} ms")
+    for pre in (8832, 7680, 6656):
+        t2 = timeit(lambda: force_res(e.prefill_planned(h, patch_type, pos, 182, img_start, n_img,
+                                              plan_len=3456, pre_plan_len=pre)), reps=1)
+        res = e.prefill_planned(h, patch_type, pos, 182, img_start, n_img,
+                                plan_len=3456, pre_plan_len=pre)
+        print(f"planned (2-stage, pre {pre}): {t2*1e3:8.1f} ms   mode={res.mode}")
+
+    # dense, single-run, logits-only vs with caches
+    import functools as ft
+
+    @ft.partial(jax.jit, static_argnames=("cfg", "attn_impl", "want"))
+    def dense_var(params, embeds, pos_t, *, cfg, attn_impl, want):
+        lg, ka, va = qwen2.dense_prefill(params, embeds, pos_t, cfg,
+                                         attn_impl=attn_impl, want_caches=want)
+        return (lg, ka, va) if want else lg
+
+    pos_dev = jnp.asarray(pos)
+    t_dl = timeit(lambda: dense_var(params, h, pos_dev, cfg=cfg, attn_impl="pallas", want=False), reps=1)
+    print(f"dense logits-only (1 run)   : {t_dl*1e3:8.1f} ms")
+
+    def dense_full():
+        lg, ka, va = dense_var(params, h, pos_dev, cfg=cfg, attn_impl="pallas", want=True)
+        force(ka[0]); force(ka[-1])
+        return lg
+    t_df = timeit(dense_full, reps=1)
+    print(f"dense with caches (1 run)   : {t_df*1e3:8.1f} ms")
+
+    res = e.prefill(h, patch_type, pos, 182, img_start, n_img)
+    print("events:", [(ev.layer, ev.kind, ev.tokens_removed) for ev in res.telemetry.events],
+          "final:", res.valid_len)
+
+    # --- pieces
+    hp, ptp, post, orig = e._prep_inputs(h, patch_type, pos)
+    frame_tok = int(np.sum(patch_type != -1))
+    from framefusion_tpu.core.schedule import compute_pruning_ratio
+
+    budget0 = compute_pruning_ratio([], ff.cost, ff.schedule_num_layers)
+    t_pre = timeit(lambda: eng._pre_event_program(
+        hp, post, ptp, jnp.int32(orig), jnp.int32(frame_tok), jnp.float32(budget0),
+        jnp.float32(ff.similarity_lower_bound), jnp.float32(ff.ratio_lower_bound),
+        patch_num=182, max_events=ff.schedule_num_layers,
+        schedule_num_layers=ff.schedule_num_layers, plan_len=7680)[0], reps=5)
+    print(f"pre-event program (full S)  : {t_pre*1e3:8.1f} ms")
+
+    # tail: dynamic-start fori_loop (current) vs static-start scan (prototype)
+    s_small = 3328
+    h2 = jnp.zeros((s_small, cfg.hidden_size), cfg.dtype)
+    pos2 = jnp.zeros((s_small, 1), jnp.int32)
+    def force_tail(out):
+        lg, ka, va = out
+        force(lg); force(ka[0] if ka.ndim == 4 else ka)
+        return lg
+
+    t_tail = timeit(lambda: force_tail(eng._tail_program(params, jnp.int32(2), h2, pos2,
+                                              jnp.int32(3314), cfg=cfg, attn_impl="pallas")), reps=1)
+    print(f"tail fori dynamic-start     : {t_tail*1e3:8.1f} ms")
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "start_layer"))
+    def tail_scan(params, h, pos_tok, valid_len, *, cfg, attn_impl, start_layer):
+        # Gather one layer's params per step (tree.map(a[start:]) would COPY
+        # 26/28 of the weights — 12 GB); scan ys stack the caches.
+        cos, sin = qwen2.positions_cos_sin(eng._pos_axes(pos_tok), cfg)
+
+        def body(hh, l):
+            lp = qwen2.layer_slice(params["layers"], l)
+            hh, k, v, _ = qwen2.layer_attention(lp, hh, cos, sin, cfg, attn_impl=attn_impl)
+            hh = qwen2.layer_mlp(lp, hh, cfg)
+            return hh, (k.astype(cfg.dtype), v.astype(cfg.dtype))
+
+        hh, (k_all, v_all) = jax.lax.scan(
+            body, h, jnp.arange(start_layer, cfg.num_layers, dtype=jnp.int32))
+        last = jax.lax.dynamic_slice_in_dim(hh, valid_len - 1, 1, axis=0)
+        return qwen2.final_logits(params, last, cfg)[0], k_all, v_all
+
+    t_tails = timeit(lambda: force_tail(tail_scan(params, h2, pos2, jnp.int32(3314),
+                                       cfg=cfg, attn_impl="pallas", start_layer=2)), reps=1)
+    print(f"tail scan static-start      : {t_tails*1e3:8.1f} ms")
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+    def tail_logits_only(params, h, pos_tok, valid_len, start_layer, *, cfg, attn_impl):
+        cos, sin = qwen2.positions_cos_sin(eng._pos_axes(pos_tok), cfg)
+
+        def body(l, hh):
+            lp = qwen2.layer_slice(params["layers"], l)
+            hh, _, _, _ = qwen2.layer_attention(lp, hh, cos, sin, cfg, attn_impl=attn_impl)
+            return qwen2.layer_mlp(lp, hh, cfg)
+
+        hh = jax.lax.fori_loop(start_layer, cfg.num_layers, body, h)
+        last = jax.lax.dynamic_slice_in_dim(hh, valid_len - 1, 1, axis=0)
+        return qwen2.final_logits(params, last, cfg)[0]
+
+    t_tl = timeit(lambda: tail_logits_only(params, h2, pos2, jnp.int32(3314), jnp.int32(2),
+                                           cfg=cfg, attn_impl="pallas"), reps=1)
+    print(f"tail logits-only fori       : {t_tl*1e3:8.1f} ms")
+
+    # cache pack
+    k_pool = jnp.zeros((8, 11776, cfg.num_kv_heads, cfg.head_dim_), cfg.dtype)
+    live_rows = jnp.ones((8, 11776), bool)
+    t_pack = timeit(lambda: eng._pack_caches_program(k_pool, k_pool, live_rows)[0], reps=5)
+    print(f"pack caches (8 layers)      : {t_pack*1e3:8.1f} ms")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--what", default="all", choices=["attn", "engine", "all"])
+    args = ap.parse_args()
+    print("backend:", jax.default_backend())
+    if args.what in ("attn", "all"):
+        bench_attention()
+    if args.what in ("engine", "all"):
+        bench_engine()
+
+
+if __name__ == "__main__":
+    main()

@@ -282,6 +282,51 @@ class TestPlannedMode:
         _, res_p, _ = run_both(setup, seed=0, coherent=0.8, mode="planned")
         assert res_p.mode == "planned"
 
+    def test_two_stage_pre_plan_matches_fused(self, setup):
+        # Explicit pre_plan_len: pre-event merge + compaction to a static
+        # bucket on device (no host sync), then the phase at that bucket.
+        # Multi-event trajectory so phase events run on pre-compacted state.
+        cfg, params, _ = setup
+        ff = FrameFusionConfig(cost=0.5, similarity_lower_bound=0.8, ratio_lower_bound=0.05,
+                               schedule_num_layers=6, bucket=32)
+        h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.3)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res_f = engine.prefill(h, pt, pos, 6, img_start, n_img, mode="fused")
+        res_p = engine.prefill_planned(h, pt, pos, 6, img_start, n_img,
+                                       plan_len=64, pre_plan_len=64)
+        assert res_p.mode == "planned"
+        assert res_p.valid_len == res_f.valid_len
+        got = [(e.layer, e.kind, e.tokens_removed) for e in res_p.telemetry.events]
+        want = [(e.layer, e.kind, e.tokens_removed) for e in res_f.telemetry.events]
+        assert got == want
+        np.testing.assert_allclose(np.asarray(res_p.logits), np.asarray(res_f.logits),
+                                   rtol=2e-3, atol=2e-3)
+        for l, ((k_p, _, len_p), (k_f, _, len_f)) in enumerate(
+            zip(res_p.layer_caches, res_f.layer_caches)
+        ):
+            assert len_p == len_f, f"layer {l}"
+        ours = engine.generate_greedy(res_p, max_new_tokens=5)
+        res_f2 = engine.prefill(h, pt, pos, 6, img_start, n_img, mode="fused")
+        theirs = engine.generate_greedy(res_f2, max_new_tokens=5)
+        assert ours == theirs
+
+    def test_two_stage_pre_plan_overflow_falls_back(self, setup):
+        # A pre-plan bucket below the post-first-merge count must fall back
+        # (compaction would silently truncate live tokens otherwise).
+        cfg, params, _ = setup
+        ff = FrameFusionConfig(cost=0.5, similarity_lower_bound=0.8, ratio_lower_bound=0.05,
+                               schedule_num_layers=6, bucket=32)
+        h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.3)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res_f = engine.prefill(h, pt, pos, 6, img_start, n_img, mode="fused")
+        # first merge removes 20 of 67 -> 47 survivors; bucket 32 overflows
+        res_p = engine.prefill_planned(h, pt, pos, 6, img_start, n_img,
+                                       plan_len=96, pre_plan_len=32)
+        assert res_p.mode == "planned_fallback_fused"
+        assert res_p.valid_len == res_f.valid_len
+        np.testing.assert_allclose(np.asarray(res_p.logits), np.asarray(res_f.logits),
+                                   rtol=2e-3, atol=2e-3)
+
 
 class TestHybridPreCompaction:
     def test_hybrid_matches_default(self, setup):

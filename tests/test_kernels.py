@@ -202,3 +202,42 @@ class TestFusedImportanceEpilogue:
         got = np.argsort(-np.asarray(imp)[:vl], kind="stable")[:40]
         want = np.argsort(-np.asarray(ref_imp)[:vl], kind="stable")[:40]
         np.testing.assert_array_equal(got, want)
+
+
+class TestSinkPrefillKernel:
+    """sink_flash_attention vs the XLA chunked sink mask (which itself is
+    pinned to reference minference semantics in test_baselines)."""
+
+    @pytest.mark.parametrize("s,init,window", [(512, 8, 100), (640, 8, 200), (512, 0, 64), (384, 130, 90)])
+    def test_matches_chunked_sink(self, s, init, window):
+        from framefusion_tpu.ops.attention import causal_attention_chunked
+        from framefusion_tpu.ops.kernels.sink_prefill import sink_flash_attention
+
+        rng = np.random.default_rng(11)
+        q, k, v = make_qkv(rng, s, 4, 2, 128)
+        ref = causal_attention_chunked(q, k, v, sink=(init, window))
+        got = sink_flash_attention(q, k, v, init, window, block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_window_covering_everything_matches_dense(self):
+        from framefusion_tpu.ops.kernels.sink_prefill import sink_flash_attention
+
+        rng = np.random.default_rng(12)
+        s = 256
+        q, k, v = make_qkv(rng, s, 4, 2, 128)
+        ref = causal_attention_einsum(q, k, v)
+        got = sink_flash_attention(q, k, v, 0, s, block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_sink_window_overlap_counts_once(self):
+        # Early queries: (q - window, q] overlaps [0, init) — keys must not
+        # be double-counted across the sink and window visit loops.
+        from framefusion_tpu.ops.attention import causal_attention_chunked
+        from framefusion_tpu.ops.kernels.sink_prefill import sink_flash_attention
+
+        rng = np.random.default_rng(13)
+        s = 384
+        q, k, v = make_qkv(rng, s, 2, 2, 128)
+        ref = causal_attention_chunked(q, k, v, sink=(64, 300))
+        got = sink_flash_attention(q, k, v, 64, 300, block_q=128, block_k=128, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
