@@ -82,6 +82,7 @@ class RefModel:
         importance = None
         if capture_num:
             importance = probs[:, -capture_num:, :].mean(axis=(0, 1))
+            self.last_capture_probs = probs[:, -capture_num:, :]  # (H, num, S)
         return h_out, k, v, importance
 
     def layer_mlp(self, l, h):
