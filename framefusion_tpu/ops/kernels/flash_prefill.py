@@ -405,8 +405,12 @@ def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k:
 
     if g > 1 and sp <= GROUPED_MAX_S:
         # Small-sequence regime (the compressed tail): amortize grid-step
-        # overhead across the KV group. Modest score tiles keep VMEM safe.
-        return _flash_grouped(q, k, v, kv_mask, min(block_q, 256), min(block_k, 512), interpret, scale)[:s]
+        # overhead across the KV group. Score tiles of (G*bq, bk) fp32 must
+        # coexist with the resident K/V — above 4k keys, bq=128 keeps the
+        # scoped VMEM under the 16 MB limit (measured OOM by 456 KB at
+        # S=5120/bq=256) and is no slower there (kernel microbench).
+        bq = 256 if sp <= 4096 else 128
+        return _flash_grouped(q, k, v, kv_mask, min(block_q, bq), min(block_k, 512), interpret, scale)[:s]
 
     grid = (hq, sp // block_q)
     out = pl.pallas_call(

@@ -72,13 +72,21 @@ class DeviceTimer:
 
     @staticmethod
     def timeit(fn, probe, reps=3):
+        """Median of ``reps`` individually-forced runs. Chained unforced
+        repeats are NOT used: identical-input repeats can be elided through
+        the execution relay (observed collapsing to ~0 ms), deflating
+        chained averages. Each sample pays one device->host read; that cost
+        is identical across compared methods."""
         out = fn()
         DeviceTimer.force(probe(out))  # warmup / compile
-        t0 = time.perf_counter()
+        times = []
         for _ in range(reps):
+            t0 = time.perf_counter()
             out = fn()
-        DeviceTimer.force(probe(out))
-        return (time.perf_counter() - t0) / reps, out
+            DeviceTimer.force(probe(out))
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        return times[len(times) // 2], out
 
 
 def ab_table(rows):

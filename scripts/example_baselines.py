@@ -14,28 +14,53 @@ from common import DeviceTimer, ab_table
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--num-frames", type=int, default=16)
+    p.add_argument("--full", action="store_true",
+                   help="Qwen2-7B geometry at 64 frames (TPU; ~14 GB of weights). "
+                        "Reproduces the paper's method-comparison table at full "
+                        "scale — every method, incl. the merging family that "
+                        "previously only ran at test geometry.")
     args = p.parse_args()
 
     import jax
 
     from framefusion_tpu.baselines import replace_forward
-    from framefusion_tpu.config import tiny_llm_config
+    from framefusion_tpu.config import qwen2_7b_config, tiny_llm_config
     from framefusion_tpu.interface import FrameFusionModel, apply_framefusion
     from framefusion_tpu.models import qwen2
     from framefusion_tpu.models.adapters import llava_video
 
     rng = np.random.default_rng(0)
-    cfg = tiny_llm_config(num_layers=8, hidden_size=256, num_heads=8, num_kv_heads=4)
+    if args.full:
+        cfg = qwen2_7b_config(vocab_size=8192)  # bench-reduced vocab; see bench.py
+        args.num_frames = 64
+        patch_num, n_pre, hidden_scale = 182, 35, 0.05
+    else:
+        cfg = tiny_llm_config(num_layers=8, hidden_size=256, num_heads=8, num_kv_heads=4)
+        patch_num, n_pre = 20, 25
     params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
 
-    patch_num = 20
-    video = np.empty((args.num_frames * patch_num, cfg.hidden_size), np.float32)
-    frame = rng.standard_normal((patch_num, cfg.hidden_size)) * 0.05
-    for f in range(args.num_frames):
-        frame = frame + 0.01 * rng.standard_normal(frame.shape)
-        video[f * patch_num : (f + 1) * patch_num] = frame
-    text = (rng.standard_normal((30, cfg.hidden_size)) * 0.05).astype(np.float32)
-    inputs = llava_video.build_prefill_inputs(text, video, 25, num_patches_per_side=9)
+    if args.full:
+        import bench as benchmod
+        import sys as _sys
+
+        _sys.path.insert(0, "..")
+        h_np, patch_type, img_start, n_img = benchmod.build_video_prompt(
+            rng, cfg.hidden_size, n_frames=64, patch_num=patch_num)
+        from framefusion_tpu.models.adapters.common import PrefillInputs
+
+        inputs = PrefillInputs(
+            input_embeds=h_np, patch_type=patch_type,
+            position_ids=np.arange(len(patch_type), dtype=np.int32),
+            patch_num=patch_num, image_token_start=img_start, image_token_length=n_img,
+        )
+    else:
+        video = np.empty((args.num_frames * patch_num, cfg.hidden_size), np.float32)
+        frame = rng.standard_normal((patch_num, cfg.hidden_size)) * 0.05
+        for f in range(args.num_frames):
+            frame = frame + 0.01 * rng.standard_normal(frame.shape)
+            video[f * patch_num : (f + 1) * patch_num] = frame
+        text = (rng.standard_normal((30, cfg.hidden_size)) * 0.05).astype(np.float32)
+        inputs = llava_video.build_prefill_inputs(text, video, 25, num_patches_per_side=9)
 
     model = FrameFusionModel(family="llava_video", cfg=cfg, params=params)
     n_l = cfg.num_layers
@@ -51,12 +76,19 @@ def main():
     if variants["framefusion"].ff:
         variants["framefusion"].ff = variants["framefusion"].ff.replace(schedule_num_layers=n_l)
 
+    import gc
+
     rows = []
     for name, m in variants.items():
         t, res = DeviceTimer.timeit(lambda m=m: m.prefill(inputs), lambda r: r.logits)
         rows.append({"method": name, "prefill_ms": round(t * 1e3, 1),
                      "tokens_kept": res.valid_len,
                      "reduction": f"{1 - res.valid_len / inputs.input_embeds.shape[0]:.1%}"})
+        print(ab_table(rows[-1:]))
+        del res
+        m._engine = None  # free the method's programs/pools before the next
+        gc.collect()
+    print()
     print(ab_table(rows))
 
 
