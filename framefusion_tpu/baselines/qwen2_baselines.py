@@ -111,7 +111,7 @@ def _streamingllm_program(params, h, pos_tok, *, cfg: LLMConfig, init_num, windo
         q, k, v = qwen2._project_qkv(lp, x, cfg)
         q, k = apply_rope(q, k, cos, sin)
         attn = causal_attention_chunked(q, k, v, sink=(init_num, window))
-        h = h + attn.reshape(s, -1) @ lp["wo"]
+        h = h + qwen2.mm(attn.reshape(s, -1), lp["wo"])
         h = qwen2.layer_mlp(lp, h, cfg)
         k_all = jax.lax.dynamic_update_index_in_dim(k_all, k.astype(cfg.dtype), l, 0)
         v_all = jax.lax.dynamic_update_index_in_dim(v_all, v.astype(cfg.dtype), l, 0)
@@ -140,7 +140,7 @@ def _streamingllm_program_pallas(params, h, pos_tok, *, cfg: LLMConfig, init_num
         q, k, v = qwen2._project_qkv(lp, x, cfg)
         q, k = apply_rope(q, k, cos, sin)
         attn = sink_flash_attention(q, k, v, init_num, window)
-        hh = hh + attn.reshape(s, -1) @ lp["wo"]
+        hh = hh + qwen2.mm(attn.reshape(s, -1), lp["wo"])
         hh = qwen2.layer_mlp(lp, hh, cfg)
         return hh, (k.astype(cfg.dtype), v.astype(cfg.dtype))
 
@@ -303,7 +303,7 @@ def _sink_cache_decode_loop(
             k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
             v_pool = jax.lax.dynamic_update_slice(v_pool, v.astype(cfg.dtype)[None], (l, length, 0, 0))
             attn = attend(q[0], k_pool[l], v_pool[l], length + 1)
-            h = h + attn.reshape(1, -1) @ lp["wo"]
+            h = h + qwen2.mm(attn.reshape(1, -1), lp["wo"])
             h = qwen2.layer_mlp(lp, h, cfg)
             return h, k_pool, v_pool
 
@@ -468,17 +468,28 @@ class BaselineEngine(CompressionEngine):
         use_fastv = keep_img_static >= 0
 
         # Segmented execution: pool_layers-deep KV pools at the CURRENT
-        # bucket, compaction between segments once the live count drops a
-        # bucket quantum (static schedule -> static buckets, no host reads).
-        seg = self.pool_layers
-        caches: list = [None] * cfg.num_layers
+        # bucket, compaction between segments (static schedule -> static
+        # buckets, no host reads). Segment boundaries are placed wherever the
+        # live count drops a bucket quantum, so the layers AFTER a big
+        # merge/prune run at the shrunken bucket immediately instead of
+        # waiting out a fixed-depth segment.
         s_cur = h.shape[0]
+        bounds = []
+        cur_start, cur_bucket = 0, s_cur
+        for l in range(cfg.num_layers):
+            end_bucket = bucket_length(len_end_of_layer[l], self.ff.bucket)
+            if end_bucket < cur_bucket or (l - cur_start + 1) >= self.pool_layers:
+                bounds.append((cur_start, l + 1))
+                cur_start, cur_bucket = l + 1, end_bucket
+        if cur_start < cfg.num_layers:
+            bounds.append((cur_start, cfg.num_layers))
+
+        caches: list = [None] * cfg.num_layers
         live = jnp.arange(s_cur, dtype=jnp.int32) < orig_len
         weights = jnp.ones((s_cur,), jnp.float32)
         n_entry = orig_len  # live count at segment entry (== last live row + 1)
         logits = None
-        for seg_start in range(0, cfg.num_layers, seg):
-            seg_end = min(seg_start + seg, cfg.num_layers)
+        for seg_start, seg_end in bounds:
             capture = use_fastv and seg_start <= fastv_k < seg_end
             h, live, weights, k_pool, v_pool, cache_live = _merging_segment_program(
                 self.params, h, pos_tok, pt, weights, live,

@@ -88,12 +88,24 @@ def positions_cos_sin(position_ids: jnp.ndarray, cfg: LLMConfig):
     return rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
 
 
+def mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    """x @ w, where ``w`` is a dense (K, O) array or an int8 weight-only
+    quant pair {"q8": int8 (K, O), "scale": f32 (O,)} (ops/quant.py). The
+    per-output-channel scale factors out of the contraction exactly; the
+    int8->compute-dtype convert fuses into the matmul tiles, so HBM reads
+    stay int8."""
+    if isinstance(w, dict):
+        y = jnp.dot(x, w["q8"].astype(x.dtype), preferred_element_type=jnp.float32)
+        return (y * w["scale"]).astype(x.dtype)
+    return x @ w
+
+
 def _project_qkv(lp: dict, x: jnp.ndarray, cfg: LLMConfig):
     s = x.shape[0]
     hd = cfg.head_dim_
-    q = x @ lp["wq"]
-    k = x @ lp["wk"]
-    v = x @ lp["wv"]
+    q = mm(x, lp["wq"])
+    k = mm(x, lp["wk"])
+    v = mm(x, lp["wv"])
     if cfg.qkv_bias:
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -151,14 +163,14 @@ def layer_attention(
         if capture_num:
             importance = last_rows_importance(q, k, capture_num, valid_len, key_valid=key_valid)
     s = h.shape[0]
-    h_out = h + attn.reshape(s, -1) @ lp["wo"]
+    h_out = h + mm(attn.reshape(s, -1), lp["wo"])
     return h_out, k, v, importance
 
 
 def layer_mlp(lp: dict, h: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
     x = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(x @ lp["w_gate"]) * (x @ lp["w_up"])
-    return h + gated @ lp["w_down"]
+    gated = jax.nn.silu(mm(x, lp["w_gate"])) * mm(x, lp["w_up"])
+    return h + mm(gated, lp["w_down"])
 
 
 def embed(params: dict, input_ids: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
@@ -167,8 +179,9 @@ def embed(params: dict, input_ids: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
 
 def final_logits(params: dict, h: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
     x = rmsnorm(h, params["final_norm"], cfg.rms_norm_eps)
-    head = params["embed"].T if cfg.tie_word_embeddings else params["lm_head"]
-    return (x @ head).astype(jnp.float32)
+    if cfg.tie_word_embeddings:
+        return (x @ params["embed"].T).astype(jnp.float32)
+    return mm(x, params["lm_head"]).astype(jnp.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -282,7 +295,7 @@ def decode_step(
             attn = ragged_decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
         else:
             attn = decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
-        h = h + attn.reshape(1, -1) @ lp["wo"]
+        h = h + mm(attn.reshape(1, -1), lp["wo"])
         h = layer_mlp(lp, h, cfg)
         return h, k_pool, v_pool
 

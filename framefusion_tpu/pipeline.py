@@ -27,10 +27,39 @@ DEFAULT_TEMPLATE = (
     "<|im_start|>user\n<image>\n{question}<|im_end|>\n<|im_start|>assistant\n"
 )
 
+# Qwen2-VL processor-path equivalent (reference example_qwen2vl.py:49-54
+# routes through processor.apply_chat_template, which expands the video into
+# <|vision_start|><|video_pad|>...<|vision_end|>); here the single
+# <|video_pad|> marks where the visual embeddings splice in.
+QWEN2_VL_TEMPLATE = (
+    "<|im_start|>system\nYou are a helpful assistant.<|im_end|>\n"
+    "<|im_start|>user\n<|vision_start|><|video_pad|><|vision_end|>"
+    "{question}<|im_end|>\n<|im_start|>assistant\n"
+)
+
+# InternVL chat builds an interleaved 'FrameN: <image>\n' prefix per frame
+# (reference example_internvl.py:139-141; modeling_internvl_chat.py scatters
+# per-frame ViT features at each <image>).
+INTERNVL_TEMPLATE = "<|im_start|>user\n{video_prefix}{question}<|im_end|>\n<|im_start|>assistant\n"
+
+FAMILY_TEMPLATES = {
+    "qwen2_vl": QWEN2_VL_TEMPLATE,
+    "internvl": INTERNVL_TEMPLATE,
+}
+
 
 @dataclasses.dataclass
 class TextPipeline:
-    """End-to-end video QA for LLaVA-Video-style models."""
+    """End-to-end video QA: tokenizer + (compressed) LLM + optional ViT.
+
+    Prompt construction dispatches on ``model.family``:
+      * LLaVA-Video / Qwen2-stack families — chat template with one
+        ``<image>`` placeholder, frame-major feature block.
+      * ``qwen2_vl`` — vision-token span at ``<|video_pad|>`` with 3D mRoPE
+        position ids (pass ``video_grid_thw``).
+      * ``internvl`` — interleaved ``FrameN: <image>`` prefix, per-frame
+        feature splicing (pass per-frame features).
+    """
 
     model: FrameFusionModel
     tokenizer: object  # .encode(str)->list[int], .decode(list[int])->str
@@ -38,11 +67,27 @@ class TextPipeline:
     vit_cfg: Optional[object] = None
     projector: Optional[dict] = None
     image_token: str = "<image>"
-    chat_template: str = DEFAULT_TEMPLATE
+    chat_template: Optional[str] = None
 
-    def build_inputs(self, question: str, frames=None, video_features=None):
-        """Tokenize the chat prompt and splice video features at <image>."""
-        prompt = self.chat_template.format(question=question)
+    def _template(self) -> str:
+        if self.chat_template is not None:
+            return self.chat_template
+        return FAMILY_TEMPLATES.get(self.model.family, DEFAULT_TEMPLATE)
+
+    def _embed_ids(self, ids) -> np.ndarray:
+        return np.asarray(
+            qwen2.embed(self.model.params, jnp.asarray(np.asarray(ids, np.int32)), self.model.cfg),
+            np.float32,
+        )
+
+    def build_inputs(self, question: str, frames=None, video_features=None,
+                     video_grid_thw=None):
+        """Tokenize the family's chat prompt and splice the video features."""
+        if self.model.family == "qwen2_vl":
+            return self._build_inputs_qwen2_vl(question, video_features, video_grid_thw)
+        if self.model.family == "internvl":
+            return self._build_inputs_internvl(question, video_features)
+        prompt = self._template().format(question=question)
         before, _, after = prompt.partition(self.image_token)
         ids_before = list(self.tokenizer.encode(before))
         ids_after = list(self.tokenizer.encode(after))
@@ -55,19 +100,65 @@ class TextPipeline:
                 encode_video(self.vit_params, self.vit_cfg, self.projector, jnp.asarray(frames))
             )
 
-        ids = np.asarray(ids_before + [0] + ids_after, np.int32)  # 0 = placeholder row
-        text_embeds = np.asarray(
-            qwen2.embed(self.model.params, jnp.asarray(ids), self.model.cfg), np.float32
-        )
+        ids = ids_before + [0] + ids_after  # 0 = placeholder row
+        text_embeds = self._embed_ids(ids)
         pps = self.vit_cfg.patches_per_side if self.vit_cfg is not None else 27
         return llava_video.build_prefill_inputs(
             text_embeds, np.asarray(video_features, np.float32),
             image_token_pos=len(ids_before), num_patches_per_side=pps,
         )
 
+    def _build_inputs_qwen2_vl(self, question: str, video_features, video_grid_thw):
+        """Qwen2-VL: one vision span, 3D mRoPE ids from video_grid_thw
+        (reference qwenvl/modeling_qwen2_vl.py:117-163)."""
+        from .models.adapters import qwen2_vl
+
+        assert video_features is not None and video_grid_thw is not None, (
+            "qwen2_vl needs precomputed video_features and video_grid_thw"
+        )
+        grid_t, grid_h, grid_w = (int(x) for x in video_grid_thw)
+        prompt = self._template().format(question=question)
+        before, _, after = prompt.partition("<|video_pad|>")
+        ids_before = list(self.tokenizer.encode(before))
+        ids_after = list(self.tokenizer.encode(after))
+        text_embeds = self._embed_ids(ids_before + [0] + ids_after)
+        return qwen2_vl.build_prefill_inputs(
+            text_embeds, np.asarray(video_features, np.float32),
+            video_token_pos=len(ids_before), grid_t=grid_t, grid_h=grid_h, grid_w=grid_w,
+        )
+
+    def _build_inputs_internvl(self, question: str, video_features):
+        """InternVL: 'FrameN: <image>\\n' per frame, features scattered at
+        each <image> (reference example_internvl.py:139-141 +
+        modeling_internvl_chat.py:19-71)."""
+        from .models.adapters import internvl
+
+        feats = np.asarray(video_features, np.float32)
+        assert feats.ndim == 3, "internvl expects (n_frames, tokens_per_frame, D)"
+        n_frames, tpf, d = feats.shape
+        video_prefix = "".join(f"Frame{i+1}: {self.image_token}\n" for i in range(n_frames))
+        prompt = self._template().format(video_prefix=video_prefix, question=question)
+        segments = prompt.split(self.image_token)
+        assert len(segments) == n_frames + 1
+        embeds_parts = []
+        mask_parts = []
+        for i, seg in enumerate(segments):
+            ids = list(self.tokenizer.encode(seg))
+            if ids:
+                embeds_parts.append(self._embed_ids(ids))
+                mask_parts.append(np.zeros(len(ids), bool))
+            if i < n_frames:
+                embeds_parts.append(feats[i])
+                mask_parts.append(np.ones(tpf, bool))
+        embeds = np.concatenate(embeds_parts, axis=0)
+        image_mask = np.concatenate(mask_parts)
+        return internvl.build_prefill_inputs(embeds, image_mask, tokens_per_frame=tpf)
+
     def ask(self, question: str, frames=None, video_features=None,
-            max_new_tokens: int = 64, eos_token_id: Optional[int] = None) -> str:
-        inputs = self.build_inputs(question, frames=frames, video_features=video_features)
+            max_new_tokens: int = 64, eos_token_id: Optional[int] = None,
+            video_grid_thw=None) -> str:
+        inputs = self.build_inputs(question, frames=frames, video_features=video_features,
+                                   video_grid_thw=video_grid_thw)
         eos = eos_token_id
         if eos is None:
             eos = getattr(self.tokenizer, "eos_token_id", None)

@@ -48,8 +48,13 @@ def main():
             rng, cfg.hidden_size, n_frames=64, patch_num=patch_num)
         from framefusion_tpu.models.adapters.common import PrefillInputs
 
+        import jax.numpy as jnp
+
+        # Upload once — re-transferring ~170 MB of embeddings per timed call
+        # through the relay would dominate every row equally (~4 s).
         inputs = PrefillInputs(
-            input_embeds=h_np, patch_type=patch_type,
+            input_embeds=jax.device_put(jnp.asarray(h_np, cfg.dtype)),
+            patch_type=patch_type,
             position_ids=np.arange(len(patch_type), dtype=np.int32),
             patch_num=patch_num, image_token_start=img_start, image_token_length=n_img,
         )

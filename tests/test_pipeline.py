@@ -55,3 +55,63 @@ def test_precomputed_features_path():
     feats = (rng.standard_normal((6 * 3, cfg.hidden_size)) * 0.05).astype(np.float32)
     answer = pipe.ask("Q?", video_features=feats, max_new_tokens=4)
     assert isinstance(answer, str)
+
+
+def test_qwen2_vl_pipeline_mrope():
+    """Qwen2-VL tokenizer-level path: <|video_pad|> splice + 3D mRoPE ids
+    (reference example_qwen2vl.py:49-54 processor path)."""
+    from framefusion_tpu.config import tiny_llm_config
+
+    cfg = tiny_llm_config(num_layers=3).replace(mrope_section=(4, 6, 6))
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(5))
+    model = FrameFusionModel(family="qwen2_vl", cfg=cfg, params=params, attn_impl="einsum")
+    model = apply_framefusion(model, 0.5, 0.8, 0.05)
+    model.ff = model.ff.replace(schedule_num_layers=cfg.num_layers)
+
+    pipe = TextPipeline(model=model, tokenizer=StubTokenizer())
+    rng = np.random.default_rng(2)
+    grid_t, grid_h, grid_w, merge = 4, 4, 4, 2
+    patch_num = (grid_h * grid_w) // (merge * merge)
+    frame = rng.standard_normal((patch_num, cfg.hidden_size)).astype(np.float32) * 0.05
+    feats = np.concatenate(
+        [frame + 0.01 * rng.standard_normal(frame.shape) for _ in range(grid_t)]
+    ).astype(np.float32)
+
+    inputs = pipe.build_inputs("What is shown?", video_features=feats,
+                               video_grid_thw=(grid_t, grid_h, grid_w))
+    assert inputs.position_ids.shape[0] == 3  # 3D mRoPE
+    assert inputs.num_importance_queries == 4  # Qwen2-VL captures 4 rows
+    answer = pipe.ask("What is shown?", video_features=feats,
+                      video_grid_thw=(grid_t, grid_h, grid_w), max_new_tokens=4)
+    assert isinstance(answer, str) and len(answer) > 0
+    assert pipe.last_result.pos_dims == 3
+    assert pipe.last_result.telemetry.vision_token_reduction > 0
+
+
+def test_internvl_pipeline_interleaved():
+    """InternVL tokenizer-level path: FrameN: <image> prefix, per-frame
+    splicing, span-includes-text quirk (reference example_internvl.py:139-141)."""
+    from framefusion_tpu.config import tiny_llm_config
+    from framefusion_tpu.core.constants import TEXT_TOKEN
+
+    cfg = tiny_llm_config(num_layers=3, qkv_bias=False)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(6))
+    model = FrameFusionModel(family="internvl", cfg=cfg, params=params, attn_impl="einsum")
+    model = apply_framefusion(model, 0.5, 0.8, 0.05)
+    model.ff = model.ff.replace(schedule_num_layers=cfg.num_layers)
+
+    pipe = TextPipeline(model=model, tokenizer=StubTokenizer())
+    rng = np.random.default_rng(3)
+    n_frames, tpf = 6, 8
+    frame = rng.standard_normal((tpf, cfg.hidden_size)).astype(np.float32) * 0.05
+    feats = np.stack([frame + 0.01 * rng.standard_normal(frame.shape) for _ in range(n_frames)])
+
+    inputs = pipe.build_inputs("Describe the video", video_features=feats)
+    pt = inputs.patch_type
+    # Interleaved: text between frame blocks stays TEXT inside the image span.
+    span = pt[inputs.image_token_start : inputs.image_token_start + inputs.image_token_length]
+    assert (span == TEXT_TOKEN).any(), "interleaved text must sit inside the span (reference quirk)"
+    assert (pt != TEXT_TOKEN).sum() == n_frames * tpf
+    answer = pipe.ask("Describe the video", video_features=feats, max_new_tokens=4)
+    assert isinstance(answer, str) and len(answer) > 0
+    assert pipe.last_result.telemetry.vision_token_reduction > 0
