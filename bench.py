@@ -158,7 +158,16 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
     from framefusion_tpu.runtime.engine import pre_plan_length
 
     plan = bucket_length(res.valid_len, ff.bucket)
-    pre_plan = pre_plan_length(len(patch_type), int(np.sum(patch_type != -1)), ff)
+    # Pre-plan bucket: post-first-merge length from the probe's event log
+    # (the first event is the layer -1 pre-attention merge), exactly like a
+    # deployment autotuning from recent traffic; fall back to the analytic
+    # bound when the probe has no events. Too-tight plans fall back to the
+    # adaptive executor (slower, never wrong).
+    ev = res.telemetry.events
+    if ev and ev[0].layer == -1:
+        pre_plan = bucket_length(len(patch_type) - ev[0].tokens_removed, ff.bucket)
+    else:
+        pre_plan = pre_plan_length(len(patch_type), int(np.sum(patch_type != -1)), ff)
 
     def run_ff_planned(hh):
         return engine.prefill_planned(hh, patch_type, pos, patch_num=182,

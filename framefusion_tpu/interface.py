@@ -133,6 +133,28 @@ class FrameFusionModel:
         )
         return tokens, result
 
+    def generate_batch(
+        self,
+        inputs_list,
+        max_new_tokens: int = 64,
+        eos_token_id: Optional[int] = None,
+        sampler=None,
+        rng_key=None,
+        mode: str = "fused",
+    ):
+        """Batched serving: per-request compressed prefills (compute-bound,
+        run back-to-back) + ONE batched decode scan (weight-bandwidth-bound,
+        so B sequences cost ~one sequence's wall-clock per step). Beyond the
+        reference's surface — it is bsz==1 end to end (main.py:203).
+
+        Returns (list of per-request token lists, list of PrefillResults).
+        """
+        results = [self.prefill(inp, mode=mode) for inp in inputs_list]
+        tokens = self.engine().generate_batch(
+            results, max_new_tokens, eos_token_id=eos_token_id, sampler=sampler, rng_key=rng_key
+        )
+        return tokens, results
+
 
 def get_token_type(family: str):
     """Return the family's prompt-metadata builder — the reference's

@@ -221,6 +221,197 @@ def _flash_grouped(q, k, v, kv_mask, block_q, block_k, interpret, scale):
     return out.transpose(2, 0, 1, 3).reshape(sp, hq, d)
 
 
+def _flash_kernel_grouped_multi(q_ref, k_ref, v_ref, kvalid_ref, o_ref,
+                                *, block_q, block_k, sub_q, scale, group):
+    """Grouped-GQA variant with the head and query-sub-block loops INSIDE the
+    kernel: one grid step covers all ``group`` query heads × ``block_q`` query
+    rows of one KV head, walking them in (sub_q, block_k) score tiles. K/V are
+    VMEM-resident for the whole step, so the inner loops pay no DMA or
+    grid-step cost — this amortises the ~14 µs fixed per-step overhead that
+    dominates the compressed tail's small-S regime (DEVNOTES), while keeping
+    the live fp32 score tile small (sub_q·block_k) so ``block_q`` can be large.
+    Each sub-block walks KV only to its own causal diagonal — no wasted MXU
+    work above the diagonal."""
+    iq = pl.program_id(1)
+    d = q_ref.shape[-1]
+    q_start = iq * block_q
+    n_sub = block_q // sub_q
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (sub_q, block_k), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub_q, block_k), 1)
+
+    def outer(idx, _):
+        gh = idx // n_sub
+        c = idx % n_sub
+        qc = q_ref[0, gh, pl.ds(c * sub_q, sub_q), :]  # (sub_q, D)
+        sub_start = q_start + c * sub_q
+        n_kv = (sub_start + sub_q + block_k - 1) // block_k
+        row_pos = sub_start + row_iota
+
+        def body(j, carry):
+            m, l, acc = carry
+            ks = j * block_k
+            kb = k_ref[0, pl.ds(ks, block_k), :]
+            vb = v_ref[0, pl.ds(ks, block_k), :]
+            s = jax.lax.dot_general(
+                qc, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            kv_ok = kvalid_ref[0, pl.ds(ks, block_k)] > 0
+            s = jnp.where((ks + col_iota <= row_pos) & kv_ok[None, :], s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * alpha + pv
+
+        m0 = jnp.full((sub_q, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((sub_q, 1), jnp.float32)
+        acc0 = jnp.zeros((sub_q, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+        o_ref[0, gh, pl.ds(c * sub_q, sub_q), :] = (
+            acc / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, group * n_sub, outer, 0)
+
+
+def _flash_grouped_multi(q, k, v, kv_mask, block_q, block_k, sub_q, interpret, scale):
+    """q: (S, Hq, D) padded to a block_q multiple; k/v: (S, Hk, D)."""
+    sp, hq, d = q.shape
+    hk = k.shape[1]
+    g = hq // hk
+    q_g = q.reshape(sp, hk, g, d).transpose(1, 2, 0, 3)  # (Hk, G, S, D)
+    k_t = k.transpose(1, 0, 2)
+    v_t = v.transpose(1, 0, 2)
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_grouped_multi, block_q=block_q, block_k=block_k,
+                          sub_q=sub_q, scale=scale, group=g),
+        grid=(hk, sp // block_q),
+        in_specs=[
+            pl.BlockSpec((1, g, block_q, d), lambda h, i: (h, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, block_q, d), lambda h, i: (h, 0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hk, g, sp, d), q.dtype),
+        interpret=interpret,
+    )(q_g, k_t, v_t, kv_mask)
+    return out.transpose(2, 0, 1, 3).reshape(sp, hq, d)
+
+
+def _flash_kernel_gm_imp(vl_ref, q_ref, k_ref, v_ref, kvalid_ref, o_ref, imp_ref,
+                         *, block_q, block_k, sub_q, scale, group, num):
+    """Grouped-multi flash kernel WITH the prune-importance capture fused as
+    a per-sub-block epilogue (the grouped-multi twin of _flash_kernel_imp):
+    after a sub-block's online-softmax walk, if it contains the last ``num``
+    valid rows, the KV walk replays from VMEM-resident K and the exact
+    softmax rows accumulate into the shared importance block."""
+    iq = pl.program_id(1)
+    d = q_ref.shape[-1]
+    q_start = iq * block_q
+    n_sub = block_q // sub_q
+    vl = vl_ref[0]
+
+    @pl.when((pl.program_id(0) == 0) & (iq == 0))
+    def _():
+        imp_ref[:] = jnp.zeros_like(imp_ref)
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (sub_q, block_k), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (sub_q, block_k), 1)
+
+    def outer(idx, _):
+        gh = idx // n_sub
+        c = idx % n_sub
+        qc = q_ref[0, gh, pl.ds(c * sub_q, sub_q), :]
+        sub_start = q_start + c * sub_q
+        n_kv = (sub_start + sub_q + block_k - 1) // block_k
+        row_pos = sub_start + row_iota
+
+        def scores(j):
+            ks = j * block_k
+            kb = k_ref[0, pl.ds(ks, block_k), :]
+            s = jax.lax.dot_general(
+                qc, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            kv_ok = kvalid_ref[0, pl.ds(ks, block_k)] > 0
+            return jnp.where((ks + col_iota <= row_pos) & kv_ok[None, :], s, NEG_INF)
+
+        def body(j, carry):
+            m, l, acc = carry
+            s = scores(j)
+            vb = v_ref[0, pl.ds(j * block_k, block_k), :]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return m_new, l_new, acc * alpha + pv
+
+        m0 = jnp.full((sub_q, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((sub_q, 1), jnp.float32)
+        acc0 = jnp.zeros((sub_q, d), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, n_kv, body, (m0, l0, acc0))
+        o_ref[0, gh, pl.ds(c * sub_q, sub_q), :] = (
+            acc / jnp.maximum(l, 1e-30)
+        ).astype(o_ref.dtype)
+
+        row_global = sub_start + jax.lax.broadcasted_iota(jnp.int32, (sub_q, 1), 0)
+        row_mask = (row_global >= vl - num) & (row_global < vl)
+
+        @pl.when(jnp.any(row_mask))
+        def _():
+            inv_l = 1.0 / jnp.maximum(l, 1e-30)
+
+            def imp_body(j, _):
+                p = jnp.exp(scores(j) - m) * inv_l
+                contrib = jnp.sum(jnp.where(row_mask, p, 0.0), axis=0)
+                ks = j * block_k
+                imp_ref[0, pl.ds(ks, block_k)] = imp_ref[0, pl.ds(ks, block_k)] + contrib
+                return 0
+
+            jax.lax.fori_loop(0, n_kv, imp_body, 0)
+
+        return 0
+
+    jax.lax.fori_loop(0, group * n_sub, outer, 0)
+
+
+def _imp_grouped_multi(vl, q_g, k_t, v_t, kv_mask, block_q, block_k, sub_q, num, interpret, scale):
+    """q_g: (Hk, G, Sp, D); k_t/v_t: (Hk, Sp, D); kv_mask (1, Sp). Returns
+    (out (Hk, G, Sp, D), imp (8, Sp))."""
+    hk, g, sp, d = q_g.shape
+    return pl.pallas_call(
+        functools.partial(_flash_kernel_gm_imp, block_q=block_q, block_k=block_k,
+                          sub_q=sub_q, scale=scale, group=g, num=num),
+        grid=(hk, sp // block_q),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, g, block_q, d), lambda h, i: (h, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp, d), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, g, block_q, d), lambda h, i: (h, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((hk, g, sp, d), q_g.dtype),
+            jax.ShapeDtypeStruct((8, sp), jnp.float32),
+        ),
+        interpret=interpret,
+    )(vl, q_g, k_t, v_t, kv_mask)
+
+
 def _flash_kernel_imp(vl_ref, q_ref, k_ref, v_ref, kvalid_ref, o_ref, imp_ref,
                       *, block_q, block_k, scale, num):
     """Resident-KV flash kernel with the prune-importance capture fused as a
@@ -317,6 +508,28 @@ def flash_causal_attention_importance(
     if key_valid is None:
         key_valid = jnp.ones((s,), bool)
 
+    if g > 1 and s <= GROUPED_MAX_S:
+        # Grouped-multi regime (same thresholds as flash_causal_attention):
+        # ~45x fewer grid steps than the per-qhead grid at the phase buckets.
+        bq = 512 if s <= 4096 else 1792
+        bk = min(block_k, 512)
+        pad = (-s) % max(bq, bk)
+        if pad:
+            q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
+            k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
+            key_valid = jnp.pad(key_valid, (0, pad), constant_values=False)
+        sp = q.shape[0]
+        q_g = q.reshape(sp, hk, g, d).transpose(1, 2, 0, 3)
+        out, imp = _imp_grouped_multi(
+            jnp.asarray(valid_len, jnp.int32).reshape(1),
+            q_g, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
+            key_valid.astype(jnp.int32)[None, :],
+            bq, bk, 256, num, interpret, scale,
+        )
+        importance = imp[0] / (hq * num)
+        return out.transpose(2, 0, 1, 3).reshape(sp, hq, d)[:s], importance[:s]
+
     pad = (-s) % max(block_q, block_k)
     if pad:
         q = jnp.pad(q, ((0, pad), (0, 0), (0, 0)))
@@ -404,13 +617,22 @@ def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k:
         return out.transpose(1, 0, 2)[:s]
 
     if g > 1 and sp <= GROUPED_MAX_S:
-        # Small-sequence regime (the compressed tail): amortize grid-step
-        # overhead across the KV group. Score tiles of (G*bq, bk) fp32 must
-        # coexist with the resident K/V — above 4k keys, bq=128 keeps the
-        # scoped VMEM under the 16 MB limit (measured OOM by 456 KB at
-        # S=5120/bq=256) and is no slower there (kernel microbench).
-        bq = 256 if sp <= 4096 else 128
-        return _flash_grouped(q, k, v, kv_mask, min(block_q, bq), min(block_k, 512), interpret, scale)[:s]
+        # Small/medium-sequence regime (compressed tail + phase buckets):
+        # amortize the ~14 us fixed grid-step cost with the head and query
+        # sub-block loops INSIDE the kernel (_flash_kernel_grouped_multi) —
+        # K/V stay VMEM-resident across a large query block, score tiles stay
+        # (sub_q, block_k) so VMEM never blows up. Measured (kernel_bench,
+        # v5e): S=3456 1.0 ms (86 TF/s, was 1.9); S=6656 2.1 ms (153 TF/s,
+        # was 4.7). Above ~8k keys the per-qhead path's bigger parallel grid
+        # wins (83 TF/s at S=11776).
+        bq = 512 if sp <= 4096 else 1792
+        pad2 = (-sp) % bq
+        if pad2:
+            q = jnp.pad(q, ((0, pad2), (0, 0), (0, 0)))
+            k = jnp.pad(k, ((0, pad2), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, pad2), (0, 0), (0, 0)))
+            kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad2)))
+        return _flash_grouped_multi(q, k, v, kv_mask, bq, min(block_k, 512), 256, interpret, scale)[:s]
 
     grid = (hq, sp // block_q)
     out = pl.pallas_call(

@@ -239,6 +239,51 @@ def _decode_loop(
     return jnp.concatenate([tok0[None], toks]), k_pool, v_pool, cache_lens
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "attn_impl", "n_steps", "pos_dims", "sampler"),
+    donate_argnums=(2, 3),
+)
+def _decode_loop_batch(
+    params, first_logits, k_pools, v_pools, cache_lens, pos_bases, rng_key,
+    *, cfg: LLMConfig, attn_impl: str, n_steps: int, pos_dims: int, sampler,
+):
+    """Batched decode: one ``lax.scan``, ``decode_step`` vmapped over the
+    batch. Decode is weight-bandwidth-bound (every step streams the full
+    decoder weights from HBM), so serving B sequences in one scan costs
+    nearly the same wall-clock per step as one — token throughput scales
+    ~linearly with B. This is a capability the reference's bsz==1 contract
+    (main.py:203, asserted in every embedding hook) structurally rules out.
+
+    Shapes: first_logits (B, V); k_pools/v_pools (B, L, S_pool, Hk, hd);
+    cache_lens (B, L); pos_bases (B,). Returns tokens (B, n_steps+1).
+    """
+    from ..ops.sampling import sample_token
+
+    step_b = jax.vmap(
+        functools.partial(qwen2.decode_step, cfg=cfg, attn_impl=attn_impl),
+        in_axes=(None, 0, 0, 0, 0, 0),
+    )
+    sample_b = jax.vmap(lambda lg, key: sample_token(lg, sampler, key))
+
+    def body(carry, inputs):
+        toks, k_pools, v_pools, lens = carry
+        step, keys = inputs
+        te = qwen2.embed(params, toks, cfg)  # (B, D)
+        pos = pos_bases + step
+        pos_id = jnp.repeat(pos[:, None], 3, axis=1) if pos_dims == 3 else pos
+        logits, k_pools, v_pools, lens = step_b(params, te, pos_id, k_pools, v_pools, lens)
+        new_toks = sample_b(logits, keys)
+        return (new_toks, k_pools, v_pools, lens), new_toks
+
+    keys = jax.random.split(rng_key, (n_steps + 1, first_logits.shape[0]))
+    tok0 = sample_b(first_logits, keys[0])
+    (_, k_pools, v_pools, cache_lens), toks = jax.lax.scan(
+        body, (tok0, k_pools, v_pools, cache_lens),
+        (jnp.arange(n_steps, dtype=jnp.int32), keys[1:]),
+    )
+    return jnp.concatenate([tok0[None], toks]).T, k_pools, v_pools, cache_lens
+
+
 # ---------------------------------------------------------------------------
 # Fused compression phase: the whole merge/prune stage as ONE on-device
 # lax.while_loop program (see module docstring). Event kind codes for the
@@ -1165,11 +1210,11 @@ class CompressionEngine:
 
     # -- decode --------------------------------------------------------------
 
-    def make_decode_state(self, result: PrefillResult, max_new_tokens: int):
+    def make_decode_state(self, result: PrefillResult, max_new_tokens: int, s_pool: Optional[int] = None):
         """Assemble the ragged per-layer caches into one padded pool."""
         cfg = self.cfg
         max_len = max(c[2] for c in result.layer_caches)
-        s_pool = bucket_length(max_len + max_new_tokens, self.ff.bucket)
+        s_pool = s_pool or bucket_length(max_len + max_new_tokens, self.ff.bucket)
         hd = cfg.head_dim_
         k_pool = jnp.zeros((cfg.num_layers, s_pool, cfg.num_kv_heads, hd), cfg.dtype)
         v_pool = jnp.zeros_like(k_pool)
@@ -1224,3 +1269,64 @@ class CompressionEngine:
 
     def generate_greedy(self, result: PrefillResult, max_new_tokens: int, eos_token_id: Optional[int] = None):
         return self.generate(result, max_new_tokens, eos_token_id=eos_token_id)
+
+    # -- batched serving ------------------------------------------------------
+
+    def generate_batch(
+        self,
+        results: list,
+        max_new_tokens: int,
+        eos_token_id: Optional[int] = None,
+        sampler=None,
+        rng_key=None,
+    ):
+        """Decode a batch of prefill results in ONE scanned program.
+
+        Prefills run per-sequence (they are MXU-compute-bound — batching
+        buys little); decode is HBM-bandwidth-bound on the weights, so this
+        shares each step's weight stream across the whole batch for ~B×
+        token throughput. The reference cannot express this: its contract is
+        bsz==1 end to end (main.py:203 and every embedding hook).
+
+        Per-sequence raggedness (different compressed lengths, per-layer
+        cache lengths, decode position bases) is carried as batched arrays;
+        all sequences decode ``max_new_tokens`` and are truncated host-side
+        at ``eos_token_id``, like the single-sequence loop.
+
+        Returns a list of per-sequence python token lists.
+        """
+        from ..ops.sampling import SamplerConfig
+
+        assert results, "empty batch"
+        pos_dims = results[0].pos_dims
+        assert all(r.pos_dims == pos_dims for r in results), "mixed rope layouts in one batch"
+        cfg = self.cfg
+        sampler = sampler or SamplerConfig()
+        rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+
+        # One pool bucket for the whole batch (static shape across B).
+        s_pool = bucket_length(
+            max(max(c[2] for c in r.layer_caches) for r in results) + max_new_tokens,
+            self.ff.bucket,
+        )
+        pools = [self.make_decode_state(r, max_new_tokens, s_pool=s_pool) for r in results]
+        k_pools = jnp.stack([p[0] for p in pools])
+        v_pools = jnp.stack([p[1] for p in pools])
+        cache_lens = jnp.stack([p[2] for p in pools])
+        del pools
+        first_logits = jnp.stack([r.logits for r in results])
+        pos_bases = jnp.asarray([r.decode_pos_base for r in results], jnp.int32)
+
+        toks, _, _, _ = _decode_loop_batch(
+            self.params, first_logits, k_pools, v_pools, cache_lens, pos_bases, rng_key,
+            cfg=cfg, attn_impl="jax", n_steps=max_new_tokens - 1,
+            pos_dims=pos_dims, sampler=sampler,
+        )
+        rows = np.asarray(toks)
+        out = []
+        for row in rows:
+            ids = [int(t) for t in row]
+            if eos_token_id is not None and eos_token_id in ids:
+                ids = ids[: ids.index(eos_token_id) + 1]
+            out.append(ids)
+        return out

@@ -1,0 +1,94 @@
+"""Batched serving example: B video prompts, sequential compressed prefills,
+ONE batched decode scan.
+
+Prefill is MXU-compute-bound (batching buys little, so requests prefill
+back-to-back); decode is HBM-bandwidth-bound on the weights (every step
+streams ~13 GB of decoder weights), so one batched scan serves B sequences
+for nearly the per-step cost of one. The reference cannot express any of
+this — its contract is bsz==1 end to end
+(/root/reference/framefusion/main.py:203 and every embedding hook).
+
+Usage:
+  python scripts/example_batched.py [--batch 4] [--new-tokens 32] [--frames 16]
+"""
+
+import argparse
+import time
+
+import common  # noqa: F401  (sys.path + compile cache)
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from framefusion_tpu.config import FrameFusionConfig, qwen2_7b_config, tiny_llm_config
+from framefusion_tpu.models import qwen2
+from framefusion_tpu.runtime.engine import CompressionEngine
+
+
+def build_prompt(rng, hidden, n_frames, patch_num=182, coherent=0.45):
+    from bench import build_video_prompt  # repo root on sys.path via common
+
+    return build_video_prompt(rng, hidden, n_frames=n_frames, patch_num=patch_num,
+                              coherent=coherent)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--new-tokens", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke test)")
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    if args.tiny or not on_tpu:
+        cfg = tiny_llm_config(num_layers=4)
+        patch_num, frames = 6, 8
+        attn_impl = "chunked"
+    else:
+        cfg = qwen2_7b_config(vocab_size=8192)
+        patch_num, frames = 182, args.frames
+        attn_impl = "pallas"
+
+    ff = FrameFusionConfig(cost=0.3, similarity_lower_bound=0.6, ratio_lower_bound=0.1)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    engine = CompressionEngine(params, cfg, ff, attn_impl=attn_impl)
+
+    rng = np.random.default_rng(0)
+    results = []
+    t0 = time.perf_counter()
+    for b in range(args.batch):
+        h, pt, img_start, n_img = build_prompt(rng, cfg.hidden_size, frames, patch_num,
+                                               coherent=0.35 + 0.1 * (b % 3))
+        pos = np.arange(len(pt), dtype=np.int32)
+        res = engine.prefill(h, pt, pos, patch_num=patch_num,
+                             image_token_start=img_start, image_token_length=n_img)
+        results.append(res)
+    float(jnp.sum(results[-1].logits))  # force
+    t_prefill = time.perf_counter() - t0
+    print(f"{args.batch} compressed prefills (sequential): {t_prefill*1e3:.0f} ms "
+          f"({[r.valid_len for r in results]} tokens kept)")
+
+    # warmup (compile) then timed batched decode
+    engine.generate_batch(results, max_new_tokens=args.new_tokens)
+    t0 = time.perf_counter()
+    toks_b = engine.generate_batch(results, max_new_tokens=args.new_tokens)
+    t_batch = time.perf_counter() - t0
+
+    # single-sequence decode for the throughput comparison
+    engine.generate_greedy(results[0], max_new_tokens=args.new_tokens)
+    t0 = time.perf_counter()
+    toks_1 = engine.generate_greedy(results[0], max_new_tokens=args.new_tokens)
+    t_single = time.perf_counter() - t0
+
+    assert toks_b[0] == toks_1, "batched decode must match the single loop"
+    n = args.new_tokens
+    print(f"decode {n} tokens  B=1: {t_single*1e3:7.1f} ms  ({n/t_single:7.1f} tok/s)")
+    print(f"decode {n} tokens  B={args.batch}: {t_batch*1e3:7.1f} ms  "
+          f"({args.batch*n/t_batch:7.1f} tok/s total, "
+          f"{t_batch/t_single:.2f}x wall for {args.batch}x tokens)")
+
+
+if __name__ == "__main__":
+    main()

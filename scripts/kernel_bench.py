@@ -82,6 +82,25 @@ def bench_attention():
             except Exception as e:
                 print(f"  grouped bq={bq:4d} bk={bk:4d}    : FAIL {type(e).__name__} {str(e)[:80]}")
 
+        from framefusion_tpu.ops.kernels.flash_prefill import _flash_grouped_multi
+
+        for bq, sq, bk in ((512, 256, 512), (1792, 256, 512), (1792, 512, 512),
+                           (896, 128, 512), (3584, 256, 512), (1664, 128, 512)):
+            sp = s + ((-s) % bq)
+            if sp % bk:
+                continue
+            qp = jnp.pad(q, ((0, sp - s), (0, 0), (0, 0)))
+            kp = jnp.pad(k, ((0, sp - s), (0, 0), (0, 0)))
+            vp = jnp.pad(v, ((0, sp - s), (0, 0), (0, 0)))
+            kvm = (jnp.arange(sp) < s).astype(jnp.int32)[None]
+            try:
+                f = jax.jit(functools.partial(_flash_grouped_multi, block_q=bq, block_k=bk,
+                                              sub_q=sq, interpret=False, scale=1.0 / d ** 0.5))
+                t = timeit(lambda: f(qp, kp, vp, kvm))
+                print(f"  gmulti bq={bq:4d} sq={sq:3d} bk={bk:4d} (pad {sp}): {t*1e3:7.2f} ms  {fl/t/1e12:6.1f} TF/s")
+            except Exception as e:
+                print(f"  gmulti bq={bq:4d} sq={sq:3d} bk={bk:4d}: FAIL {type(e).__name__} {str(e)[:80]}")
+
         q_t = q.transpose(1, 0, 2); k_t = k.transpose(1, 0, 2); v_t = v.transpose(1, 0, 2)
         for bq, bk in ((512, 1024), (512, 2048), (256, 1024)):
             if s % bq or s % bk:
@@ -228,6 +247,71 @@ def bench_engine():
     t_tl = timeit(lambda: tail_logits_only(params, h2, pos2, jnp.int32(3314), jnp.int32(2),
                                            cfg=cfg, attn_impl="pallas"), reps=1)
     print(f"tail logits-only fori       : {t_tl*1e3:8.1f} ms")
+
+    # tail: STATIC-start unrolled python loop, caches as per-layer outputs —
+    # no stacked-buffer updates, no loop carry; the k/v tensors that feed the
+    # attention kernels are returned as-is (hypothesis: the ~50 ms with-cache
+    # penalty is while-loop carry double-buffering of the (L,S,Hk,D) stacks).
+    @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "start_layer"))
+    def tail_unrolled(params, h, pos_tok, valid_len, *, cfg, attn_impl, start_layer):
+        cos, sin = qwen2.positions_cos_sin(eng._pos_axes(pos_tok), cfg)
+        ks, vs = [], []
+        for l in range(start_layer, cfg.num_layers):
+            lp = qwen2.layer_slice(params["layers"], l)
+            h, k, v, _ = qwen2.layer_attention(lp, h, cos, sin, cfg, attn_impl=attn_impl)
+            h = qwen2.layer_mlp(lp, h, cfg)
+            ks.append(k.astype(cfg.dtype))
+            vs.append(v.astype(cfg.dtype))
+        last = jax.lax.dynamic_slice_in_dim(h, valid_len - 1, 1, axis=0)
+        return qwen2.final_logits(params, last, cfg)[0], tuple(ks), tuple(vs)
+
+    def force_tail_tuple(out):
+        lg, ks, vs = out
+        force(lg); force(ks[0]); force(ks[-1]); force(vs[-1])
+        return lg
+
+    t_tu = timeit(lambda: force_tail_tuple(tail_unrolled(params, h2, pos2, jnp.int32(3314),
+                                           cfg=cfg, attn_impl="pallas", start_layer=2)), reps=1)
+    print(f"tail unrolled static caches : {t_tu*1e3:8.1f} ms")
+
+    # same but caches stacked in-graph at the end (decode pool layout)
+    @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "start_layer"))
+    def tail_unrolled_stacked(params, h, pos_tok, valid_len, *, cfg, attn_impl, start_layer):
+        lg, ks, vs = tail_unrolled.__wrapped__(params, h, pos_tok, valid_len,
+                                               cfg=cfg, attn_impl=attn_impl, start_layer=start_layer)
+        return lg, jnp.stack(ks), jnp.stack(vs)
+
+    t_tus = timeit(lambda: force_tail(tail_unrolled_stacked(params, h2, pos2, jnp.int32(3314),
+                                      cfg=cfg, attn_impl="pallas", start_layer=2)), reps=1)
+    print(f"tail unrolled stacked caches: {t_tus*1e3:8.1f} ms")
+
+    # fori with caches stored bf16 in ONE fused (L,S,Hk,2,D) buffer
+    @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+    def tail_fori_onebuf(params, h, pos_tok, valid_len, start_layer, *, cfg, attn_impl):
+        cos, sin = qwen2.positions_cos_sin(eng._pos_axes(pos_tok), cfg)
+        s = h.shape[0]
+        kv_all = jnp.zeros((cfg.num_layers, s, cfg.num_kv_heads, 2, cfg.head_dim_), cfg.dtype)
+
+        def body(l, carry):
+            hh, kv_all = carry
+            lp = qwen2.layer_slice(params["layers"], l)
+            hh, k, v, _ = qwen2.layer_attention(lp, hh, cos, sin, cfg, attn_impl=attn_impl)
+            hh = qwen2.layer_mlp(lp, hh, cfg)
+            kv = jnp.stack([k.astype(cfg.dtype), v.astype(cfg.dtype)], axis=2)
+            return hh, jax.lax.dynamic_update_index_in_dim(kv_all, kv, l, 0)
+
+        hh, kv_all = jax.lax.fori_loop(start_layer, cfg.num_layers, body, (h, kv_all))
+        last = jax.lax.dynamic_slice_in_dim(hh, valid_len - 1, 1, axis=0)
+        return qwen2.final_logits(params, last, cfg)[0], kv_all
+
+    def force_tail2(out):
+        lg, kv = out
+        force(lg); force(kv[2, 0, 0])
+        return lg
+
+    t_t1b = timeit(lambda: force_tail2(tail_fori_onebuf(params, h2, pos2, jnp.int32(3314),
+                                       jnp.int32(2), cfg=cfg, attn_impl="pallas")), reps=1)
+    print(f"tail fori one-buffer caches : {t_t1b*1e3:8.1f} ms")
 
     # cache pack
     k_pool = jnp.zeros((8, 11776, cfg.num_kv_heads, cfg.head_dim_), cfg.dtype)

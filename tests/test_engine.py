@@ -455,3 +455,46 @@ class TestInfeasibleCost:
             engine = CompressionEngine(params, cfg, bad_ff, attn_impl="einsum")
             with pytest.raises((CostInfeasibleError, ValueError)):
                 engine.prefill(h, pt, pos, 6, img_start, n_img, mode=mode)
+
+
+class TestBatchedDecode:
+    """Batched serving decode: one scanned program for B sequences must
+    reproduce each sequence's single-loop greedy decode exactly (the single
+    loop is itself pinned to the NumPy reference pipeline above)."""
+
+    def test_batch_matches_per_sequence_greedy(self, setup):
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        results = []
+        singles = []
+        # Different seeds/coherence -> different compressed lengths, event
+        # trajectories, and cache raggedness across the batch.
+        for seed, coh, frames in [(0, 0.8, 10), (5, 0.5, 8), (9, 0.9, 12)]:
+            h, pt, pos, img_start, n_img = build_inputs(seed=seed, coherent=coh, n_frames=frames)
+            res = engine.prefill(h, pt, pos, patch_num=6, image_token_start=img_start,
+                                 image_token_length=n_img)
+            singles.append(engine.generate_greedy(res, max_new_tokens=5))
+            results.append(res)
+        batch = engine.generate_batch(results, max_new_tokens=5)
+        assert batch == singles
+
+    def test_batch_includes_dense_result(self, setup):
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        h, pt, pos, img_start, n_img = build_inputs(seed=1, coherent=0.7)
+        r_ff = engine.prefill(h, pt, pos, patch_num=6, image_token_start=img_start,
+                              image_token_length=n_img)
+        r_dense = engine.dense_prefill(h, pos)
+        singles = [engine.generate_greedy(r, max_new_tokens=4) for r in (r_ff, r_dense)]
+        assert engine.generate_batch([r_ff, r_dense], max_new_tokens=4) == singles
+
+    def test_batch_eos_truncation(self, setup):
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.8)
+        res = engine.prefill(h, pt, pos, patch_num=6, image_token_start=img_start,
+                             image_token_length=n_img)
+        full = engine.generate_batch([res], max_new_tokens=6)[0]
+        eos = full[2]
+        cut = engine.generate_batch([res], max_new_tokens=6, eos_token_id=eos)[0]
+        assert cut == full[: full.index(eos) + 1]

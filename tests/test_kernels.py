@@ -130,6 +130,31 @@ class TestGroupedFlash:
         got = _flash_grouped(q, k, v, kv_mask, 128, 128, True, 1.0 / 128 ** 0.5)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("s,hq,hk,bq,sq", [(512, 8, 2, 256, 128), (1024, 28, 4, 512, 256),
+                                               (768, 6, 2, 384, 128)])
+    def test_grouped_multi_matches_einsum(self, s, hq, hk, bq, sq):
+        from framefusion_tpu.ops.kernels.flash_prefill import _flash_grouped_multi
+
+        rng = np.random.default_rng(s + bq)
+        q, k, v = make_qkv(rng, s, hq, hk, 128)
+        ref = causal_attention_einsum(q, k, v)
+        kv_mask = jnp.ones((1, s), jnp.int32)
+        got = _flash_grouped_multi(q, k, v, kv_mask, bq, 128, sq, True, 1.0 / 128 ** 0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_grouped_multi_key_valid(self):
+        from framefusion_tpu.ops.kernels.flash_prefill import _flash_grouped_multi
+
+        rng = np.random.default_rng(7)
+        s = 512
+        q, k, v = make_qkv(rng, s, 4, 2, 128)
+        key_valid = jnp.asarray(rng.random(s) > 0.3).at[0].set(True)
+        ref = causal_attention_einsum(q, k, v, key_valid=key_valid)
+        got = _flash_grouped_multi(q, k, v, key_valid.astype(jnp.int32)[None], 256, 128, 128,
+                                   True, 1.0 / 128 ** 0.5)
+        live = np.asarray(key_valid)
+        np.testing.assert_allclose(np.asarray(got)[live], np.asarray(ref)[live], rtol=2e-3, atol=2e-3)
+
     def test_grouped_key_valid_via_wrapper(self):
         rng = np.random.default_rng(9)
         s = 512
@@ -145,8 +170,13 @@ class TestFusedImportanceEpilogue:
     """flash_causal_attention_importance: attention output AND prune
     importance from one kernel, vs the separate reference computations."""
 
-    @pytest.mark.parametrize("num,valid_len", [(1, 512), (4, 500), (1, 300)])
-    def test_matches_separate_paths(self, num, valid_len):
+    # hk=2 routes to the grouped-multi fused kernel, hk=4 (g=1) to the
+    # per-qhead kernel — both fused paths stay covered. valid_len=258 with
+    # num=4 puts the capture rows across the sub_q=256 sub-block boundary of
+    # the grouped-multi kernel.
+    @pytest.mark.parametrize("num,valid_len,hk", [(1, 512, 2), (4, 500, 2), (1, 300, 2),
+                                                  (4, 258, 2), (1, 512, 4), (4, 500, 4)])
+    def test_matches_separate_paths(self, num, valid_len, hk):
         from framefusion_tpu.ops.attention import last_rows_importance
         from framefusion_tpu.ops.kernels.flash_prefill import (
             flash_causal_attention_importance,
@@ -154,7 +184,7 @@ class TestFusedImportanceEpilogue:
 
         rng = np.random.default_rng(7)
         s = 512
-        q, k, v = make_qkv(rng, s, 4, 2, 128)
+        q, k, v = make_qkv(rng, s, 4, hk, 128)
         out, imp = flash_causal_attention_importance(
             q, k, v, jnp.int32(valid_len), num, block_q=128, block_k=128, interpret=True
         )
