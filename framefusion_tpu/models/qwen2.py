@@ -302,3 +302,82 @@ def decode_step(
     h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, body, (h, k_pool, v_pool))
     logits = final_logits(params, h, cfg)[0]
     return logits, k_pool, v_pool, cache_lens + 1
+
+
+def decode_step_batch(
+    params: dict,
+    token_embeds: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    cache_lens: jnp.ndarray,
+    write_pos,
+    step,
+    cfg: LLMConfig,
+):
+    """One decode step for a BATCH of sequences — scatter-free by design.
+
+    A vmapped ``decode_step`` writes each sequence's new K/V at its own
+    per-(batch, layer) ragged offset, which lowers to a scatter — and row
+    scatters serialize on TPU (the same pathology core/merge.py avoids). Here
+    every (batch, layer) writes at the COMMON offset ``write_pos + step``
+    (``write_pos`` = the pool's prefix region size), so each layer's update is
+    one unbatched dynamic_update_slice; attention masks the two-interval
+    valid set ``[0, cache_lens[l,b]) ∪ [write_pos, write_pos+step]``. The gap
+    rows between a sequence's ragged prefix and the common decode region are
+    dead padding (the pool is already sized by the longest prefix).
+
+    Args:
+        token_embeds: (B, D). position_ids: (B,) or (3, B) for mRoPE.
+        k_pool/v_pool: (L, B, S_pool, Hk, hd). cache_lens: (L, B) prefix
+        lengths (constant across decode). write_pos: scalar int32, start of
+        the decode region. step: scalar int32, 0-based decode step index.
+    Returns (logits (B, V), k_pool, v_pool).
+    """
+    cos, sin = positions_cos_sin(position_ids, cfg)  # (B, hd) each
+    b = token_embeds.shape[0]
+    s_pool = k_pool.shape[2]
+    hk = cfg.num_kv_heads
+    g = cfg.num_heads // hk
+    hd = cfg.head_dim_
+    pos_iota = jnp.arange(s_pool, dtype=jnp.int32)
+    # Previously-decoded region only; the CURRENT token is an explicit extra
+    # attention column so the pools stay READ-ONLY through the layer loop
+    # (scan xs) and get exactly ONE (L, B, 1, Hk, hd) write per step — pools
+    # carried through a layer loop get copied by the loop machinery, which
+    # dominated the per-step cost at batch size > 1.
+    in_decode = (pos_iota >= write_pos) & (pos_iota < write_pos + step)  # (S,)
+    scale = jnp.float32(1.0 / (hd ** 0.5))
+
+    def layer_fn(h, xs):
+        lp, k_l, v_l, len_l = xs  # k_l/v_l (B, S, Hk, hd) read-only; len_l (B,)
+        x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(lp, x, cfg)  # (B, H, hd)
+        q, k = apply_rope(q, k, cos, sin)
+        qf = q.reshape(b, hk, g, hd).astype(jnp.float32)
+        scores = jnp.einsum("bhgd,bshd->bhgs", qf, k_l.astype(jnp.float32)) * scale
+        valid = (pos_iota[None, :] < len_l[:, None]) | in_decode[None, :]  # (B, S)
+        scores = jnp.where(valid[:, None, None, :], scores, jnp.float32(-1e30))
+        kf_cur = k.astype(jnp.float32).reshape(b, hk, 1, hd)
+        s_cur = jnp.sum(qf * kf_cur, axis=-1, keepdims=True) * scale  # (B, Hk, g, 1)
+        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_cur)
+        p = jnp.exp(scores - m)
+        p_cur = jnp.exp(s_cur - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True) + p_cur
+        out = jnp.einsum("bhgs,bshd->bhgd", p, v_l.astype(jnp.float32))
+        out = (out + p_cur * v.astype(jnp.float32).reshape(b, hk, 1, hd)) / denom
+        h = h + mm(out.reshape(b, -1).astype(h.dtype), lp["wo"])
+        h = layer_mlp(lp, h, cfg)
+        return h, (k.astype(cfg.dtype), v.astype(cfg.dtype))
+
+    h, (k_new, v_new) = jax.lax.scan(
+        layer_fn, token_embeds, (params["layers"], k_pool, v_pool, cache_lens)
+    )
+    k_pool = jax.lax.dynamic_update_slice(
+        k_pool, k_new[:, :, None], (0, 0, write_pos + step, 0, 0)
+    )
+    v_pool = jax.lax.dynamic_update_slice(
+        v_pool, v_new[:, :, None], (0, 0, write_pos + step, 0, 0)
+    )
+    logits = final_logits(params, h, cfg)
+    return logits, k_pool, v_pool

@@ -149,6 +149,105 @@ def _flash_blocked(q_t, k_t, v_t, kv_mask, block_q, block_k, interpret, scale):
     )(q_t, k_t, v_t, kv_mask)
 
 
+def _flash_kernel_blocked_grouped(q_ref, k_ref, v_ref, kvalid_ref, o_ref,
+                                  m_scr, l_scr, acc_scr, *, block_q, block_k, scale, group):
+    """KV-blocked grid with the GQA group looped INSIDE each step: grid
+    (Hk, nq, nk) — every K/V block is DMA'd ONCE per kv head and reused by
+    all ``group`` query heads (the per-qhead blocked grid re-streams it
+    ``group`` times: ~7x the HBM traffic at Qwen2-7B geometry). Online-softmax
+    state for the whole group lives in (group*block_q) scratch persisted
+    across the nk dimension; the k-block index_map clamps above the causal
+    diagonal so out-of-range blocks skip their DMA (same as _flash_blocked).
+    This is the long-video (S beyond VMEM residency) regime's kernel."""
+    iq = pl.program_id(1)
+    jk = pl.program_id(2)
+    q_start = iq * block_q
+    n_kv = (q_start + block_q + block_k - 1) // block_k
+
+    @pl.when(jk == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    @pl.when(jk < n_kv)
+    def _():
+        kb = k_ref[0]
+        vb = v_ref[0]
+        kv_ok = kvalid_ref[0] > 0
+        q_pos = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_pos = jk * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = (k_pos <= q_pos) & kv_ok[None, :]
+
+        def head_body(gh, _):
+            qh = q_ref[0, gh]  # (block_q, D)
+            s = jax.lax.dot_general(
+                qh, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+            ) * scale
+            s = jnp.where(mask, s, NEG_INF)
+            row = pl.ds(gh * block_q, block_q)
+            m_prev, l_prev, acc_prev = m_scr[row], l_scr[row], acc_scr[row]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            m_scr[row] = m_new
+            l_scr[row] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_scr[row] = acc_prev * alpha + jax.lax.dot_general(
+                p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return 0
+
+        jax.lax.fori_loop(0, group, head_body, 0)
+
+    @pl.when(jk == pl.num_programs(2) - 1)
+    def _():
+        d = q_ref.shape[-1]
+        o_ref[0] = (
+            acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)
+        ).reshape(group, block_q, d).astype(o_ref.dtype)
+
+
+def _flash_blocked_grouped(q, k, v, kv_mask, block_q, block_k, interpret, scale):
+    """q: (S, Hq, D) padded; k/v: (S, Hk, D) padded; kv_mask (1, S)."""
+    sp, hq, d = q.shape
+    hk = k.shape[1]
+    g = hq // hk
+    nk = sp // block_k
+    q_g = q.reshape(sp, hk, g, d).transpose(1, 2, 0, 3)  # (Hk, G, S, D)
+    k_t = k.transpose(1, 0, 2)
+    v_t = v.transpose(1, 0, 2)
+
+    def k_index(h, i, j):
+        diag = ((i + 1) * block_q + block_k - 1) // block_k - 1
+        return (h, jnp.minimum(j, diag), 0)
+
+    def mask_index(h, i, j):
+        diag = ((i + 1) * block_q + block_k - 1) // block_k - 1
+        return (0, jnp.minimum(j, diag))
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel_blocked_grouped, block_q=block_q,
+                          block_k=block_k, scale=scale, group=g),
+        grid=(hk, sp // block_q, nk),
+        in_specs=[
+            pl.BlockSpec((1, g, block_q, d), lambda h, i, j: (h, 0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), k_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k, d), k_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), mask_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, g, block_q, d), lambda h, i, j: (h, 0, i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((hk, g, sp, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((g * block_q, 1), jnp.float32),
+            pltpu.VMEM((g * block_q, 1), jnp.float32),
+            pltpu.VMEM((g * block_q, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(q_g, k_t, v_t, kv_mask)
+    return out.transpose(2, 0, 1, 3).reshape(sp, hq, d)
+
+
 def _flash_kernel_grouped(q_ref, k_ref, v_ref, kvalid_ref, o_ref, *, block_q, block_k, scale, group):
     """Grouped-GQA variant: one grid step computes ALL ``group`` query heads
     sharing a KV head, stacked as rows of one MXU matmul — amortising the
@@ -603,16 +702,22 @@ def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k:
     kv_mask = key_valid.astype(jnp.int32)[None, :]  # (1, S)
 
     if sp > RESIDENT_KV_MAX_S:
-        # Grid-step count dominates the blocked path's cost (each (q,k) tile
-        # is one pipelined step); use large tiles — VMEM per step stays small
-        # since only single blocks are resident.
+        # Long-video regime: K/V stream one block per grid step. With a GQA
+        # group, loop the group inside the step so each K/V block is DMA'd
+        # once per KV head instead of once per query head (~G x less HBM
+        # traffic — see _flash_kernel_blocked_grouped).
         bq, bk = max(block_q, 512), max(block_k, 2048)
         pad2 = (-sp) % max(bq, bk)
         if pad2:
+            q = jnp.pad(q, ((0, pad2), (0, 0), (0, 0)))
+            k = jnp.pad(k, ((0, pad2), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, pad2), (0, 0), (0, 0)))
             q_t = jnp.pad(q_t, ((0, 0), (0, pad2), (0, 0)))
             k_t = jnp.pad(k_t, ((0, 0), (0, pad2), (0, 0)))
             v_t = jnp.pad(v_t, ((0, 0), (0, pad2), (0, 0)))
             kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad2)))
+        if g > 1:
+            return _flash_blocked_grouped(q, k, v, kv_mask, bq, bk, interpret, scale)[:s]
         out = _flash_blocked(q_t, k_t, v_t, kv_mask, bq, bk, interpret, scale)
         return out.transpose(1, 0, 2)[:s]
 

@@ -240,48 +240,48 @@ def _decode_loop(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "attn_impl", "n_steps", "pos_dims", "sampler"),
+    jax.jit, static_argnames=("cfg", "n_steps", "pos_dims", "sampler"),
     donate_argnums=(2, 3),
 )
 def _decode_loop_batch(
-    params, first_logits, k_pools, v_pools, cache_lens, pos_bases, rng_key,
-    *, cfg: LLMConfig, attn_impl: str, n_steps: int, pos_dims: int, sampler,
+    params, first_logits, k_pools, v_pools, cache_lens, pos_bases, write_pos, rng_key,
+    *, cfg: LLMConfig, n_steps: int, pos_dims: int, sampler,
 ):
-    """Batched decode: one ``lax.scan``, ``decode_step`` vmapped over the
-    batch. Decode is weight-bandwidth-bound (every step streams the full
-    decoder weights from HBM), so serving B sequences in one scan costs
-    nearly the same wall-clock per step as one — token throughput scales
-    ~linearly with B. This is a capability the reference's bsz==1 contract
-    (main.py:203, asserted in every embedding hook) structurally rules out.
+    """Batched decode: one ``lax.scan`` over ``decode_step_batch``. Decode is
+    weight-bandwidth-bound (every step streams the full decoder weights from
+    HBM), so serving B sequences in one scan costs nearly the same wall-clock
+    per step as one — token throughput scales ~linearly with B. This is a
+    capability the reference's bsz==1 contract (main.py:203, asserted in
+    every embedding hook) structurally rules out.
 
-    Shapes: first_logits (B, V); k_pools/v_pools (B, L, S_pool, Hk, hd);
-    cache_lens (B, L); pos_bases (B,). Returns tokens (B, n_steps+1).
+    Shapes: first_logits (B, V); k_pools/v_pools (L, B, S_pool, Hk, hd);
+    cache_lens (L, B) ragged prefix lengths; pos_bases (B,); write_pos
+    scalar — the common decode-region offset (see decode_step_batch: common
+    offsets keep the cache updates scatter-free). Returns tokens (B, n+1).
     """
     from ..ops.sampling import sample_token
 
-    step_b = jax.vmap(
-        functools.partial(qwen2.decode_step, cfg=cfg, attn_impl=attn_impl),
-        in_axes=(None, 0, 0, 0, 0, 0),
-    )
     sample_b = jax.vmap(lambda lg, key: sample_token(lg, sampler, key))
 
     def body(carry, inputs):
-        toks, k_pools, v_pools, lens = carry
+        toks, k_pools, v_pools = carry
         step, keys = inputs
         te = qwen2.embed(params, toks, cfg)  # (B, D)
         pos = pos_bases + step
-        pos_id = jnp.repeat(pos[:, None], 3, axis=1) if pos_dims == 3 else pos
-        logits, k_pools, v_pools, lens = step_b(params, te, pos_id, k_pools, v_pools, lens)
+        pos_id = jnp.tile(pos[None], (3, 1)) if pos_dims == 3 else pos
+        logits, k_pools, v_pools = qwen2.decode_step_batch(
+            params, te, pos_id, k_pools, v_pools, cache_lens, write_pos, step, cfg
+        )
         new_toks = sample_b(logits, keys)
-        return (new_toks, k_pools, v_pools, lens), new_toks
+        return (new_toks, k_pools, v_pools), new_toks
 
     keys = jax.random.split(rng_key, (n_steps + 1, first_logits.shape[0]))
     tok0 = sample_b(first_logits, keys[0])
-    (_, k_pools, v_pools, cache_lens), toks = jax.lax.scan(
-        body, (tok0, k_pools, v_pools, cache_lens),
+    (_, k_pools, v_pools), toks = jax.lax.scan(
+        body, (tok0, k_pools, v_pools),
         (jnp.arange(n_steps, dtype=jnp.int32), keys[1:]),
     )
-    return jnp.concatenate([tok0[None], toks]).T, k_pools, v_pools, cache_lens
+    return jnp.concatenate([tok0[None], toks]).T, k_pools, v_pools
 
 
 # ---------------------------------------------------------------------------
@@ -1304,22 +1304,24 @@ class CompressionEngine:
         sampler = sampler or SamplerConfig()
         rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
 
-        # One pool bucket for the whole batch (static shape across B).
-        s_pool = bucket_length(
-            max(max(c[2] for c in r.layer_caches) for r in results) + max_new_tokens,
-            self.ff.bucket,
-        )
+        # One pool bucket for the whole batch (static shape across B); the
+        # decode region sits at a COMMON offset past every ragged prefix so
+        # cache writes stay scatter-free (see qwen2.decode_step_batch).
+        max_prefix = max(max(c[2] for c in r.layer_caches) for r in results)
+        s_pool = bucket_length(max_prefix + max_new_tokens, self.ff.bucket)
+        write_pos = s_pool - max_new_tokens
         pools = [self.make_decode_state(r, max_new_tokens, s_pool=s_pool) for r in results]
-        k_pools = jnp.stack([p[0] for p in pools])
-        v_pools = jnp.stack([p[1] for p in pools])
-        cache_lens = jnp.stack([p[2] for p in pools])
+        k_pools = jnp.stack([p[0] for p in pools], axis=1)  # (L, B, S, Hk, hd)
+        v_pools = jnp.stack([p[1] for p in pools], axis=1)
+        cache_lens = jnp.stack([p[2] for p in pools], axis=1)  # (L, B)
         del pools
         first_logits = jnp.stack([r.logits for r in results])
         pos_bases = jnp.asarray([r.decode_pos_base for r in results], jnp.int32)
 
-        toks, _, _, _ = _decode_loop_batch(
-            self.params, first_logits, k_pools, v_pools, cache_lens, pos_bases, rng_key,
-            cfg=cfg, attn_impl="jax", n_steps=max_new_tokens - 1,
+        toks, _, _ = _decode_loop_batch(
+            self.params, first_logits, k_pools, v_pools, cache_lens, pos_bases,
+            jnp.int32(write_pos), rng_key,
+            cfg=cfg, n_steps=max_new_tokens - 1,
             pos_dims=pos_dims, sampler=sampler,
         )
         rows = np.asarray(toks)

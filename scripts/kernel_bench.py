@@ -57,9 +57,11 @@ def bench_attention():
         flash_causal_attention,
     )
 
+    from framefusion_tpu.ops.kernels.flash_prefill import _flash_blocked_grouped
+
     rng = np.random.default_rng(0)
     hq, hk, d = 28, 4, 128
-    for s in (3328, 3456, 6656, 11776):
+    for s in (3328, 3456, 6656, 11776, 23552):
         q = jnp.asarray(rng.standard_normal((s, hq, d)), jnp.bfloat16)
         k = jnp.asarray(rng.standard_normal((s, hk, d)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((s, hk, d)), jnp.bfloat16)
@@ -71,7 +73,21 @@ def bench_attention():
 
         g = hq // hk
         kv_mask = jnp.ones((1, s), jnp.int32)
-        for bq, bk in ((128, 512), (256, 512), (256, 1024), (512, 512), (512, 1024)):
+        for bq, bk in ((512, 2048), (1024, 2048), (512, 4096), (512, 1024), (1024, 1024)):
+            if s % bq or s % bk:
+                continue
+            try:
+                f = jax.jit(functools.partial(_flash_blocked_grouped, block_q=bq, block_k=bk,
+                                              interpret=False, scale=1.0 / d ** 0.5))
+                t = timeit(lambda: f(q, k, v, kv_mask))
+                print(f"  blkgrp bq={bq:4d} bk={bk:4d}     : {t*1e3:7.2f} ms  {fl/t/1e12:6.1f} TF/s")
+            except Exception as e:
+                print(f"  blkgrp bq={bq:4d} bk={bk:4d}     : FAIL {type(e).__name__} {str(e)[:80]}")
+        if s <= 8192:
+            sweep = ((128, 512), (256, 512), (256, 1024), (512, 512), (512, 1024))
+        else:
+            sweep = ()
+        for bq, bk in sweep:
             if s % bq or s % bk:
                 continue
             try:
@@ -141,9 +157,12 @@ def bench_engine():
     # the relay (observed: chained fused reps measured below their own tail's
     # cost), so every timing here is a fully-materialised single run.
     def force_res(r):
-        force(r.logits)
-        force(r.layer_caches[0][0])
-        force(r.layer_caches[-1][0])
+        # ONE device->host read joining all dependencies — each extra force()
+        # costs a full ~35-75 ms relay round trip and inflates single-run
+        # timings (this bias produced the phantom "cache-carry penalty",
+        # DEVNOTES round-2 notes).
+        force(jnp.sum(r.logits) + jnp.sum(r.layer_caches[0][0][:1, 0])
+              + jnp.sum(r.layer_caches[-1][0][:1, 0]))
         return r.logits
 
     t_fused = timeit(lambda: force_res(e.prefill(h, patch_type, pos, 182, img_start, n_img)), reps=1)
@@ -173,7 +192,7 @@ def bench_engine():
 
     def dense_full():
         lg, ka, va = dense_var(params, h, pos_dev, cfg=cfg, attn_impl="pallas", want=True)
-        force(ka[0]); force(ka[-1])
+        force(jnp.sum(lg) + jnp.sum(ka[0][:1, 0]) + jnp.sum(ka[-1][:1, 0]))
         return lg
     t_df = timeit(dense_full, reps=1)
     print(f"dense with caches (1 run)   : {t_df*1e3:8.1f} ms")
@@ -201,7 +220,7 @@ def bench_engine():
     pos2 = jnp.zeros((s_small, 1), jnp.int32)
     def force_tail(out):
         lg, ka, va = out
-        force(lg); force(ka[0] if ka.ndim == 4 else ka)
+        force(jnp.sum(lg) + jnp.sum((ka[0] if ka.ndim == 4 else ka)[:1, 0]))
         return lg
 
     t_tail = timeit(lambda: force_tail(eng._tail_program(params, jnp.int32(2), h2, pos2,
@@ -267,7 +286,7 @@ def bench_engine():
 
     def force_tail_tuple(out):
         lg, ks, vs = out
-        force(lg); force(ks[0]); force(ks[-1]); force(vs[-1])
+        force(jnp.sum(lg) + jnp.sum(ks[0][:1, 0]) + jnp.sum(ks[-1][:1, 0]) + jnp.sum(vs[-1][:1, 0]))
         return lg
 
     t_tu = timeit(lambda: force_tail_tuple(tail_unrolled(params, h2, pos2, jnp.int32(3314),
@@ -306,7 +325,7 @@ def bench_engine():
 
     def force_tail2(out):
         lg, kv = out
-        force(lg); force(kv[2, 0, 0])
+        force(jnp.sum(lg) + jnp.sum(kv[2, 0, 0]))
         return lg
 
     t_t1b = timeit(lambda: force_tail2(tail_fori_onebuf(params, h2, pos2, jnp.int32(3314),

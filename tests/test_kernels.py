@@ -103,6 +103,30 @@ class TestBlockedFlash:
         got = got.transpose(1, 0, 2)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
 
+    @pytest.mark.parametrize("s,hq,hk", [(512, 8, 2), (640, 28, 4)])
+    def test_blocked_grouped_matches_einsum(self, s, hq, hk):
+        from framefusion_tpu.ops.kernels.flash_prefill import _flash_blocked_grouped
+
+        rng = np.random.default_rng(s + hq)
+        q, k, v = make_qkv(rng, s, hq, hk, 128)
+        ref = causal_attention_einsum(q, k, v)
+        kv_mask = jnp.ones((1, s), jnp.int32)
+        got = _flash_blocked_grouped(q, k, v, kv_mask, 128, 128, True, 1.0 / 128 ** 0.5)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_blocked_grouped_key_valid(self):
+        from framefusion_tpu.ops.kernels.flash_prefill import _flash_blocked_grouped
+
+        rng = np.random.default_rng(11)
+        s = 512
+        q, k, v = make_qkv(rng, s, 4, 2, 128)
+        key_valid = jnp.asarray(rng.random(s) > 0.4).at[0].set(True)
+        ref = causal_attention_einsum(q, k, v, key_valid=key_valid)
+        got = _flash_blocked_grouped(q, k, v, key_valid.astype(jnp.int32)[None], 128, 128,
+                                     True, 1.0 / 128 ** 0.5)
+        live = np.asarray(key_valid)
+        np.testing.assert_allclose(np.asarray(got)[live], np.asarray(ref)[live], rtol=2e-3, atol=2e-3)
+
     def test_blocked_key_valid(self):
         from framefusion_tpu.ops.kernels.flash_prefill import _flash_blocked
 
