@@ -705,19 +705,26 @@ def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k:
         # Long-video regime: K/V stream one block per grid step. With a GQA
         # group, loop the group inside the step so each K/V block is DMA'd
         # once per KV head instead of once per query head (~G x less HBM
-        # traffic — see _flash_kernel_blocked_grouped).
+        # traffic — see _flash_kernel_blocked_grouped). Grouped tiles must be
+        # small: the whole group's (g*bq) fp32 softmax state lives in scratch
+        # beside double-buffered q/out/k/v blocks (bq=512/bk=2048 overflowed
+        # scoped VMEM by 2.6 MB at S=24576 with g=7).
+        if g > 1:
+            bq, bk = max(block_q, 256), max(block_k, 1024)
+            pad2 = (-sp) % max(bq, bk)
+            if pad2:
+                q = jnp.pad(q, ((0, pad2), (0, 0), (0, 0)))
+                k = jnp.pad(k, ((0, pad2), (0, 0), (0, 0)))
+                v = jnp.pad(v, ((0, pad2), (0, 0), (0, 0)))
+                kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad2)))
+            return _flash_blocked_grouped(q, k, v, kv_mask, bq, bk, interpret, scale)[:s]
         bq, bk = max(block_q, 512), max(block_k, 2048)
         pad2 = (-sp) % max(bq, bk)
         if pad2:
-            q = jnp.pad(q, ((0, pad2), (0, 0), (0, 0)))
-            k = jnp.pad(k, ((0, pad2), (0, 0), (0, 0)))
-            v = jnp.pad(v, ((0, pad2), (0, 0), (0, 0)))
             q_t = jnp.pad(q_t, ((0, 0), (0, pad2), (0, 0)))
             k_t = jnp.pad(k_t, ((0, 0), (0, pad2), (0, 0)))
             v_t = jnp.pad(v_t, ((0, 0), (0, pad2), (0, 0)))
             kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad2)))
-        if g > 1:
-            return _flash_blocked_grouped(q, k, v, kv_mask, bq, bk, interpret, scale)[:s]
         out = _flash_blocked(q_t, k_t, v_t, kv_mask, bq, bk, interpret, scale)
         return out.transpose(1, 0, 2)[:s]
 

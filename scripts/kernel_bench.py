@@ -73,7 +73,7 @@ def bench_attention():
 
         g = hq // hk
         kv_mask = jnp.ones((1, s), jnp.int32)
-        for bq, bk in ((512, 2048), (1024, 2048), (512, 4096), (512, 1024), (1024, 1024)):
+        for bq, bk in ((256, 1024), (512, 512), (512, 1024), (256, 2048), (128, 1024)):
             if s % bq or s % bk:
                 continue
             try:
@@ -103,7 +103,7 @@ def bench_attention():
         for bq, sq, bk in ((512, 256, 512), (1792, 256, 512), (1792, 512, 512),
                            (896, 128, 512), (3584, 256, 512), (1664, 128, 512)):
             sp = s + ((-s) % bq)
-            if sp % bk:
+            if sp % bk or s > 16384:
                 continue
             qp = jnp.pad(q, ((0, sp - s), (0, 0), (0, 0)))
             kp = jnp.pad(k, ((0, sp - s), (0, 0), (0, 0)))
@@ -337,6 +337,23 @@ def bench_engine():
     live_rows = jnp.ones((8, 11776), bool)
     t_pack = timeit(lambda: eng._pack_caches_program(k_pool, k_pool, live_rows)[0], reps=5)
     print(f"pack caches (8 layers)      : {t_pack*1e3:8.1f} ms")
+
+    # decode loops: fori-carry single loop (ragged pallas kernel) vs the
+    # scan-xs batched loop at B=1 and B=4 — same FF prefill state.
+    res = e.prefill(h, patch_type, pos, 182, img_start, n_img)
+    n_tok = 32
+    def dec_single():
+        return jnp.asarray(e.generate_greedy(res, max_new_tokens=n_tok))
+    t_d1 = timeit(dec_single, reps=1)
+    print(f"decode {n_tok} tok single fori   : {t_d1*1e3:8.1f} ms  ({n_tok/t_d1:6.1f} tok/s)")
+    def dec_batch(b):
+        return jnp.asarray(e.generate_batch([res] * b, max_new_tokens=n_tok))
+    for b in (1, 4):
+        try:  # B=4 pools (~0.8 GB) can OOM in this already-crowded process
+            t_db = timeit(lambda: dec_batch(b), reps=1)
+            print(f"decode {n_tok} tok scan-xs B={b}  : {t_db*1e3:8.1f} ms  ({b*n_tok/t_db:6.1f} tok/s)")
+        except Exception as ex:
+            print(f"decode scan-xs B={b}: {type(ex).__name__}: {str(ex)[:80]}")
 
 
 def main():

@@ -101,3 +101,26 @@ def test_distinct_streams_smoke():
     assert np.isfinite(np.asarray(res.logits)).all()
     toks = engine.generate_greedy(res, max_new_tokens=3)
     assert len(toks) == 3
+
+
+def test_batched_decode_mrope_matches_single():
+    """generate_batch with 3D mRoPE positions (pos_dims=3 decode path) must
+    reproduce each sequence's single-loop greedy decode."""
+    cfg = tiny_llm_config(num_layers=4).replace(mrope_section=(4, 6, 6))
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(2))
+    ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75, ratio_lower_bound=0.05,
+                           schedule_num_layers=4, bucket=32, num_importance_queries=4)
+    engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+
+    results, singles = [], []
+    for seed, coh in [(0, 0.8), (4, 0.5)]:
+        rng = np.random.default_rng(seed)
+        h, pt, img_start, n_img = make_sequence(rng, 4, 6, 8, 3, hidden=cfg.hidden_size,
+                                                coherent=coh)
+        h = (h * 0.05).astype(np.float32)
+        pos3d = np.tile(np.arange(len(pt), dtype=np.int32), (3, 1))
+        res = engine.prefill(h, pt, pos3d, 6, img_start, n_img)
+        assert res.pos_dims == 3
+        singles.append(engine.generate_greedy(res, max_new_tokens=4))
+        results.append(res)
+    assert engine.generate_batch(results, max_new_tokens=4) == singles
