@@ -30,12 +30,26 @@ QUANTIZED_LAYER_WEIGHTS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
 
 @functools.partial(jax.jit, donate_argnums=0)
 def quantize_weight(w: jnp.ndarray) -> dict:
-    """Symmetric per-output-channel int8: w (..., K, O) -> {"q8", "scale"}."""
-    wf = w.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(wf), axis=-2, keepdims=True) / 127.0
-    scale = jnp.maximum(scale, 1e-12)
-    q8 = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
-    return {"q8": q8, "scale": scale.squeeze(-2)}
+    """Symmetric per-output-channel int8: w (..., K, O) -> {"q8", "scale"}.
+
+    Memory discipline: quantizing happens beside a nearly-full HBM (the bf16
+    7B params are ~13.4 of 16 GB), so fp32 transients must stay PER-LAYER —
+    an fp32 upcast of a whole stacked MLP weight is 7.6 GB and OOMs even
+    when nominally fusable (XLA may schedule the max-reduction's and the
+    round-chain's upcasts concurrently). ``lax.map`` over the leading layer
+    dim caps transients at one layer's fp32 copy (~0.3 GB)."""
+
+    def one(wl: jnp.ndarray):
+        scale = jnp.max(jnp.abs(wl).astype(jnp.float32), axis=-2, keepdims=True) / 127.0
+        scale = jnp.maximum(scale, 1e-12)
+        q8 = jnp.clip(jnp.round(wl.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+        return q8, scale.squeeze(-2)
+
+    if w.ndim == 3:
+        q8, scale = jax.lax.map(one, w)
+    else:
+        q8, scale = one(w)
+    return {"q8": q8, "scale": scale}
 
 
 def dequantize_weight(wq: dict, dtype=jnp.float32) -> jnp.ndarray:
@@ -45,20 +59,30 @@ def dequantize_weight(wq: dict, dtype=jnp.float32) -> jnp.ndarray:
 def quantize_params_int8(params: dict, quantize_lm_head: bool = False) -> dict:
     """Quantize the decoder matmul weights of a qwen2-layout param pytree.
 
-    Processes one stacked tensor at a time with buffer donation so the bf16
-    original is freed before the next — peak HBM = original params + one
-    tensor's transient, never both full copies.
+    CONSUMES ``params``: the input pytree's weight entries are replaced in
+    place and the bf16 originals are donated/freed one tensor at a time —
+    peak HBM = original params + one tensor's int8 output. A non-consuming
+    version would hold every bf16 original (13.4 GB at 7B) PLUS the
+    accumulated int8 copies until return, which OOMs a 16 GB chip. Callers
+    must rebind: ``params = quantize_params_int8(params)``.
 
     Embeddings, norms, and biases stay in their original dtype; ``lm_head``
     optionally (it dominates logits accuracy, and at benchmark vocab sizes
     it is small).
     """
-    layers = dict(params["layers"])
+    layers = params["layers"]  # mutated in place — entries are consumed
     for name in QUANTIZED_LAYER_WEIGHTS:
-        if name in layers and not isinstance(layers[name], dict):
-            layers[name] = quantize_weight(layers[name])
-    out = dict(params)
-    out["layers"] = layers
-    if quantize_lm_head and "lm_head" in out and not isinstance(out["lm_head"], dict):
-        out["lm_head"] = quantize_weight(out["lm_head"])
-    return out
+        w = layers.get(name)
+        if w is not None and not isinstance(w, dict):
+            layers[name] = None  # drop the pytree's reference before donating
+            layers[name] = quantize_weight(w)
+            del w
+            # Relay-attached runners free buffers lazily; a tiny device->host
+            # read drains the queue so the bf16 original is actually gone
+            # before the next (multi-GB) tensor is processed.
+            float(jnp.sum(layers[name]["scale"][..., :1]))
+    if quantize_lm_head and "lm_head" in params and not isinstance(params["lm_head"], dict):
+        w = params["lm_head"]
+        params["lm_head"] = quantize_weight(w)
+        del w
+    return params
