@@ -20,6 +20,15 @@ Known representational deltas (documented, not bugs):
     the reference sorts the kept indices afterwards so only the SET matters.
     Scenario ``tie_adjacent`` places exact duplicate similarities inside the
     top-k cut to check set-level agreement.
+
+Scope note: only ``framefusion.main`` (the decision core) is executable
+here. The baseline-methods module (models/qwen2/modeling_qwen2_baseline.py)
+is a patch of transformers==4.45.2 internals (``Qwen2SdpaAttention``, the
+``logger`` re-export, 4.45-era mask/cache helpers) and does not import under
+the installed transformers; shimming those names would execute CURRENT HF
+internals under 4.45-era assumptions — not the reference's behavior. The
+baselines therefore stay pinned to the independent NumPy references in
+tests/test_baselines.py.
 """
 
 from __future__ import annotations
