@@ -206,16 +206,26 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                 toks = engine.generate_greedy(r, max_new_tokens=e2e_tokens)
                 del r, toks
 
+            def e2e_median(prefill_fn, rounds=3):
+                # decode wall-clock varies run to run on relay-attached
+                # runners (DEVNOTES) — a single e2e run has been observed
+                # anywhere in 1.7-2.0x; take the median of 3.
+                e2e(prefill_fn)  # compile
+                ts = []
+                for _ in range(rounds):
+                    t0 = time.perf_counter()
+                    e2e(prefill_fn)
+                    ts.append(time.perf_counter() - t0)
+                gc.collect()
+                ts.sort()
+                return ts[len(ts) // 2]
+
             def run_dense_full(hh):
                 return engine.dense_prefill(hh, pos)
 
             ff_e2e_fn = run_ff_planned if planned_t <= ff_t else run_ff
-            e2e(run_dense_full)  # compile
-            t0 = time.perf_counter(); e2e(run_dense_full); dense_e2e = time.perf_counter() - t0
-            gc.collect()
-            e2e(ff_e2e_fn)  # compile
-            t0 = time.perf_counter(); e2e(ff_e2e_fn); ff_e2e = time.perf_counter() - t0
-            gc.collect()
+            dense_e2e = e2e_median(run_dense_full)
+            ff_e2e = e2e_median(ff_e2e_fn)
             detail.update({
                 "e2e_speedup": round(dense_e2e / ff_e2e, 3),
                 "e2e_new_tokens": e2e_tokens,

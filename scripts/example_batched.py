@@ -39,6 +39,9 @@ def main():
     ap.add_argument("--new-tokens", type=int, default=32)
     ap.add_argument("--frames", type=int, default=16)
     ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke test)")
+    ap.add_argument("--int8", action="store_true",
+                    help="weight-only int8 (halves the decode weight stream; "
+                         "decode throughput is weight-bandwidth-bound)")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -53,6 +56,10 @@ def main():
 
     ff = FrameFusionConfig(cost=0.3, similarity_lower_bound=0.6, ratio_lower_bound=0.1)
     params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    if args.int8:
+        from framefusion_tpu.ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
     engine = CompressionEngine(params, cfg, ff, attn_impl=attn_impl)
 
     rng = np.random.default_rng(0)
