@@ -142,14 +142,30 @@ class FrameFusionModel:
         rng_key=None,
         mode: str = "fused",
     ):
-        """Batched serving: per-request compressed prefills (compute-bound,
-        run back-to-back) + ONE batched decode scan (weight-bandwidth-bound,
-        so B sequences cost ~one sequence's wall-clock per step). Beyond the
-        reference's surface — it is bsz==1 end to end (main.py:203).
+        """Batched serving: compressed prefills + ONE batched decode scan
+        (decode is weight-bandwidth-bound, so B sequences cost ~one
+        sequence's wall-clock per step). Beyond the reference's surface — it
+        is bsz==1 end to end (main.py:203).
+
+        ``mode="planned_batch"`` runs ALL the prefills as one lockstep-
+        batched program pipeline too (engine.prefill_planned_batch); any
+        other mode prefills per request (prefill is MXU-compute-bound, so
+        sequential prefills cost the same FLOPs — batching them mainly
+        saves dispatches).
 
         Returns (list of per-request token lists, list of PrefillResults).
         """
-        results = [self.prefill(inp, mode=mode) for inp in inputs_list]
+        if mode == "planned_batch":
+            pn = inputs_list[0].patch_num
+            assert all(i.patch_num == pn for i in inputs_list), \
+                "one model family / vision geometry per batch"
+            results = self.engine().prefill_planned_batch(
+                [(i.input_embeds, i.patch_type, i.position_ids,
+                  i.image_token_start, i.image_token_length) for i in inputs_list],
+                patch_num=pn,
+            )
+        else:
+            results = [self.prefill(inp, mode=mode) for inp in inputs_list]
         tokens = self.engine().generate_batch(
             results, max_new_tokens, eos_token_id=eos_token_id, sampler=sampler, rng_key=rng_key
         )

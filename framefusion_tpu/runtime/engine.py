@@ -291,6 +291,121 @@ def _decode_loop_batch(
 EV_MERGE, EV_MERGE_CAPPED, EV_PRUNE = 1, 2, 3
 
 
+def _merge_event_step(
+    st, h_mid, layer_for_log, patch_type, cost, s_th, r_min,
+    *, patch_num, schedule_num_layers, collect_similarities=False,
+):
+    """One merge event on a single sequence's phase state (shared by the
+    single-sequence and the lockstep-batched phase programs — one source of
+    truth for decision parity with reference main.py:104-139)."""
+    budget, infeas = compute_pruning_ratio_device(
+        st["sparsity"], st["n_events"], cost, schedule_num_layers
+    )
+    order, n_img = order_by_patch(patch_type, st["live"], patch_num)
+    sim = similarity_by_patch(h_mid, patch_type, order, n_img)
+    count = jnp.sum(sim >= s_th).astype(jnp.int32)
+    ftok = st["frame_tok"].astype(jnp.float32)
+    above = count.astype(jnp.float32) / ftok
+    threshold_branch = above < budget
+    k_capped = jnp.floor(budget * ftok).astype(jnp.int32)
+    k_marked = jnp.where(threshold_branch, count, k_capped)
+    marked = mark_topk(sim, k_marked)
+    merged, keep = apply_merge(h_mid, marked, order)
+
+    i = st["ev_n"]
+    kind = jnp.where(threshold_branch, EV_MERGE, EV_MERGE_CAPPED)
+    if collect_similarities:
+        # Research introspection parity: the reference's baselines log the
+        # per-layer similarity tensors to ``model.similarities``
+        # (modeling_qwen2_baseline.py:994-998).
+        st = dict(st, sim_log=st["sim_log"].at[i].set(sim))
+    return dict(
+        st,
+        h=merged,
+        live=st["live"] & keep,
+        n_live=st["n_live"] - k_marked,
+        frame_tok=st["frame_tok"] - k_marked,
+        sparsity=jnp.where(
+            threshold_branch, st["sparsity"].at[st["n_events"]].set(above), st["sparsity"]
+        ),
+        n_events=st["n_events"] + threshold_branch.astype(jnp.int32),
+        fm=st["fm"] | (threshold_branch & (above < r_min)) | ~threshold_branch,
+        fp=st["fp"] | ~threshold_branch,
+        infeasible=st["infeasible"] | infeas,
+        ev_layer=st["ev_layer"].at[i].set(layer_for_log),
+        ev_kind=st["ev_kind"].at[i].set(kind),
+        ev_removed=st["ev_removed"].at[i].set(k_marked),
+        ev_ratio=st["ev_ratio"].at[i].set(above),
+        ev_budget=st["ev_budget"].at[i].set(budget),
+        ev_n=i + 1,
+    )
+
+
+def _prune_event_step(
+    st, h_mid, importance, layer_for_log, valid0, image_start, image_len, cost,
+    *, schedule_num_layers,
+):
+    """One prune event on a single sequence's phase state (reference
+    main.py:61-101; shared between the phase-program variants)."""
+    ratio, infeas = compute_pruning_ratio_device(
+        st["sparsity"], st["n_events"], cost, schedule_num_layers
+    )
+    cur_img_len = image_len - (valid0 - st["n_live"])
+    # Banker's rounding = python round() used by the reference (main.py:76).
+    k_keep = jnp.round(cur_img_len.astype(jnp.float32) * (1.0 - ratio)).astype(jnp.int32)
+    live_rank = jnp.cumsum(st["live"].astype(jnp.int32)) - 1
+    in_window = (
+        st["live"] & (live_rank >= image_start) & (live_rank < image_start + cur_img_len)
+    )
+    score = jnp.where(in_window, importance, -jnp.inf)
+    keep = (st["live"] & ~in_window) | (in_window & (descending_rank(score) < k_keep))
+    removed = cur_img_len - k_keep
+
+    i = st["ev_n"]
+    return dict(
+        st,
+        h=h_mid,
+        live=keep,
+        n_live=st["n_live"] - removed,
+        fp=jnp.bool_(True),
+        infeasible=st["infeasible"] | infeas,
+        ev_layer=st["ev_layer"].at[i].set(layer_for_log),
+        ev_kind=st["ev_kind"].at[i].set(EV_PRUNE),
+        ev_removed=st["ev_removed"].at[i].set(removed),
+        ev_ratio=st["ev_ratio"].at[i].set(-1.0),
+        ev_budget=st["ev_budget"].at[i].set(ratio),
+        ev_n=i + 1,
+    )
+
+
+def _pack_control_vector(st):
+    """All host-needed control state as ONE fp32 vector — the device->host
+    relay costs a round trip per array, so the single sync per prefill must
+    be a single transfer. fp32 holds every field exactly (ints < 2^24)."""
+    head = jnp.stack(
+        [
+            st["layer"].astype(jnp.float32),
+            st["fm"].astype(jnp.float32),
+            st["fp"].astype(jnp.float32),
+            st["n_live"].astype(jnp.float32),
+            st["infeasible"].astype(jnp.float32),
+            st["ev_n"].astype(jnp.float32),
+            st["n_events"].astype(jnp.float32),
+        ]
+    )
+    return jnp.concatenate(
+        [
+            head,
+            st["sparsity"],
+            st["ev_layer"].astype(jnp.float32),
+            st["ev_kind"].astype(jnp.float32),
+            st["ev_removed"].astype(jnp.float32),
+            st["ev_ratio"],
+            st["ev_budget"],
+        ]
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -331,80 +446,17 @@ def _phase_program(
     layer_stop = jnp.minimum(start_layer + pool_layers, cfg.num_layers)
 
     def merge_event(st, h_mid, layer_for_log):
-        budget, infeas = compute_pruning_ratio_device(
-            st["sparsity"], st["n_events"], cost, schedule_num_layers
+        return _merge_event_step(
+            st, h_mid, layer_for_log, patch_type, cost, s_th, r_min,
+            patch_num=patch_num, schedule_num_layers=schedule_num_layers,
+            collect_similarities=collect_similarities,
         )
-        order, n_img = order_by_patch(patch_type, st["live"], patch_num)
-        sim = similarity_by_patch(h_mid, patch_type, order, n_img)
-        count = jnp.sum(sim >= s_th).astype(jnp.int32)
-        ftok = st["frame_tok"].astype(jnp.float32)
-        above = count.astype(jnp.float32) / ftok
-        threshold_branch = above < budget
-        k_capped = jnp.floor(budget * ftok).astype(jnp.int32)
-        k_marked = jnp.where(threshold_branch, count, k_capped)
-        marked = mark_topk(sim, k_marked)
-        merged, keep = apply_merge(h_mid, marked, order)
-
-        i = st["ev_n"]
-        kind = jnp.where(threshold_branch, EV_MERGE, EV_MERGE_CAPPED)
-        if collect_similarities:
-            # Research introspection parity: the reference's baselines log the
-            # per-layer similarity tensors to ``model.similarities``
-            # (modeling_qwen2_baseline.py:994-998).
-            st = dict(st, sim_log=st["sim_log"].at[i].set(sim))
-        st = dict(
-            st,
-            h=merged,
-            live=st["live"] & keep,
-            n_live=st["n_live"] - k_marked,
-            frame_tok=st["frame_tok"] - k_marked,
-            sparsity=jnp.where(
-                threshold_branch, st["sparsity"].at[st["n_events"]].set(above), st["sparsity"]
-            ),
-            n_events=st["n_events"] + threshold_branch.astype(jnp.int32),
-            fm=st["fm"] | (threshold_branch & (above < r_min)) | ~threshold_branch,
-            fp=st["fp"] | ~threshold_branch,
-            infeasible=st["infeasible"] | infeas,
-            ev_layer=st["ev_layer"].at[i].set(layer_for_log),
-            ev_kind=st["ev_kind"].at[i].set(kind),
-            ev_removed=st["ev_removed"].at[i].set(k_marked),
-            ev_ratio=st["ev_ratio"].at[i].set(above),
-            ev_budget=st["ev_budget"].at[i].set(budget),
-            ev_n=i + 1,
-        )
-        return st
 
     def prune_event(st, h_mid, importance, layer_for_log):
-        ratio, infeas = compute_pruning_ratio_device(
-            st["sparsity"], st["n_events"], cost, schedule_num_layers
+        return _prune_event_step(
+            st, h_mid, importance, layer_for_log, valid0, image_start, image_len,
+            cost, schedule_num_layers=schedule_num_layers,
         )
-        cur_img_len = image_len - (valid0 - st["n_live"])
-        # Banker's rounding = python round() used by the reference (main.py:76).
-        k_keep = jnp.round(cur_img_len.astype(jnp.float32) * (1.0 - ratio)).astype(jnp.int32)
-        live_rank = jnp.cumsum(st["live"].astype(jnp.int32)) - 1
-        in_window = (
-            st["live"] & (live_rank >= image_start) & (live_rank < image_start + cur_img_len)
-        )
-        score = jnp.where(in_window, importance, -jnp.inf)
-        keep = (st["live"] & ~in_window) | (in_window & (descending_rank(score) < k_keep))
-        removed = cur_img_len - k_keep
-
-        i = st["ev_n"]
-        st = dict(
-            st,
-            h=h_mid,
-            live=keep,
-            n_live=st["n_live"] - removed,
-            fp=jnp.bool_(True),
-            infeasible=st["infeasible"] | infeas,
-            ev_layer=st["ev_layer"].at[i].set(layer_for_log),
-            ev_kind=st["ev_kind"].at[i].set(EV_PRUNE),
-            ev_removed=st["ev_removed"].at[i].set(removed),
-            ev_ratio=st["ev_ratio"].at[i].set(-1.0),
-            ev_budget=st["ev_budget"].at[i].set(ratio),
-            ev_n=i + 1,
-        )
-        return st
 
     st = dict(
         h=h,
@@ -439,33 +491,7 @@ def _phase_program(
     def cond(st):
         return (st["layer"] < layer_stop) & ~(st["fm"] & st["fp"])
 
-    def pack_control(st):
-        """All host-needed control state as ONE fp32 vector — the device->host
-        relay costs a round trip per array, so the single sync per prefill
-        must be a single transfer. fp32 holds every field exactly (ints here
-        are < 2^24)."""
-        head = jnp.stack(
-            [
-                st["layer"].astype(jnp.float32),
-                st["fm"].astype(jnp.float32),
-                st["fp"].astype(jnp.float32),
-                st["n_live"].astype(jnp.float32),
-                st["infeasible"].astype(jnp.float32),
-                st["ev_n"].astype(jnp.float32),
-                st["n_events"].astype(jnp.float32),
-            ]
-        )
-        return jnp.concatenate(
-            [
-                head,
-                st["sparsity"],
-                st["ev_layer"].astype(jnp.float32),
-                st["ev_kind"].astype(jnp.float32),
-                st["ev_removed"].astype(jnp.float32),
-                st["ev_ratio"],
-                st["ev_budget"],
-            ]
-        )
+    pack_control = _pack_control_vector
 
     def body(st):
         l = st["layer"]
@@ -587,6 +613,198 @@ def _pack_caches_program(k_pool, v_pool, cache_live):
 
     k_packed, v_packed = jax.vmap(pack_one)(k_pool, v_pool, cache_live)
     return k_packed, v_packed, jnp.sum(cache_live, axis=1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Lockstep-batched phase + tail (batched serving prefill)
+
+
+def _attn_core_batch(lp, h, cos, sin, cfg: LLMConfig, attn_impl: str,
+                     capture_num: int, capture_end, key_valid):
+    """Batched decoder attention half: norms/projections/rope run as BATCHED
+    matmuls (one weight read for the whole batch — (B, S, D) lhs), the
+    attention kernel itself runs per sequence under ``lax.map`` (the pallas
+    grids are single-sequence; sequential kernel launches pipeline fine).
+    Mirrors qwen2.layer_attention's capture dispatch."""
+    from ..ops.attention import causal_attention, last_rows_importance
+
+    b, s, _ = h.shape
+    hd = cfg.head_dim_
+    x = qwen2.rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+    q = qwen2.mm(x, lp["wq"])
+    k = qwen2.mm(x, lp["wk"])
+    v = qwen2.mm(x, lp["wv"])
+    if cfg.qkv_bias:
+        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    q = q.reshape(b, s, cfg.num_heads, hd)
+    k = k.reshape(b, s, cfg.num_kv_heads, hd)
+    v = v.reshape(b, s, cfg.num_kv_heads, hd)
+    q, k = jax.vmap(qwen2.apply_rope)(q, k, cos, sin)
+
+    def one(args):
+        qb, kb, vb, ce, lv = args
+        if capture_num and attn_impl == "pallas":
+            from ..ops.kernels.flash_prefill import (
+                RESIDENT_KV_MAX_S,
+                flash_causal_attention_importance,
+            )
+
+            if s <= RESIDENT_KV_MAX_S:
+                attn, imp = flash_causal_attention_importance(
+                    qb, kb, vb, ce, capture_num, key_valid=lv
+                )
+                return attn, imp
+        attn = causal_attention(qb, kb, vb, impl=attn_impl, key_valid=lv)
+        imp = (
+            last_rows_importance(qb, kb, capture_num, ce, key_valid=lv)
+            if capture_num
+            else jnp.zeros((s,), jnp.float32)
+        )
+        return attn, imp
+
+    attn, importance = jax.lax.map(one, (q, k, v, capture_end, key_valid))
+    h_out = h + qwen2.mm(attn.reshape(b, s, -1), lp["wo"])
+    return h_out, k, v, importance
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "attn_impl", "capture_num", "patch_num", "max_events",
+        "pool_layers", "schedule_num_layers",
+    ),
+)
+def _phase_program_batch(
+    params, h, pos_tok, patch_type, live, n_live, frame_tok, valid0,
+    capture_end, image_start, image_len, sparsity, n_events, fm, fp,
+    cost, s_th, r_min,
+    *, cfg: LLMConfig, attn_impl: str, capture_num: int, patch_num: int,
+    max_events: int, pool_layers: int, schedule_num_layers: int,
+):
+    """LOCKSTEP-batched compression phase: ONE shared layer counter, B
+    independent per-sequence event states. Each iteration runs the layer for
+    the whole batch (batched matmuls, per-sequence attention kernels) and
+    dispatches each sequence's merge/prune event with the SAME
+    ``_merge_event_step``/``_prune_event_step`` code as the single-sequence
+    program — per-sequence decisions are identical to their solo runs. The
+    loop exits when EVERY sequence finished compression (or the pool fills);
+    sequences that finish early keep running layers event-free, which
+    computes exactly what their solo tail would (mask-only, same rope), just
+    at the phase bucket.
+
+    Batched leading dims: h (B,S,D), pos_tok (B,S,P), patch_type (B,S),
+    live (B,S), scalars->(B,). Pools are (pool_layers, B, S, Hk, hd).
+    Returns the batched state; control is (B, ctl_len).
+    """
+    b, s = h.shape[:2]
+    hd = cfg.head_dim_
+    cos, sin = jax.vmap(lambda p: qwen2.positions_cos_sin(_pos_axes(p), cfg))(pos_tok)
+    n_ev_slots = max_events + 2
+    layer_stop = min(pool_layers, cfg.num_layers)
+
+    st = dict(
+        h=h,
+        live=live,
+        n_live=n_live,
+        frame_tok=frame_tok,
+        sparsity=sparsity,
+        n_events=n_events,
+        fm=fm,
+        fp=fp,
+        infeasible=jnp.zeros((b,), bool),
+        k_pool=jnp.zeros((pool_layers, b, s, cfg.num_kv_heads, hd), cfg.dtype),
+        v_pool=jnp.zeros((pool_layers, b, s, cfg.num_kv_heads, hd), cfg.dtype),
+        cache_live=jnp.zeros((pool_layers, b, s), bool),
+        ev_layer=jnp.full((b, n_ev_slots), -100, jnp.int32),
+        ev_kind=jnp.zeros((b, n_ev_slots), jnp.int32),
+        ev_removed=jnp.zeros((b, n_ev_slots), jnp.int32),
+        ev_ratio=jnp.zeros((b, n_ev_slots), jnp.float32),
+        ev_budget=jnp.zeros((b, n_ev_slots), jnp.float32),
+        ev_n=jnp.zeros((b,), jnp.int32),
+    )
+    SEQ_KEYS = ("h", "live", "n_live", "frame_tok", "sparsity", "n_events", "fm",
+                "fp", "infeasible", "ev_layer", "ev_kind", "ev_removed",
+                "ev_ratio", "ev_budget", "ev_n")
+
+    def event_dispatch(st_seq, h_mid_seq, imp_seq, pt_seq, v0_seq, img_s_seq, img_l_seq, l):
+        def no_event(s_):
+            return dict(s_, h=h_mid_seq)
+
+        def with_event(s_):
+            return jax.lax.cond(
+                ~s_["fm"],
+                lambda ss: _merge_event_step(
+                    ss, h_mid_seq, l, pt_seq, cost, s_th, r_min,
+                    patch_num=patch_num, schedule_num_layers=schedule_num_layers,
+                ),
+                lambda ss: _prune_event_step(
+                    ss, h_mid_seq, imp_seq, l, v0_seq, img_s_seq, img_l_seq, cost,
+                    schedule_num_layers=schedule_num_layers,
+                ),
+                s_,
+            )
+
+        return jax.lax.cond(st_seq["fm"] & st_seq["fp"], no_event, with_event, st_seq)
+
+    def cond(carry):
+        l, st = carry
+        return (l < layer_stop) & ~jnp.all(st["fm"] & st["fp"])
+
+    def body(carry):
+        l, st = carry
+        lp = qwen2.layer_slice(params["layers"], l)
+        h_mid, k, v, importance = _attn_core_batch(
+            lp, st["h"], cos, sin, cfg, attn_impl, capture_num, capture_end, st["live"]
+        )
+        st = dict(
+            st,
+            k_pool=jax.lax.dynamic_update_index_in_dim(st["k_pool"], k.astype(cfg.dtype), l, 0),
+            v_pool=jax.lax.dynamic_update_index_in_dim(st["v_pool"], v.astype(cfg.dtype), l, 0),
+            cache_live=jax.lax.dynamic_update_index_in_dim(st["cache_live"], st["live"], l, 0),
+        )
+        seq_st = {key: st[key] for key in SEQ_KEYS}
+        new_seq = jax.vmap(event_dispatch, in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
+            seq_st, h_mid, importance, patch_type, valid0, image_start, image_len, l
+        )
+        st.update(new_seq)
+        st["h"] = qwen2.layer_mlp(lp, st["h"], cfg)
+        return l + 1, st
+
+    layer, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    st["layer"] = layer  # shared exit layer (= tail start for every sequence)
+    pack_seq = {key: st[key] for key in SEQ_KEYS}
+    pack_seq["layer"] = jnp.full((b,), layer)
+    st["control"] = jax.vmap(_pack_control_vector)(pack_seq)
+    return st
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
+def _tail_program_batch(params, start_layer, h, pos_tok, valid_len, *, cfg: LLMConfig, attn_impl: str):
+    """Batched tail: every remaining layer at the (shared) plan bucket.
+    Matmuls batched, attention per sequence (see _attn_core_batch)."""
+    b, sp = h.shape[:2]
+    cos, sin = jax.vmap(lambda p: qwen2.positions_cos_sin(_pos_axes(p), cfg))(pos_tok)
+    hd = cfg.head_dim_
+    k_all = jnp.zeros((cfg.num_layers, b, sp, cfg.num_kv_heads, hd), cfg.dtype)
+    v_all = jnp.zeros_like(k_all)
+    no_capture = jnp.zeros((b,), jnp.int32)
+    all_live = jnp.ones((b, sp), bool)
+
+    def body(l, carry):
+        h, k_all, v_all = carry
+        lp = qwen2.layer_slice(params["layers"], l)
+        h, k, v, _ = _attn_core_batch(lp, h, cos, sin, cfg, attn_impl, 0, no_capture, all_live)
+        h = qwen2.layer_mlp(lp, h, cfg)
+        k_all = jax.lax.dynamic_update_index_in_dim(k_all, k.astype(cfg.dtype), l, 0)
+        v_all = jax.lax.dynamic_update_index_in_dim(v_all, v.astype(cfg.dtype), l, 0)
+        return h, k_all, v_all
+
+    h, k_all, v_all = jax.lax.fori_loop(start_layer, cfg.num_layers, body, (h, k_all, v_all))
+    last = jax.vmap(lambda hb, vl: jax.lax.dynamic_slice_in_dim(hb, vl - 1, 1, axis=0)[0])(
+        h, valid_len
+    )
+    logits = qwen2.final_logits(params, last, cfg)  # (B, V)
+    return logits, k_all, v_all
 
 
 # ---------------------------------------------------------------------------
@@ -1053,6 +1271,178 @@ class CompressionEngine:
             decode_pos_base=layer_caches[0][2], telemetry=telemetry,
             pos_dims=pos_tok.shape[1], mode="planned",
         )
+
+    def prefill_planned_batch(
+        self,
+        batch,
+        patch_num: int,
+        plan_len: Optional[int] = None,
+        pre_plan_len: Optional[int] = None,
+    ) -> list:
+        """Batched sync-free compressed prefill: B prompts run through ONE
+        batched pre-event program, ONE lockstep-batched phase program
+        (shared layer counter, per-sequence event state — see
+        _phase_program_batch), ONE batched compaction and ONE batched tail.
+        Host syncs for the whole batch: two (pre-event controls + phase
+        controls, each one (B, ctl) transfer).
+
+        ``batch``: list of ``(input_embeds, patch_type, position_ids,
+        image_token_start, image_token_length)``; prompts share ``patch_num``
+        (one model family per batch — the serving norm). Per-sequence
+        decisions are identical to each prompt's solo run; a sequence whose
+        survivor count overflows a plan bucket (or a phase that outruns the
+        KV pool) falls back to its own adaptive fused prefill
+        (mode="planned_fallback_fused") without disturbing the others.
+
+        Returns a list of PrefillResult (mode="planned_batch"), ready for
+        ``generate_batch``. Beyond the reference's surface — it is bsz==1
+        end to end (main.py:203).
+        """
+        cfg, ff = self.cfg, self.ff
+        assert batch, "empty batch"
+        preps = [self._prep_inputs(e, pt, pos) for (e, pt, pos, _, _) in batch]
+        s_b = max(p[0].shape[0] for p in preps)
+        pos_dims = preps[0][2].shape[1]
+        assert all(p[2].shape[1] == pos_dims for p in preps), "mixed rope layouts in one batch"
+
+        def pad_to(h, pt, pos_tok):
+            pad = s_b - h.shape[0]
+            if pad == 0:
+                return h, pt, pos_tok
+            return (
+                jnp.pad(h, ((0, pad), (0, 0))),
+                jnp.pad(pt, (0, pad), constant_values=PAD_TOKEN),
+                jnp.pad(pos_tok, ((0, pad), (0, 0))),
+            )
+
+        padded = [pad_to(h, pt, pos_tok) for (h, pt, pos_tok, _) in preps]
+        h_b = jnp.stack([p[0] for p in padded])
+        pt_b = jnp.stack([p[1] for p in padded])
+        pos_b = jnp.stack([p[2] for p in padded])
+        orig_lens = [p[3] for p in preps]
+        n_live_b = jnp.asarray(orig_lens, jnp.int32)
+        frame_toks = [int(np.sum(np.asarray(pt) != TEXT_TOKEN)) for (_, pt, _, _, _) in batch]
+        ftok_b = jnp.asarray(frame_toks, jnp.int32)
+        img_start_b = jnp.asarray([b_[3] for b_ in batch], jnp.int32)
+        img_len_b = jnp.asarray([b_[4] for b_ in batch], jnp.int32)
+
+        if pre_plan_len is None:
+            pre_plan_len = max(
+                pre_plan_length(orig_lens[i], frame_toks[i], ff) for i in range(len(batch))
+            )
+        pre_plan_len = min(max(pre_plan_len, ff.bucket), s_b)
+        plan_len = pre_plan_len if plan_len is None else min(max(plan_len, ff.bucket), pre_plan_len)
+
+        max_events = ff.schedule_num_layers
+        budget0 = compute_pruning_ratio([], ff.cost, ff.schedule_num_layers)
+
+        def pre_one(h, pos_tok, pt, nl, ft):
+            return _pre_event_program(
+                h, pos_tok, pt, nl, ft, jnp.float32(budget0),
+                jnp.float32(ff.similarity_lower_bound), jnp.float32(ff.ratio_lower_bound),
+                patch_num=patch_num, max_events=max_events,
+                schedule_num_layers=ff.schedule_num_layers, plan_len=pre_plan_len,
+            )
+
+        (h1, pos1, pt1, n_live_d, frame_tok_d, sparsity_d, n_events_d, fm_d, fp_d,
+         pre_ctl_dev) = jax.vmap(pre_one)(h_b, pos_b, pt_b, n_live_b, ftok_b)
+
+        live1 = jnp.arange(pre_plan_len, dtype=jnp.int32)[None, :] < n_live_d[:, None]
+        st = _phase_program_batch(
+            self.params, h1, pos1, pt1, live1, n_live_d, frame_tok_d,
+            n_live_b, n_live_d, img_start_b, img_len_b,
+            sparsity_d, n_events_d, fm_d, fp_d,
+            jnp.float32(ff.cost), jnp.float32(ff.similarity_lower_bound),
+            jnp.float32(ff.ratio_lower_bound),
+            cfg=cfg, attn_impl=self.attn_impl, capture_num=ff.num_importance_queries,
+            patch_num=patch_num, max_events=max_events,
+            pool_layers=min(self.pool_layers, cfg.num_layers),
+            schedule_num_layers=ff.schedule_num_layers,
+        )
+
+        h2, pos2, pt2 = jax.vmap(
+            functools.partial(_compact_state_program, new_len=plan_len)
+        )(st["h"], pos1, pt1, st["live"], st["n_live"])
+        logits_b, k_tail, v_tail = _tail_program_batch(
+            self.params, st["layer"], h2, pos2, st["n_live"],
+            cfg=cfg, attn_impl=self.attn_impl,
+        )
+
+        # Packed caches for the phase layers, per sequence.
+        kp = jnp.moveaxis(st["k_pool"], 1, 0)  # (B, pool, S1, Hk, hd)
+        vp = jnp.moveaxis(st["v_pool"], 1, 0)
+        cl = jnp.moveaxis(st["cache_live"], 1, 0)
+        k_packed_b, v_packed_b, _ = jax.vmap(_pack_caches_program)(kp, vp, cl)
+
+        pre_ctl = np.asarray(pre_ctl_dev)  # (B, 6)
+        ctl = np.asarray(st["control"])  # (B, ctl_len)
+        n_ev_slots = max_events + 2
+        kind_names = {EV_MERGE: "merge", EV_MERGE_CAPPED: "merge_capped", EV_PRUNE: "prune"}
+        results = []
+        for bi, (embeds, patch_type, position_ids, img_s, img_l) in enumerate(batch):
+            packed = ctl[bi]
+            if bool(pre_ctl[bi][4]) or bool(packed[4]):
+                raise CostInfeasibleError(f"The cost is too small (batch index {bi})")
+            layer_end = int(packed[0])
+            n_live_final = int(packed[3])
+            n_after_pre = int(pre_ctl[bi][5])
+            finished = bool(packed[1]) and bool(packed[2])
+            if (
+                n_after_pre > pre_plan_len
+                or n_live_final > plan_len
+                or (not finished and layer_end < cfg.num_layers)
+            ):
+                res = self._prefill_fused(embeds, patch_type, position_ids, patch_num, img_s, img_l)
+                res.mode = "planned_fallback_fused"
+                results.append(res)
+                continue
+
+            orig_len = orig_lens[bi]
+            telemetry = PrefillTelemetry(original_length=orig_len, image_token_length=img_l)
+            pre_removed = int(pre_ctl[bi][0])
+            telemetry.events.append(CompressionEvent(
+                layer=-1, kind=kind_names[int(pre_ctl[bi][1])], tokens_removed=pre_removed,
+                tokens_after=orig_len - pre_removed, above_ratio=float(pre_ctl[bi][2]),
+                budget=float(pre_ctl[bi][3]), bucket=pre_plan_len,
+            ))
+            valid = n_after_pre
+            off = 7 + max_events
+            ev_layer = packed[off : off + n_ev_slots]
+            ev_kind = packed[off + n_ev_slots : off + 2 * n_ev_slots]
+            ev_removed = packed[off + 2 * n_ev_slots : off + 3 * n_ev_slots]
+            n_ev = int(packed[5])
+            tokens_after = valid
+            for i in range(n_ev):
+                tokens_after -= int(ev_removed[i])
+                telemetry.events.append(CompressionEvent(
+                    layer=int(ev_layer[i]), kind=kind_names[int(ev_kind[i])],
+                    tokens_removed=int(ev_removed[i]), tokens_after=tokens_after,
+                    bucket=plan_len,
+                ))
+            telemetry.sparsity_list = [float(x) for x in packed[7 : 7 + int(packed[6])]]
+
+            def phase_cache_len(l: int, _valid=valid, _ev_layer=ev_layer,
+                                _ev_removed=ev_removed, _n_ev=n_ev) -> int:
+                return _valid - int(sum(
+                    int(r) for lay, r in zip(_ev_layer[:_n_ev], _ev_removed[:_n_ev]) if lay < l
+                ))
+
+            layer_caches: list = [None] * cfg.num_layers
+            for i in range(min(self.pool_layers, cfg.num_layers)):
+                if i < layer_end:
+                    layer_caches[i] = (k_packed_b[bi][i], v_packed_b[bi][i], phase_cache_len(i))
+            for j in range(layer_end, cfg.num_layers):
+                layer_caches[j] = (k_tail[j, bi], v_tail[j, bi], n_live_final)
+
+            telemetry.final_length = n_live_final
+            telemetry.final_image_tokens = img_l - (orig_len - n_live_final)
+            telemetry.tail_start_layer = layer_end
+            results.append(PrefillResult(
+                logits=logits_b[bi], layer_caches=layer_caches, valid_len=n_live_final,
+                decode_pos_base=layer_caches[0][2], telemetry=telemetry,
+                pos_dims=pos_dims, mode="planned_batch",
+            ))
+        return results
 
     def _prefill_segmented(
         self,

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--int8", action="store_true",
                     help="weight-only int8 (halves the decode weight stream; "
                          "decode throughput is weight-bandwidth-bound)")
+    ap.add_argument("--batched-prefill", action="store_true",
+                    help="run the B prefills as ONE lockstep-batched program "
+                         "pipeline (engine.prefill_planned_batch)")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -75,13 +78,23 @@ def main():
         return engine.prefill(h, pt, pos, patch_num=patch_num,
                               image_token_start=img_start, image_token_length=n_img)
 
-    prefill(prompts[0])  # warmup: compile the phase/tail programs once
-    t0 = time.perf_counter()
-    results = [prefill(p) for p in prompts]
-    float(jnp.sum(results[-1].logits))  # force
-    t_prefill = time.perf_counter() - t0
-    print(f"{args.batch} compressed prefills (sequential): {t_prefill*1e3:.0f} ms "
-          f"({[r.valid_len for r in results]} tokens kept)")
+    if args.batched_prefill:
+        engine.prefill_planned_batch(prompts, patch_num=patch_num)  # warmup/compile
+        t0 = time.perf_counter()
+        results = engine.prefill_planned_batch(prompts, patch_num=patch_num)
+        float(jnp.sum(results[-1].logits))
+        t_prefill = time.perf_counter() - t0
+        print(f"{args.batch} compressed prefills (ONE lockstep-batched program): "
+              f"{t_prefill*1e3:.0f} ms ({[r.valid_len for r in results]} tokens kept, "
+              f"modes={sorted({r.mode for r in results})})")
+    else:
+        prefill(prompts[0])  # warmup: compile the phase/tail programs once
+        t0 = time.perf_counter()
+        results = [prefill(p) for p in prompts]
+        float(jnp.sum(results[-1].logits))  # force
+        t_prefill = time.perf_counter() - t0
+        print(f"{args.batch} compressed prefills (sequential): {t_prefill*1e3:.0f} ms "
+              f"({[r.valid_len for r in results]} tokens kept)")
 
     # warmup (compile) then timed batched decode
     engine.generate_batch(results, max_new_tokens=args.new_tokens)

@@ -498,3 +498,63 @@ class TestBatchedDecode:
         eos = full[2]
         cut = engine.generate_batch([res], max_new_tokens=6, eos_token_id=eos)[0]
         assert cut == full[: full.index(eos) + 1]
+
+
+class TestBatchedPrefill:
+    """Lockstep-batched planned prefill: per-sequence decisions must equal
+    each prompt's SOLO fused run (events, lengths, logits, cache
+    raggedness), and batched decode on the results must reproduce solo
+    greedy decode."""
+
+    def _prompts(self):
+        out = []
+        for seed, coh, frames in [(0, 0.8, 10), (5, 0.5, 8), (9, 0.9, 12)]:
+            h, pt, pos, img_start, n_img = build_inputs(seed=seed, coherent=coh, n_frames=frames)
+            out.append((h, pt, pos, img_start, n_img))
+        return out
+
+    def test_matches_solo_fused(self, setup):
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        prompts = self._prompts()
+        batch_res = engine.prefill_planned_batch(prompts, patch_num=6)
+        for (h, pt, pos, img_start, n_img), res in zip(prompts, batch_res):
+            solo = engine.prefill(h, pt, pos, patch_num=6, image_token_start=img_start,
+                                  image_token_length=n_img)
+            assert res.mode == "planned_batch"
+            got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+            want = [(e.layer, e.kind, e.tokens_removed) for e in solo.telemetry.events]
+            assert got == want
+            assert res.valid_len == solo.valid_len
+            np.testing.assert_allclose(np.asarray(res.logits), np.asarray(solo.logits),
+                                       rtol=2e-3, atol=2e-3)
+            for l in range(cfg.num_layers):
+                assert res.layer_caches[l][2] == solo.layer_caches[l][2], f"layer {l}"
+
+    def test_batch_prefill_then_batch_decode(self, setup):
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        prompts = self._prompts()
+        batch_res = engine.prefill_planned_batch(prompts, patch_num=6)
+        singles = []
+        for (h, pt, pos, img_start, n_img) in prompts:
+            solo = engine.prefill(h, pt, pos, patch_num=6, image_token_start=img_start,
+                                  image_token_length=n_img)
+            singles.append(engine.generate_greedy(solo, max_new_tokens=4))
+        assert engine.generate_batch(batch_res, max_new_tokens=4) == singles
+
+    def test_overflowing_sequence_falls_back_alone(self, setup):
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        prompts = self._prompts()
+        # plan bucket so tight that at least the least-compressible prompt
+        # overflows; overflowers fall back per-sequence, the rest stay planned.
+        batch_res = engine.prefill_planned_batch(prompts, patch_num=6,
+                                                 plan_len=ff.bucket, pre_plan_len=ff.bucket)
+        modes = {r.mode for r in batch_res}
+        assert modes <= {"planned_batch", "planned_fallback_fused"}
+        assert "planned_fallback_fused" in modes
+        for (h, pt, pos, img_start, n_img), res in zip(prompts, batch_res):
+            solo = engine.prefill(h, pt, pos, patch_num=6, image_token_start=img_start,
+                                  image_token_length=n_img)
+            assert res.valid_len == solo.valid_len
