@@ -231,6 +231,13 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                 "e2e_new_tokens": e2e_tokens,
                 "e2e_dense_ms": round(dense_e2e * 1e3, 1),
                 "e2e_framefusion_ms": round(ff_e2e * 1e3, 1),
+                # Diagnostic: decode wall-clock through the relay varies up
+                # to 4x between processes (DEVNOTES); ~17-24 ms/tok is the
+                # healthy range at 7B bf16, higher means a congested run and
+                # an understated e2e_speedup.
+                "decode_ms_per_tok": round(
+                    (ff_e2e * 1e3 - ff_best * 1e3) / e2e_tokens, 1
+                ),
             })
         except Exception as e:  # noqa: BLE001 — e2e is best-effort
             detail["e2e_error"] = f"{type(e).__name__}: {str(e)[:200]}"
