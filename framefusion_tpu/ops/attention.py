@@ -138,7 +138,15 @@ def causal_attention_chunked(q, k, v, key_valid=None, block_q: int = 256, block_
 
 
 def last_rows_importance(q, k, num: int, valid_len, scale=None, key_valid=None):
-    """Mean attention mass of the last ``num`` valid query rows over all keys.
+    """Mean attention mass of the last ``num`` LIVE query rows over all keys.
+
+    The reference captures ``query[:, :, -num:, :]`` of its COMPACTED hidden
+    states (utils.py:29) — the last ``num`` surviving tokens. In the
+    mask-only (uncompacted) layout those are NOT the last ``num`` positions
+    whenever fewer than ``num`` trailing text tokens exist (Qwen2-VL's num=4
+    with a short suffix): dead image rows sit inside the trailing window. So
+    with ``key_valid`` given, rows are selected by live-rank; without it the
+    layout is compacted and the trailing window is exact.
 
     Args:
         q: (S, Hq, D); k: (S, Hk, D); valid_len: scalar int32 (<= S).
@@ -153,7 +161,14 @@ def last_rows_importance(q, k, num: int, valid_len, scale=None, key_valid=None):
     g = hq // hk
     scale = (1.0 / jnp.sqrt(d).astype(jnp.float32)) if scale is None else scale
 
-    row_pos = valid_len - num + jnp.arange(num, dtype=jnp.int32)  # (num,)
+    if key_valid is not None:
+        positions = jnp.arange(s, dtype=jnp.int32)
+        live_rank = jnp.cumsum(key_valid.astype(jnp.int32))
+        n_live = live_rank[-1]
+        wanted = key_valid & (live_rank > n_live - num)  # exactly num live rows
+        row_pos = jnp.maximum(jnp.sort(jnp.where(wanted, positions, -1))[-num:], 0)
+    else:
+        row_pos = valid_len - num + jnp.arange(num, dtype=jnp.int32)  # (num,)
     q_rows = jnp.take(q, row_pos, axis=0).astype(jnp.float32)  # (num, Hq, D)
     kf = k.transpose(1, 0, 2).astype(jnp.float32)  # (Hk, S, D)
     q_rows = q_rows.reshape(num, hk, g, d).transpose(1, 2, 0, 3)  # (Hk,G,num,D)

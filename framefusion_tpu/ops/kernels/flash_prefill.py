@@ -404,18 +404,19 @@ def _flash_grouped_multi(q, k, v, kv_mask, block_q, block_k, sub_q, interpret, s
     return out.transpose(2, 0, 1, 3).reshape(sp, hq, d)
 
 
-def _flash_kernel_gm_imp(vl_ref, q_ref, k_ref, v_ref, kvalid_ref, o_ref, imp_ref,
+def _flash_kernel_gm_imp(q_ref, k_ref, v_ref, kvalid_ref, cap_ref, o_ref, imp_ref,
                          *, block_q, block_k, sub_q, scale, group, num):
     """Grouped-multi flash kernel WITH the prune-importance capture fused as
     a per-sub-block epilogue (the grouped-multi twin of _flash_kernel_imp):
-    after a sub-block's online-softmax walk, if it contains the last ``num``
-    valid rows, the KV walk replays from VMEM-resident K and the exact
-    softmax rows accumulate into the shared importance block."""
+    after a sub-block's online-softmax walk, if it contains capture rows
+    (``cap_ref`` marks the last ``num`` LIVE rows — by live-rank, because in
+    the mask-only layout the trailing window can contain dead tokens), the
+    KV walk replays from VMEM-resident K and the exact softmax rows
+    accumulate into the shared importance block."""
     iq = pl.program_id(1)
     d = q_ref.shape[-1]
     q_start = iq * block_q
     n_sub = block_q // sub_q
-    vl = vl_ref[0]
 
     @pl.when((pl.program_id(0) == 0) & (iq == 0))
     def _():
@@ -463,18 +464,23 @@ def _flash_kernel_gm_imp(vl_ref, q_ref, k_ref, v_ref, kvalid_ref, o_ref, imp_ref
             acc / jnp.maximum(l, 1e-30)
         ).astype(o_ref.dtype)
 
-        row_global = sub_start + jax.lax.broadcasted_iota(jnp.int32, (sub_q, 1), 0)
-        row_mask = (row_global >= vl - num) & (row_global < vl)
+        # Capture-row selection as a (1, sub_q) x (sub_q, block_k) matvec —
+        # the 0/1 row vector loads in its native lane layout (a (sub_q, 1)
+        # column mask would need a sublane relayout Mosaic rejects).
+        cap_row = cap_ref[0:1, pl.ds(sub_start, sub_q)].astype(jnp.float32)
 
-        @pl.when(jnp.any(row_mask))
+        @pl.when(jnp.max(cap_row) > 0)
         def _():
             inv_l = 1.0 / jnp.maximum(l, 1e-30)
 
             def imp_body(j, _):
                 p = jnp.exp(scores(j) - m) * inv_l
-                contrib = jnp.sum(jnp.where(row_mask, p, 0.0), axis=0)
+                contrib = jax.lax.dot_general(
+                    cap_row, p, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )  # (1, block_k): sum of p over capture rows
                 ks = j * block_k
-                imp_ref[0, pl.ds(ks, block_k)] = imp_ref[0, pl.ds(ks, block_k)] + contrib
+                imp_ref[0:1, pl.ds(ks, block_k)] = imp_ref[0:1, pl.ds(ks, block_k)] + contrib
                 return 0
 
             jax.lax.fori_loop(0, n_kv, imp_body, 0)
@@ -484,19 +490,19 @@ def _flash_kernel_gm_imp(vl_ref, q_ref, k_ref, v_ref, kvalid_ref, o_ref, imp_ref
     jax.lax.fori_loop(0, group * n_sub, outer, 0)
 
 
-def _imp_grouped_multi(vl, q_g, k_t, v_t, kv_mask, block_q, block_k, sub_q, num, interpret, scale):
-    """q_g: (Hk, G, Sp, D); k_t/v_t: (Hk, Sp, D); kv_mask (1, Sp). Returns
-    (out (Hk, G, Sp, D), imp (8, Sp))."""
+def _imp_grouped_multi(q_g, k_t, v_t, kv_mask, cap_mask, block_q, block_k, sub_q, num, interpret, scale):
+    """q_g: (Hk, G, Sp, D); k_t/v_t: (Hk, Sp, D); kv_mask/cap_mask (1, Sp).
+    Returns (out (Hk, G, Sp, D), imp (8, Sp))."""
     hk, g, sp, d = q_g.shape
     return pl.pallas_call(
         functools.partial(_flash_kernel_gm_imp, block_q=block_q, block_k=block_k,
                           sub_q=sub_q, scale=scale, group=g, num=num),
         grid=(hk, sp // block_q),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, g, block_q, d), lambda h, i: (h, 0, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sp, d), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sp, d), lambda h, i: (h, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -508,18 +514,20 @@ def _imp_grouped_multi(vl, q_g, k_t, v_t, kv_mask, block_q, block_k, sub_q, num,
             jax.ShapeDtypeStruct((8, sp), jnp.float32),
         ),
         interpret=interpret,
-    )(vl, q_g, k_t, v_t, kv_mask)
+    )(q_g, k_t, v_t, kv_mask, cap_mask)
 
 
-def _flash_kernel_imp(vl_ref, q_ref, k_ref, v_ref, kvalid_ref, o_ref, imp_ref,
+def _flash_kernel_imp(q_ref, k_ref, v_ref, kvalid_ref, cap_ref, o_ref, imp_ref,
                       *, block_q, block_k, scale, num):
     """Resident-KV flash kernel with the prune-importance capture fused as a
-    true epilogue: after the online-softmax main loop, the query block that
-    contains the last ``num`` valid rows (positions [vl-num, vl)) replays its
-    KV walk — K is already VMEM-resident, zero extra HBM traffic — and writes
-    those rows' exact softmax probabilities exp(s - m_final)/l_final into a
-    per-head importance row. Replaces the reference's double-computed manual
-    softmax (/root/reference/framefusion/utils.py:27-57 +
+    true epilogue: after the online-softmax main loop, a query block that
+    contains capture rows (``cap_ref`` marks the last ``num`` LIVE rows —
+    live-rank-selected, because in the mask-only layout the trailing window
+    can contain dead tokens) replays its KV walk — K is already
+    VMEM-resident, zero extra HBM traffic — and writes those rows' exact
+    softmax probabilities exp(s - m_final)/l_final into a per-head
+    importance row. Replaces the reference's double-computed manual softmax
+    (/root/reference/framefusion/utils.py:27-57 +
     models/qwen2/modeling_qwen2.py:166-188) with one kernel pass."""
     iq = pl.program_id(1)
     q = q_ref[0]
@@ -569,19 +577,23 @@ def _flash_kernel_imp(vl_ref, q_ref, k_ref, v_ref, kvalid_ref, o_ref, imp_ref,
     def _():
         imp_ref[:] = jnp.zeros_like(imp_ref)
 
-    vl = vl_ref[0]
-    row_global = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
-    row_mask = (row_global >= vl - num) & (row_global < vl)  # (block_q, 1)
+    # (1, block_q) 0/1 row vector in native lane layout; selection + row-sum
+    # happen as one matvec (a (block_q, 1) column mask would need a sublane
+    # relayout Mosaic rejects).
+    cap_row = cap_ref[0:1, pl.ds(q_start, block_q)].astype(jnp.float32)
 
-    @pl.when(jnp.any(row_mask))
+    @pl.when(jnp.max(cap_row) > 0)
     def _():
         inv_l = 1.0 / jnp.maximum(l, 1e-30)
 
         def imp_body(j, _):
             p = jnp.exp(scores(j) - m) * inv_l  # exact softmax probs
-            contrib = jnp.sum(jnp.where(row_mask, p, 0.0), axis=0)  # (block_k,)
+            contrib = jax.lax.dot_general(
+                cap_row, p, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (1, block_k): sum of p over capture rows
             ks = j * block_k
-            imp_ref[0, pl.ds(ks, block_k)] = imp_ref[0, pl.ds(ks, block_k)] + contrib
+            imp_ref[0:1, pl.ds(ks, block_k)] = imp_ref[0:1, pl.ds(ks, block_k)] + contrib
             return 0
 
         jax.lax.fori_loop(0, n_kv, imp_body, 0)
@@ -593,10 +605,14 @@ def flash_causal_attention_importance(
     block_q: int = 256, block_k: int = 1024, interpret: bool = False,
 ):
     """Causal GQA flash attention that ALSO returns the prune importance —
-    the mean softmax mass the last ``num`` valid query rows pay to each key
-    (fused epilogue; see _flash_kernel_imp). Resident-KV regime only
-    (S <= RESIDENT_KV_MAX_S); longer sequences use the separate
-    ops.attention.last_rows_importance computation.
+    the mean softmax mass the last ``num`` LIVE query rows pay to each key
+    (fused epilogue; see _flash_kernel_imp). With ``key_valid`` (mask-only
+    compression layout) the capture rows are live-rank-selected — the
+    reference captures the last rows of its COMPACTED states (utils.py:29),
+    and in the masked layout the trailing positions can be dead tokens when
+    fewer than ``num`` text tokens trail the video span. Resident-KV regime
+    only (S <= RESIDENT_KV_MAX_S); longer sequences use the separate
+    ops.attention.last_rows_importance computation (same selection rule).
 
     Returns (out (S, Hq, D), importance (S,) fp32).
     """
@@ -604,8 +620,14 @@ def flash_causal_attention_importance(
     hk = k.shape[1]
     g = hq // hk
     scale = 1.0 / (d ** 0.5)
+    positions = jnp.arange(s, dtype=jnp.int32)
+    vl = jnp.asarray(valid_len, jnp.int32)
     if key_valid is None:
         key_valid = jnp.ones((s,), bool)
+        capture = (positions >= vl - num) & (positions < vl)
+    else:
+        live_rank = jnp.cumsum(key_valid.astype(jnp.int32))
+        capture = key_valid & (live_rank > live_rank[-1] - num)
 
     if g > 1 and s <= GROUPED_MAX_S:
         # Grouped-multi regime (same thresholds as flash_causal_attention):
@@ -618,12 +640,13 @@ def flash_causal_attention_importance(
             k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
             v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
             key_valid = jnp.pad(key_valid, (0, pad), constant_values=False)
+            capture = jnp.pad(capture, (0, pad), constant_values=False)
         sp = q.shape[0]
         q_g = q.reshape(sp, hk, g, d).transpose(1, 2, 0, 3)
         out, imp = _imp_grouped_multi(
-            jnp.asarray(valid_len, jnp.int32).reshape(1),
             q_g, k.transpose(1, 0, 2), v.transpose(1, 0, 2),
             key_valid.astype(jnp.int32)[None, :],
+            capture.astype(jnp.int32)[None, :],
             bq, bk, 256, num, interpret, scale,
         )
         importance = imp[0] / (hq * num)
@@ -635,23 +658,24 @@ def flash_causal_attention_importance(
         k = jnp.pad(k, ((0, pad), (0, 0), (0, 0)))
         v = jnp.pad(v, ((0, pad), (0, 0), (0, 0)))
         key_valid = jnp.pad(key_valid, (0, pad), constant_values=False)
+        capture = jnp.pad(capture, (0, pad), constant_values=False)
     sp = q.shape[0]
 
     q_t = q.transpose(1, 0, 2)
     k_t = k.transpose(1, 0, 2)
     v_t = v.transpose(1, 0, 2)
     kv_mask = key_valid.astype(jnp.int32)[None, :]
-    vl = jnp.asarray(valid_len, jnp.int32).reshape(1)
+    cap_mask = capture.astype(jnp.int32)[None, :]
 
     out, imp = pl.pallas_call(
         functools.partial(_flash_kernel_imp, block_q=block_q, block_k=block_k,
                           scale=scale, num=num),
         grid=(hq, sp // block_q),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, block_q, d), lambda h, i: (h, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sp, d), lambda h, i: (h // g, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sp, d), lambda h, i: (h // g, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, sp), lambda h, i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -663,7 +687,7 @@ def flash_causal_attention_importance(
             jax.ShapeDtypeStruct((8, sp), jnp.float32),
         ),
         interpret=interpret,
-    )(vl, q_t, k_t, v_t, kv_mask)
+    )(q_t, k_t, v_t, kv_mask, cap_mask)
     importance = imp[0] / (hq * num)  # mean over all heads and the num rows
     return out.transpose(1, 0, 2)[:s], importance[:s]
 

@@ -426,12 +426,19 @@ class TestCrossModeFuzz:
             ref = ref_pipeline.ref_compressed_prefill(
                 params, cfg, ff, h, pt, pos, patch_num, img_start, n_img
             )
-            mode = ["fused", "planned", "segmented"][seed % 3]
+            mode = ["fused", "planned", "segmented", "planned_batch"][seed % 4]
             engine = CompressionEngine(params, cfg, ff, attn_impl="einsum",
                                        compact_pre_event=bool(seed % 2))
             if mode == "segmented":
                 engine.compact_pre_event = False
-            res = engine.prefill(h, pt, pos, patch_num, img_start, n_img, mode=mode)
+            if mode == "planned_batch":
+                # single-prompt batch through the lockstep program (multi-
+                # prompt batches are covered by TestBatchedPrefill).
+                res = engine.prefill_planned_batch(
+                    [(h, pt, pos, img_start, n_img)], patch_num=patch_num
+                )[0]
+            else:
+                res = engine.prefill(h, pt, pos, patch_num, img_start, n_img, mode=mode)
             msg = f"seed={seed} mode={mode} ff={ff}"
             assert [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events] == ref["events"], msg
             assert res.valid_len == ref["final_len"], msg

@@ -124,3 +124,38 @@ def test_batched_decode_mrope_matches_single():
         singles.append(engine.generate_greedy(res, max_new_tokens=4))
         results.append(res)
     assert engine.generate_batch(results, max_new_tokens=4) == singles
+
+
+def test_num4_capture_with_short_text_suffix_all_modes():
+    """Regression: with num_importance_queries=4 and fewer than 4 trailing
+    text tokens, the capture rows in the MASK-ONLY executors (fused without
+    pre-compaction, planned, planned_batch) must be the last 4 LIVE tokens —
+    the reference captures ``query[:, :, -4:, :]`` of its COMPACTED states
+    (utils.py:29), and the trailing window of the uncompacted layout contains
+    dead/merged image rows. Caught by the cross-mode fuzz (seed 20): events
+    matched but the prune kept a different token set, diverging logits by
+    ~0.28."""
+    cfg = tiny_llm_config(num_layers=6)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    ff = FrameFusionConfig(cost=0.376, similarity_lower_bound=0.657,
+                           ratio_lower_bound=0.036, num_importance_queries=4,
+                           schedule_num_layers=6, bucket=32)
+    rng = np.random.default_rng(20)
+    h, pt, img_start, n_img = make_sequence(rng, 2, 4, 7, 1,  # n_post=1 < num=4
+                                            hidden=cfg.hidden_size, coherent=0.56)
+    h = (h * 0.05).astype(np.float32)
+    pos = np.arange(len(pt), dtype=np.int32)
+    ref = ref_pipeline.ref_compressed_prefill(params, cfg, ff, h, pt, pos, 4, img_start, n_img)
+
+    for mode, cpe in [("fused", False), ("fused", True), ("planned", False),
+                      ("segmented", False)]:
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum", compact_pre_event=cpe)
+        res = engine.prefill(h, pt, pos, 4, img_start, n_img, mode=mode)
+        msg = f"mode={mode} cpe={cpe}"
+        assert [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events] == ref["events"], msg
+        assert res.valid_len == ref["final_len"], msg
+        np.testing.assert_allclose(np.asarray(res.logits), ref["logits"],
+                                   rtol=5e-3, atol=5e-3, err_msg=msg)
+    engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+    res_b = engine.prefill_planned_batch([(h, pt, pos, img_start, n_img)], patch_num=4)[0]
+    np.testing.assert_allclose(np.asarray(res_b.logits), ref["logits"], rtol=5e-3, atol=5e-3)
