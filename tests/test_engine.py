@@ -407,7 +407,7 @@ class TestCrossModeFuzz:
 
     def test_fuzz(self, setup):
         cfg, params, _ = setup
-        for seed in range(20, 28):
+        for seed in range(20, 34):
             rng = np.random.default_rng(seed)
             ff = FrameFusionConfig(
                 cost=float(rng.uniform(0.25, 0.7)),
