@@ -234,9 +234,11 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                 # Diagnostic: decode wall-clock through the relay varies up
                 # to 4x between processes (DEVNOTES); ~17-24 ms/tok is the
                 # healthy range at 7B bf16, higher means a congested run and
-                # an understated e2e_speedup.
+                # an understated e2e_speedup. The first token comes from the
+                # prefill logits, so e2e_tokens-1 decode steps ran; clamped
+                # at 0 (relay variance can make the difference negative).
                 "decode_ms_per_tok": round(
-                    (ff_e2e * 1e3 - ff_best * 1e3) / e2e_tokens, 1
+                    max(ff_e2e * 1e3 - ff_best * 1e3, 0.0) / max(e2e_tokens - 1, 1), 1
                 ),
             })
         except Exception as e:  # noqa: BLE001 — e2e is best-effort

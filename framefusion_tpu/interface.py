@@ -155,7 +155,8 @@ class FrameFusionModel:
 
         Returns (list of per-request token lists, list of PrefillResults).
         """
-        if mode == "planned_batch":
+        is_baseline = getattr(self.engine(), "mode", None) is not None
+        if mode == "planned_batch" and self.ff is not None and not is_baseline:
             pn = inputs_list[0].patch_num
             assert all(i.patch_num == pn for i in inputs_list), \
                 "one model family / vision geometry per batch"
@@ -165,7 +166,10 @@ class FrameFusionModel:
                 patch_num=pn,
             )
         else:
-            results = [self.prefill(inp, mode=mode) for inp in inputs_list]
+            # dense (ff not applied) and baseline engines have no batched
+            # prefill pipeline — prefill() per request keeps their dispatch.
+            per_request_mode = "fused" if mode == "planned_batch" else mode
+            results = [self.prefill(inp, mode=per_request_mode) for inp in inputs_list]
         tokens = self.engine().generate_batch(
             results, max_new_tokens, eos_token_id=eos_token_id, sampler=sampler, rng_key=rng_key
         )

@@ -144,6 +144,20 @@ def layer_attention(
     x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
     q, k, v = _project_qkv(lp, x, cfg)
     q, k = apply_rope(q, k, cos, sin)
+    attn, importance = attention_kernel_dispatch(
+        q, k, v, attn_impl, capture_num, valid_len, key_valid
+    )
+    s = h.shape[0]
+    h_out = h + mm(attn.reshape(s, -1), lp["wo"])
+    return h_out, k, v, importance
+
+
+def attention_kernel_dispatch(q, k, v, attn_impl, capture_num, valid_len, key_valid):
+    """Single-sequence attention-kernel + importance-capture dispatch —
+    shared by layer_attention and the batched phase/tail programs
+    (runtime.engine._attn_core_batch maps it per sequence) so regime
+    thresholds and capture rules can never desynchronise between the solo
+    and batched executors. Returns (attn (S, Hq, D), importance-or-None)."""
     importance = None
     if capture_num and attn_impl == "pallas":
         from ..ops.kernels.flash_prefill import (
@@ -151,20 +165,17 @@ def layer_attention(
             flash_causal_attention_importance,
         )
 
-        if h.shape[0] <= RESIDENT_KV_MAX_S:
-            attn, importance = flash_causal_attention_importance(
+        if q.shape[0] <= RESIDENT_KV_MAX_S:
+            return flash_causal_attention_importance(
                 q, k, v, valid_len, capture_num, key_valid=key_valid
             )
-        else:
-            attn = causal_attention(q, k, v, impl=attn_impl, key_valid=key_valid)
-            importance = last_rows_importance(q, k, capture_num, valid_len, key_valid=key_valid)
-    else:
         attn = causal_attention(q, k, v, impl=attn_impl, key_valid=key_valid)
-        if capture_num:
-            importance = last_rows_importance(q, k, capture_num, valid_len, key_valid=key_valid)
-    s = h.shape[0]
-    h_out = h + mm(attn.reshape(s, -1), lp["wo"])
-    return h_out, k, v, importance
+        importance = last_rows_importance(q, k, capture_num, valid_len, key_valid=key_valid)
+        return attn, importance
+    attn = causal_attention(q, k, v, impl=attn_impl, key_valid=key_valid)
+    if capture_num:
+        importance = last_rows_importance(q, k, capture_num, valid_len, key_valid=key_valid)
+    return attn, importance
 
 
 def layer_mlp(lp: dict, h: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:

@@ -165,10 +165,16 @@ def last_rows_importance(q, k, num: int, valid_len, scale=None, key_valid=None):
         positions = jnp.arange(s, dtype=jnp.int32)
         live_rank = jnp.cumsum(key_valid.astype(jnp.int32))
         n_live = live_rank[-1]
-        wanted = key_valid & (live_rank > n_live - num)  # exactly num live rows
-        row_pos = jnp.maximum(jnp.sort(jnp.where(wanted, positions, -1))[-num:], 0)
+        wanted = key_valid & (live_rank > n_live - num)  # the last <=num live rows
+        sorted_pos = jnp.sort(jnp.where(wanted, positions, -1))[-num:]
+        # n_live < num leaves -1 sentinels: such rows contribute ZERO (the
+        # fused kernels' capture mask has only the live rows; normalization
+        # stays /num either way, keeping the two paths bit-consistent).
+        row_live = sorted_pos >= 0  # (num,)
+        row_pos = jnp.maximum(sorted_pos, 0)
     else:
         row_pos = valid_len - num + jnp.arange(num, dtype=jnp.int32)  # (num,)
+        row_live = jnp.ones((num,), bool)
     q_rows = jnp.take(q, row_pos, axis=0).astype(jnp.float32)  # (num, Hq, D)
     kf = k.transpose(1, 0, 2).astype(jnp.float32)  # (Hk, S, D)
     q_rows = q_rows.reshape(num, hk, g, d).transpose(1, 2, 0, 3)  # (Hk,G,num,D)
@@ -179,7 +185,8 @@ def last_rows_importance(q, k, num: int, valid_len, scale=None, key_valid=None):
         mask = mask & key_valid[None, :]
     scores = jnp.where(mask[None, None], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)
-    return probs.mean(axis=(0, 1, 2))
+    probs = jnp.where(row_live[None, None, :, None], probs, 0.0)
+    return probs.sum(axis=2).mean(axis=(0, 1)) / num
 
 
 def decode_attention(q, k_cache, v_cache, cache_len):

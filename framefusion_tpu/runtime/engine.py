@@ -625,9 +625,8 @@ def _attn_core_batch(lp, h, cos, sin, cfg: LLMConfig, attn_impl: str,
     matmuls (one weight read for the whole batch — (B, S, D) lhs), the
     attention kernel itself runs per sequence under ``lax.map`` (the pallas
     grids are single-sequence; sequential kernel launches pipeline fine).
-    Mirrors qwen2.layer_attention's capture dispatch."""
-    from ..ops.attention import causal_attention, last_rows_importance
-
+    The kernel/capture dispatch is qwen2.attention_kernel_dispatch — the
+    SAME function the solo executors use."""
     b, s, _ = h.shape
     hd = cfg.head_dim_
     x = qwen2.rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
@@ -643,23 +642,11 @@ def _attn_core_batch(lp, h, cos, sin, cfg: LLMConfig, attn_impl: str,
 
     def one(args):
         qb, kb, vb, ce, lv = args
-        if capture_num and attn_impl == "pallas":
-            from ..ops.kernels.flash_prefill import (
-                RESIDENT_KV_MAX_S,
-                flash_causal_attention_importance,
-            )
-
-            if s <= RESIDENT_KV_MAX_S:
-                attn, imp = flash_causal_attention_importance(
-                    qb, kb, vb, ce, capture_num, key_valid=lv
-                )
-                return attn, imp
-        attn = causal_attention(qb, kb, vb, impl=attn_impl, key_valid=lv)
-        imp = (
-            last_rows_importance(qb, kb, capture_num, ce, key_valid=lv)
-            if capture_num
-            else jnp.zeros((s,), jnp.float32)
+        attn, imp = qwen2.attention_kernel_dispatch(
+            qb, kb, vb, attn_impl, capture_num, ce, lv
         )
+        if imp is None:
+            imp = jnp.zeros((s,), jnp.float32)
         return attn, imp
 
     attn, importance = jax.lax.map(one, (q, k, v, capture_end, key_valid))
@@ -1292,7 +1279,11 @@ class CompressionEngine:
         decisions are identical to each prompt's solo run; a sequence whose
         survivor count overflows a plan bucket (or a phase that outruns the
         KV pool) falls back to its own adaptive fused prefill
-        (mode="planned_fallback_fused") without disturbing the others.
+        (mode="planned_fallback_fused") without disturbing the others. An
+        infeasible cost schedule, by contrast, raises CostInfeasibleError
+        for the WHOLE batch — it is a configuration error (the solo paths
+        raise it too, reference main.py:339-340), not a per-request
+        degradation.
 
         Returns a list of PrefillResult (mode="planned_batch"), ready for
         ``generate_batch``. Beyond the reference's surface — it is bsz==1
@@ -1697,14 +1688,24 @@ class CompressionEngine:
         # One pool bucket for the whole batch (static shape across B); the
         # decode region sits at a COMMON offset past every ragged prefix so
         # cache writes stay scatter-free (see qwen2.decode_step_batch).
+        # Sequences are written into the batched pools ONE at a time — B
+        # per-sequence pools followed by a stack would transiently hold both
+        # copies (~1.6 GB at 7B/B=4).
         max_prefix = max(max(c[2] for c in r.layer_caches) for r in results)
         s_pool = bucket_length(max_prefix + max_new_tokens, self.ff.bucket)
         write_pos = s_pool - max_new_tokens
-        pools = [self.make_decode_state(r, max_new_tokens, s_pool=s_pool) for r in results]
-        k_pools = jnp.stack([p[0] for p in pools], axis=1)  # (L, B, S, Hk, hd)
-        v_pools = jnp.stack([p[1] for p in pools], axis=1)
-        cache_lens = jnp.stack([p[2] for p in pools], axis=1)  # (L, B)
-        del pools
+        b = len(results)
+        shape = (cfg.num_layers, b, s_pool, cfg.num_kv_heads, cfg.head_dim_)
+        k_pools = jnp.zeros(shape, cfg.dtype)
+        v_pools = jnp.zeros_like(k_pools)
+        lens_cols = []
+        for bi, r in enumerate(results):
+            k_one, v_one, lens_one = self.make_decode_state(r, max_new_tokens, s_pool=s_pool)
+            k_pools = jax.lax.dynamic_update_slice(k_pools, k_one[:, None], (0, bi, 0, 0, 0))
+            v_pools = jax.lax.dynamic_update_slice(v_pools, v_one[:, None], (0, bi, 0, 0, 0))
+            lens_cols.append(lens_one)
+            del k_one, v_one
+        cache_lens = jnp.stack(lens_cols, axis=1)  # (L, B)
         first_logits = jnp.stack([r.logits for r in results])
         pos_bases = jnp.asarray([r.decode_pos_base for r in results], jnp.int32)
 
