@@ -105,13 +105,28 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
         force(jnp.zeros((4,), jnp.float32))
         return time.perf_counter() - t0
 
-    # Dense timing path: logits only — carrying the 28-layer full-S KV
-    # stacks through the loop costs ~0.7 GB we cannot afford next to the
-    # model (round-1 driver OOM, VERDICT item 1).
-    @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
-    def dense_logits(params, embeds, pos, *, cfg: LLMConfig, attn_impl: str):
-        logits, _, _ = qwen2.dense_prefill(params, embeds, pos, cfg,
-                                           attn_impl=attn_impl, want_caches=False)
+    # Dense timing paths. ``want=True`` is the serving-equivalent baseline —
+    # WITH the KV caches, like the FrameFusion result and the reference's
+    # timed ``generate`` (example_llava.py:129-167); per-rep results are
+    # dropped so cache sets never accumulate (keeping them across the FF
+    # phase caused the round-1 driver OOM). ``want=False`` is the most
+    # conservative possible baseline (logits only), reported in the detail
+    # and used for the headline if the with-caches measurement fails its
+    # plausibility check (sporadic relay under-measurement, DEVNOTES).
+    @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "want"))
+    def dense_prog(params, embeds, pos, *, cfg: LLMConfig, attn_impl: str, want: bool):
+        # The timing chain's f32 eps promotes the fed embeddings; without
+        # this cast the dense stack silently ran fp32 activations (~13%
+        # slower, overstating the headline — caught in round 2). The engine
+        # paths make the same cast in _prep_inputs.
+        embeds = embeds.astype(cfg.dtype)
+        logits, k_all, _ = qwen2.dense_prefill(params, embeds, pos, cfg,
+                                               attn_impl=attn_impl, want_caches=want)
+        if want:
+            # join cache elements into the forced value with a NON-foldable
+            # factor — a literal *0 join lets XLA dead-code the cache carry
+            # and quietly compile the logits-only program
+            logits = logits + jnp.sum(k_all[-1, -1, 0, :]).astype(jnp.float32) * 1e-30
         return logits
 
     class R:  # duck-typed: timed() only touches .logits
@@ -119,7 +134,10 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
             self.logits = logits
 
     def run_dense_timing(hh):
-        return R(dense_logits(params, hh, pos_dev, cfg=cfg, attn_impl=attn_impl))
+        return R(dense_prog(params, hh, pos_dev, cfg=cfg, attn_impl=attn_impl, want=True))
+
+    def run_dense_logits_only(hh):
+        return R(dense_prog(params, hh, pos_dev, cfg=cfg, attn_impl=attn_impl, want=False))
 
     def run_ff(hh):
         return engine.prefill(hh, patch_type, pos, patch_num=182,
@@ -147,7 +165,15 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
         times.sort()
         return times[len(times) // 2], out
 
-    dense_t, _ = timed(run_dense_timing, reps)
+    dense_logits_t, _ = timed(run_dense_logits_only, reps)
+    dense_caches_t, _ = timed(run_dense_timing, min(reps, 2))  # bound in-flight caches
+    gc.collect()
+    # Plausibility guard: the with-caches prefill can only be >= the
+    # logits-only one; sporadic relay under-measurement has produced
+    # physically impossible readings for it. Fall back to the conservative
+    # logits-only baseline when that happens.
+    caches_sane = dense_logits_t * 0.95 <= dense_caches_t <= dense_logits_t * 1.6
+    dense_t = dense_caches_t if caches_sane else dense_logits_t
     ff_t, res = timed(run_ff, reps)
 
     # Serving path: two-stage planned prefill (sync-free critical path; plan
@@ -182,6 +208,9 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
         "seq_len": len(patch_type),
         "vocab_size": cfg.vocab_size,
         "dense_ms": round(dense_t * 1e3, 1),
+        "dense_logits_only_ms": round(dense_logits_t * 1e3, 1),
+        "dense_with_caches_ms": round(dense_caches_t * 1e3, 1),
+        "dense_baseline": "with_caches" if caches_sane else "logits_only",
         "framefusion_fused_ms": round(ff_t * 1e3, 1),
         "framefusion_planned_ms": round(planned_t * 1e3, 1),
         "planned_mode": res_p.mode,
