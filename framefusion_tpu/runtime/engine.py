@@ -1201,6 +1201,10 @@ class CompressionEngine:
         if two_stage:
             pre_ctl = np.asarray(pre_ctl_dev)
             if bool(pre_ctl[4]):
+                # Structurally unreachable today: _pre_event_program hard-
+                # codes infeas=False (the empty-sparsity budget L*cost/L >= 0
+                # cannot be infeasible). Kept as a defensive check so the
+                # control-vector layout stays uniform with the phase program.
                 raise CostInfeasibleError("The cost is too small")
             n_after_pre = int(pre_ctl[5])
             if n_after_pre > pre_plan_len:

@@ -40,10 +40,8 @@ def main():
     params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
 
     if args.full:
-        import bench as benchmod
-        import sys as _sys
+        import bench as benchmod  # repo root on sys.path via common
 
-        _sys.path.insert(0, "..")
         h_np, patch_type, img_start, n_img = benchmod.build_video_prompt(
             rng, cfg.hidden_size, n_frames=64, patch_num=patch_num)
         from framefusion_tpu.models.adapters.common import PrefillInputs

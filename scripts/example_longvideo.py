@@ -17,9 +17,7 @@ import sys
 
 import numpy as np
 
-from common import DeviceTimer, ab_table
-
-sys.path.insert(0, "..")
+from common import DeviceTimer, ab_table  # also puts the repo root on sys.path
 
 
 def main():

@@ -29,6 +29,12 @@ def read_overhead():
 
 
 def timeit(fn, reps=20, rounds=3):
+    # CAVEAT: reps here repeat IDENTICAL inputs, which the relay can elide
+    # (bench.py chains rep inputs through the previous output to prevent
+    # this; that is impractical for arbitrary fn signatures here). Treat
+    # suspiciously-fast readings as elided and cross-check against a
+    # physical cost model before acting on them — several early "wins" in
+    # DEVNOTES turned out to be exactly this artifact.
     fn()  # compile
     force(fn())
     ovh = read_overhead()
@@ -135,9 +141,7 @@ def bench_attention():
 
 def bench_engine():
     """Breakdown of the FF prefill at bench geometry: phase / compact / tail."""
-    import sys
-
-    sys.path.insert(0, "..")
+    import common  # noqa: F401  (repo root on sys.path)
     import bench as benchmod
     from framefusion_tpu.config import FrameFusionConfig, qwen2_7b_config
     from framefusion_tpu.models import qwen2
