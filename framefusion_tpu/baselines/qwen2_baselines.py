@@ -351,6 +351,26 @@ class BaselineEngine(CompressionEngine):
             return out
         return super().generate_greedy(result, max_new_tokens, eos_token_id=eos_token_id)
 
+    def generate_batch(self, results, max_new_tokens, eos_token_id=None,
+                       sampler=None, rng_key=None):
+        if self.mode == "streamingllm" and self.kwargs.get("sink_cache_decode"):
+            # The shared batched decode loop attends the FULL cache; this
+            # variant's semantics are windowed sink attention per step, so
+            # batching through it would silently diverge from the solo
+            # decode. Fall back to per-sequence sink-windowed loops.
+            if sampler is not None and getattr(sampler, "temperature", 0.0):
+                raise NotImplementedError(
+                    "sink_cache_decode batched sampling not supported; greedy only"
+                )
+            return [
+                self.generate_greedy(r, max_new_tokens, eos_token_id=eos_token_id)
+                for r in results
+            ]
+        return super().generate_batch(
+            results, max_new_tokens, eos_token_id=eos_token_id,
+            sampler=sampler, rng_key=rng_key,
+        )
+
     def prefill(self, input_embeds, patch_type, position_ids, patch_num, image_token_start, image_token_length, mode=None):
         cfg = self.cfg
         h, pt, pos_tok, orig_len = self._prep_inputs(input_embeds, patch_type, position_ids)
@@ -408,7 +428,10 @@ class BaselineEngine(CompressionEngine):
         telemetry.final_image_tokens = image_token_length - (orig_len - final_valid)
         return PrefillResult(
             logits=logits, layer_caches=caches, valid_len=final_valid,
-            decode_pos_base=caches[0][2], telemetry=telemetry, pos_dims=pos_tok.shape[1],
+            # mRoPE (Qwen2-VL baselines): decode at max(prefill pos)+1, like
+            # the product path (see CompressionEngine._mrope_decode_base).
+            decode_pos_base=self._mrope_decode_base(position_ids) or caches[0][2],
+            telemetry=telemetry, pos_dims=pos_tok.shape[1],
         )
 
     def _run_merging_family(self, h, pt, pos_tok, orig_len, patch_num, img_start, img_len, telemetry):

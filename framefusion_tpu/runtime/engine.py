@@ -847,6 +847,27 @@ class CompressionEngine:
 
     # -- prefill -----------------------------------------------------------
 
+    @staticmethod
+    def _mrope_decode_base(position_ids) -> Optional[int]:
+        """First decode rotary position for the mRoPE (Qwen2-VL) family.
+
+        The reference's patched wrapper decodes at ``cache_position +
+        rope_deltas`` (qwenvl/modeling_qwen2_vl.py:141-163): HF generate's
+        ``cache_position`` advances from the ORIGINAL prompt length, and
+        ``rope_deltas = max(prefill positions) + 1 - original_length``, so
+        the first decoded token's rotary position is ``max(positions) + 1``
+        regardless of compression (compression only drops vision tokens,
+        whose positions never exceed the text tail's). The 1D families
+        instead derive decode positions from DynamicCache.get_seq_length()
+        — the compressed layer-0 cache length (cache_position is None in
+        the LLaVA-package call chain, modeling_qwen2.py:248-254) — signalled
+        here by returning None.
+        """
+        arr = np.asarray(position_ids)
+        if arr.ndim == 2 and arr.shape[0] == 3:
+            return int(arr.max()) + 1
+        return None
+
     def _prep_inputs(self, input_embeds, patch_type, position_ids):
         """Pad (embeds, patch_type, positions) to the initial bucket."""
         cfg, ff = self.cfg, self.ff
@@ -1084,7 +1105,7 @@ class CompressionEngine:
             logits=logits,
             layer_caches=layer_caches,
             valid_len=n_live_final,
-            decode_pos_base=layer_caches[0][2],
+            decode_pos_base=self._mrope_decode_base(position_ids) or layer_caches[0][2],
             telemetry=telemetry,
             pos_dims=pos_tok.shape[1],
         )
@@ -1259,7 +1280,8 @@ class CompressionEngine:
         telemetry.tail_start_layer = layer_end
         return PrefillResult(
             logits=logits, layer_caches=layer_caches, valid_len=n_live_final,
-            decode_pos_base=layer_caches[0][2], telemetry=telemetry,
+            decode_pos_base=self._mrope_decode_base(position_ids) or layer_caches[0][2],
+            telemetry=telemetry,
             pos_dims=pos_tok.shape[1], mode="planned",
         )
 
@@ -1280,7 +1302,12 @@ class CompressionEngine:
         ``batch``: list of ``(input_embeds, patch_type, position_ids,
         image_token_start, image_token_length)``; prompts share ``patch_num``
         (one model family per batch — the serving norm). Per-sequence
-        decisions are identical to each prompt's solo run; a sequence whose
+        decisions match each prompt's solo run up to fp numerics: the
+        (B, S, D) batched matmuls may reassociate fp32/bf16 reductions
+        differently from the solo (S, D) programs, so a sim >= s_th or
+        budget-threshold TIE can flip (the same sensitivity documented for
+        budget0 in _pre_event_program); parity is pinned exactly on the
+        CPU/einsum suite. A sequence whose
         survivor count overflows a plan bucket (or a phase that outruns the
         KV pool) falls back to its own adaptive fused prefill
         (mode="planned_fallback_fused") without disturbing the others. An
@@ -1376,17 +1403,27 @@ class CompressionEngine:
         results = []
         for bi, (embeds, patch_type, position_ids, img_s, img_l) in enumerate(batch):
             packed = ctl[bi]
-            if bool(pre_ctl[bi][4]) or bool(packed[4]):
+            if bool(pre_ctl[bi][4]):
+                # Pre-event infeasibility is computed on the untruncated
+                # state, so it is a real configuration error for the batch
+                # (structurally unreachable today — see the solo path).
+                raise CostInfeasibleError(f"The cost is too small (batch index {bi})")
+            n_after_pre = int(pre_ctl[bi][5])
+            if n_after_pre > pre_plan_len:
+                # Pre-plan overflow: the lockstep phase ran on a TRUNCATED
+                # state for this sequence, so its control vector (including
+                # the infeasible flag) is unreliable — fall back BEFORE
+                # reading it, mirroring the solo ordering (prefill_planned).
+                res = self._prefill_fused(embeds, patch_type, position_ids, patch_num, img_s, img_l)
+                res.mode = "planned_fallback_fused"
+                results.append(res)
+                continue
+            if bool(packed[4]):
                 raise CostInfeasibleError(f"The cost is too small (batch index {bi})")
             layer_end = int(packed[0])
             n_live_final = int(packed[3])
-            n_after_pre = int(pre_ctl[bi][5])
             finished = bool(packed[1]) and bool(packed[2])
-            if (
-                n_after_pre > pre_plan_len
-                or n_live_final > plan_len
-                or (not finished and layer_end < cfg.num_layers)
-            ):
+            if n_live_final > plan_len or (not finished and layer_end < cfg.num_layers):
                 res = self._prefill_fused(embeds, patch_type, position_ids, patch_num, img_s, img_l)
                 res.mode = "planned_fallback_fused"
                 results.append(res)
@@ -1434,7 +1471,8 @@ class CompressionEngine:
             telemetry.tail_start_layer = layer_end
             results.append(PrefillResult(
                 logits=logits_b[bi], layer_caches=layer_caches, valid_len=n_live_final,
-                decode_pos_base=layer_caches[0][2], telemetry=telemetry,
+                decode_pos_base=self._mrope_decode_base(position_ids) or layer_caches[0][2],
+                telemetry=telemetry,
                 pos_dims=pos_dims, mode="planned_batch",
             ))
         return results
@@ -1569,7 +1607,7 @@ class CompressionEngine:
             logits=logits,
             layer_caches=layer_caches,
             valid_len=valid,
-            decode_pos_base=layer_caches[0][2],
+            decode_pos_base=self._mrope_decode_base(position_ids) or layer_caches[0][2],
             telemetry=telemetry,
             pos_dims=pos_tok.shape[1],
             mode="segmented",
@@ -1589,7 +1627,8 @@ class CompressionEngine:
         s = int(input_embeds.shape[0])
         caches = [(k_all[l], v_all[l], s) for l in range(self.cfg.num_layers)]
         return PrefillResult(
-            logits=logits, layer_caches=caches, valid_len=s, decode_pos_base=s,
+            logits=logits, layer_caches=caches, valid_len=s,
+            decode_pos_base=self._mrope_decode_base(position_ids) or s,
             telemetry=None, pos_dims=pos_tok.shape[1], mode="dense",
         )
 

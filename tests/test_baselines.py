@@ -224,6 +224,21 @@ class TestSinkCacheDecode:
         toks_win = eng_win.generate_greedy(res2, max_new_tokens=5)
         assert toks_win == toks_full
 
+    def test_generate_batch_uses_windowed_decode(self, setup):
+        """generate_batch on the sink_cache_decode variant must reproduce the
+        per-sequence windowed decode, not the inherited full-attention
+        batched loop (which would silently drop the window semantics)."""
+        cfg, params, h, pt, pos, img_start, n_img = setup
+        eng = BaselineEngine(params, cfg, "streamingllm",
+                             {"init_num": 4, "length_rate": 0.5, "sink_cache_decode": True,
+                              "window_length": 24, "num_sink_tokens": 4},
+                             attn_impl="einsum", bucket=32)
+        res = eng.prefill(h, pt, pos, 6, img_start, n_img)
+        solo = eng.generate_greedy(res, max_new_tokens=6)
+        res2 = eng.prefill(h, pt, pos, 6, img_start, n_img)
+        batch = eng.generate_batch([res, res2], max_new_tokens=6)
+        assert batch == [solo, solo]
+
 
 def test_compute_density_overhead():
     from framefusion_tpu.baselines.qwen2_baselines import compute_density_overhead

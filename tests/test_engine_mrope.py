@@ -46,8 +46,17 @@ def test_identical_streams_equal_1d_rope():
            [(e.layer, e.kind, e.tokens_removed) for e in r3.telemetry.events]
     np.testing.assert_allclose(np.asarray(r1.logits), np.asarray(r3.logits), rtol=1e-4, atol=1e-4)
 
-    # decode with 3D positions runs and matches the 1D run (positions equal)
-    t1 = e1.generate_greedy(r1, max_new_tokens=4)
+    # Decode bases are family-specific (reference semantics): the 1D LLaVA
+    # path decodes from the compressed layer-0 cache length
+    # (DynamicCache.get_seq_length), the mRoPE path from max(prefill pos)+1
+    # (cache_position + rope_deltas, qwenvl/modeling_qwen2_vl.py:141-163) —
+    # here max+1 == the original length.
+    assert r1.decode_pos_base == r1.layer_caches[0][2]
+    assert r3.decode_pos_base == len(pt)
+    # With the decode base equalized, 3D decode must still reproduce 1D.
+    import dataclasses
+    r1_shift = dataclasses.replace(r1, decode_pos_base=len(pt))
+    t1 = e1.generate_greedy(r1_shift, max_new_tokens=4)
     t3 = e3.generate_greedy(r3, max_new_tokens=4)
     assert t1 == t3
 
