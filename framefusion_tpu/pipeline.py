@@ -84,7 +84,8 @@ class TextPipeline:
                      video_grid_thw=None):
         """Tokenize the family's chat prompt and splice the video features."""
         if self.model.family == "qwen2_vl":
-            return self._build_inputs_qwen2_vl(question, video_features, video_grid_thw)
+            return self._build_inputs_qwen2_vl(question, video_features, video_grid_thw,
+                                               frames=frames)
         if self.model.family == "internvl":
             return self._build_inputs_internvl(question, video_features)
         prompt = self._template().format(question=question)
@@ -108,14 +109,30 @@ class TextPipeline:
             image_token_pos=len(ids_before), num_patches_per_side=pps,
         )
 
-    def _build_inputs_qwen2_vl(self, question: str, video_features, video_grid_thw):
+    def _build_inputs_qwen2_vl(self, question: str, video_features, video_grid_thw,
+                               frames=None):
         """Qwen2-VL: one vision span, 3D mRoPE ids from video_grid_thw
-        (reference qwenvl/modeling_qwen2_vl.py:117-163)."""
+        (reference qwenvl/modeling_qwen2_vl.py:117-163). Raw ``frames`` run
+        through the in-repo ViT (models/vision/qwen2_vl_vit — the reference
+        calls ``self.visual`` at qwenvl/modeling_qwen2_vl.py:95-111);
+        precomputed ``video_features`` + ``video_grid_thw`` skip it."""
         from .models.adapters import qwen2_vl
 
-        assert video_features is not None and video_grid_thw is not None, (
-            "qwen2_vl needs precomputed video_features and video_grid_thw"
-        )
+        if video_features is None:
+            from .models.vision.qwen2_vl_vit import encode_video, pixels_to_patches
+
+            assert frames is not None and self.vit_params is not None, (
+                "qwen2_vl needs frames + a Qwen2-VL ViT (vit_params/vit_cfg), "
+                "or precomputed video_features + video_grid_thw"
+            )
+            patches, (grid_t, grid_h, grid_w) = pixels_to_patches(
+                np.asarray(frames, np.float32), self.vit_cfg
+            )
+            video_grid_thw = (grid_t, grid_h, grid_w)
+            video_features = np.asarray(encode_video(
+                self.vit_params, jnp.asarray(patches), grid_t, grid_h, grid_w, self.vit_cfg
+            ))
+        assert video_grid_thw is not None, "qwen2_vl needs video_grid_thw"
         grid_t, grid_h, grid_w = (int(x) for x in video_grid_thw)
         prompt = self._template().format(question=question)
         before, _, after = prompt.partition("<|video_pad|>")

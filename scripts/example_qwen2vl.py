@@ -1,6 +1,15 @@
 """Qwen2-VL A/B example — mRoPE stack with FrameFusion (S_th default 0.5,
 reference script/playground/example_qwen2vl.py:49-54; importance from the
-last 4 query rows)."""
+last 4 query rows).
+
+Two frontends:
+  * default — raw pixel frames through the in-repo Qwen2-VL ViT
+    (models/vision/qwen2_vl_vit; the reference calls ``self.visual``,
+    qwenvl/modeling_qwen2_vl.py:95-111): pixels -> patches -> tower ->
+    merged embedding rows -> compressed prefill.
+  * ``--precomputed-features`` — synthetic visual embeddings (skips the
+    tower; the round-2 behavior).
+"""
 
 import argparse
 
@@ -15,9 +24,12 @@ def main():
     p.add_argument("--cost", type=float, default=0.3)
     p.add_argument("--similarity-lower-bound", type=float, default=0.5)
     p.add_argument("--ratio-lower-bound", type=float, default=0.1)
+    p.add_argument("--precomputed-features", action="store_true",
+                   help="skip the ViT; use synthetic visual embeddings")
     args = p.parse_args()
 
     import jax
+    import jax.numpy as jnp
 
     from framefusion_tpu.config import tiny_llm_config
     from framefusion_tpu.interface import FrameFusionModel, apply_framefusion
@@ -30,14 +42,35 @@ def main():
                           mrope_section=(4, 6, 6))
     params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
 
-    grid_t, grid_h, grid_w = args.num_frames, 8, 8
-    patch_num = (grid_h * grid_w) // 4
-    # temporally coherent visual embeddings
-    video = np.empty((grid_t * patch_num, cfg.hidden_size), np.float32)
-    frame = rng.standard_normal((patch_num, cfg.hidden_size)).astype(np.float32) * 0.05
-    for t in range(grid_t):
-        frame = frame + 0.01 * rng.standard_normal(frame.shape).astype(np.float32)
-        video[t * patch_num : (t + 1) * patch_num] = frame
+    if args.precomputed_features:
+        grid_t, grid_h, grid_w = args.num_frames, 8, 8
+        patch_num = (grid_h * grid_w) // 4
+        # temporally coherent visual embeddings
+        video = np.empty((grid_t * patch_num, cfg.hidden_size), np.float32)
+        frame = rng.standard_normal((patch_num, cfg.hidden_size)).astype(np.float32) * 0.05
+        for t in range(grid_t):
+            frame = frame + 0.01 * rng.standard_normal(frame.shape).astype(np.float32)
+            video[t * patch_num : (t + 1) * patch_num] = frame
+    else:
+        from framefusion_tpu.models.vision.qwen2_vl_vit import (
+            Qwen2VLViTConfig, encode_video, init_params as init_vit, pixels_to_patches,
+        )
+
+        vit_cfg = Qwen2VLViTConfig(embed_dim=128, depth=4, num_heads=4, patch_size=14,
+                                   mlp_ratio=2.0, hidden_size=cfg.hidden_size)
+        vit_params = init_vit(vit_cfg, jax.random.PRNGKey(7))
+        # temporally coherent pixel frames: 2 raw frames per temporal patch
+        base = rng.standard_normal((1, 112, 112, 3)).astype(np.float32)
+        frames = np.concatenate([
+            base + 0.05 * rng.standard_normal(base.shape).astype(np.float32)
+            for _ in range(2 * args.num_frames)
+        ])
+        patches, (grid_t, grid_h, grid_w) = pixels_to_patches(frames, vit_cfg)
+        video = np.asarray(encode_video(
+            vit_params, jnp.asarray(patches), grid_t, grid_h, grid_w, vit_cfg
+        )) * 0.05
+        print(f"ViT: {frames.shape[0]} frames -> grid ({grid_t},{grid_h},{grid_w}) "
+              f"-> {video.shape[0]} embedding rows")
     text = rng.standard_normal((30, cfg.hidden_size)).astype(np.float32) * 0.05
 
     inputs = qwen2_vl.build_prefill_inputs(text, video, 25, grid_t, grid_h, grid_w)
