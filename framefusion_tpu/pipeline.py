@@ -87,7 +87,7 @@ class TextPipeline:
             return self._build_inputs_qwen2_vl(question, video_features, video_grid_thw,
                                                frames=frames)
         if self.model.family == "internvl":
-            return self._build_inputs_internvl(question, video_features)
+            return self._build_inputs_internvl(question, video_features, frames=frames)
         prompt = self._template().format(question=question)
         before, _, after = prompt.partition(self.image_token)
         ids_before = list(self.tokenizer.encode(before))
@@ -144,12 +144,26 @@ class TextPipeline:
             video_token_pos=len(ids_before), grid_t=grid_t, grid_h=grid_h, grid_w=grid_w,
         )
 
-    def _build_inputs_internvl(self, question: str, video_features):
+    def _build_inputs_internvl(self, question: str, video_features, frames=None):
         """InternVL: 'FrameN: <image>\\n' per frame, features scattered at
         each <image> (reference example_internvl.py:139-141 +
-        modeling_internvl_chat.py:19-71)."""
+        modeling_internvl_chat.py:19-71). Raw ``frames`` run through the
+        in-repo InternViT + pixel-shuffle projector
+        (models/vision/internvl_vit — the reference's ``extract_feature``,
+        modeling_internvl_chat.py:19-33)."""
         from .models.adapters import internvl
 
+        if video_features is None:
+            from .models.vision.internvl_vit import extract_features
+
+            assert frames is not None and self.vit_params is not None, (
+                "internvl needs frames + an InternViT (vit_params/vit_cfg/"
+                "projector), or precomputed per-frame video_features"
+            )
+            video_features = np.asarray(extract_features(
+                self.vit_params, self.projector,
+                jnp.asarray(np.asarray(frames, np.float32)), self.vit_cfg,
+            ))
         feats = np.asarray(video_features, np.float32)
         assert feats.ndim == 3, "internvl expects (n_frames, tokens_per_frame, D)"
         n_frames, tpf, d = feats.shape

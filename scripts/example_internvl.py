@@ -1,6 +1,11 @@
 """InternVL2.5 A/B example — interleaved ``FrameN: <image>`` prompt with
 FrameFusion (S_th default 0.5, reference example_internvl.py:125-130;
-InternLM2-style backbone: no qkv bias)."""
+InternLM2-style backbone: no qkv bias).
+
+Default frontend runs raw pixel frames through the in-repo InternViT +
+pixel-shuffle projector (models/vision/internvl_vit; the reference's
+``extract_feature``, modeling_internvl_chat.py:19-33);
+``--precomputed-features`` uses synthetic per-frame embeddings instead."""
 
 import argparse
 
@@ -16,6 +21,8 @@ def main():
     p.add_argument("--cost", type=float, default=0.3)
     p.add_argument("--similarity-lower-bound", type=float, default=0.5)
     p.add_argument("--ratio-lower-bound", type=float, default=0.1)
+    p.add_argument("--precomputed-features", action="store_true",
+                   help="skip the ViT; use synthetic per-frame embeddings")
     args = p.parse_args()
 
     import jax
@@ -30,8 +37,29 @@ def main():
                           qkv_bias=False)  # InternLM2 has no qkv bias
     params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
 
-    # interleaved prompt: 5 text, then per frame: [3 text ("FrameN:")] + image block
     tpf = args.tokens_per_frame
+    if not args.precomputed_features:
+        import jax.numpy as jnp
+
+        from framefusion_tpu.models.vision.internvl_vit import (
+            InternViTConfig, extract_features, init_params as init_vit,
+            init_projector,
+        )
+
+        # 8x8 patch grid -> pixel-shuffled to 4x4 = 16 tokens/frame
+        vit_cfg = InternViTConfig(image_size=112, patch_size=14, hidden_size=128,
+                                  intermediate_size=256, num_layers=4, num_heads=4,
+                                  text_hidden_size=cfg.hidden_size)
+        vit_params = init_vit(vit_cfg, jax.random.PRNGKey(5))
+        proj = init_projector(vit_cfg, jax.random.PRNGKey(6))
+        base = rng.standard_normal((1, 112, 112, 3)).astype(np.float32)
+        pix = np.concatenate([base + 0.03 * rng.standard_normal(base.shape).astype(np.float32)
+                              for _ in range(args.num_frames)])
+        feats = np.asarray(extract_features(vit_params, proj, jnp.asarray(pix), vit_cfg)) * 0.05
+        tpf = feats.shape[1]
+        print(f"InternViT: {args.num_frames} frames -> {tpf} tokens/frame after pixel shuffle")
+
+    # interleaved prompt: 5 text, then per frame: [3 text ("FrameN:")] + image block
     chunks, mask = [], []
     chunks.append(rng.standard_normal((5, cfg.hidden_size)) * 0.05)
     mask.extend([False] * 5)
@@ -39,8 +67,11 @@ def main():
     for f in range(args.num_frames):
         chunks.append(rng.standard_normal((3, cfg.hidden_size)) * 0.05)
         mask.extend([False] * 3)
-        frame = frame + 0.01 * rng.standard_normal(frame.shape)
-        chunks.append(frame.copy())
+        if args.precomputed_features:
+            frame = frame + 0.01 * rng.standard_normal(frame.shape)
+            chunks.append(frame.copy())
+        else:
+            chunks.append(feats[f])
         mask.extend([True] * tpf)
     chunks.append(rng.standard_normal((6, cfg.hidden_size)) * 0.05)
     mask.extend([False] * 6)

@@ -196,6 +196,104 @@ class TestQwen2VLViTVsHF:
         assert isinstance(text, str) and len(text) > 0
 
 
+def make_hf_internvl_model():
+    """Tiny HF-format InternVLModel (InternViT tower + pixel-shuffle
+    projector + a 1-layer Qwen2 text stack we ignore)."""
+    from transformers import InternVLConfig, InternVLModel
+
+    from framefusion_tpu.models.vision import internvl_vit as ivit
+
+    cfg_hf = InternVLConfig(
+        vision_config=dict(image_size=[28, 28], patch_size=[7, 7], hidden_size=64,
+                           intermediate_size=128, num_hidden_layers=2,
+                           num_attention_heads=4, attention_bias=True,
+                           use_qk_norm=False),
+        text_config=dict(model_type="qwen2", vocab_size=128, hidden_size=32,
+                         intermediate_size=64, num_hidden_layers=1,
+                         num_attention_heads=4, num_key_value_heads=2),
+        downsample_ratio=0.5,
+    )
+    cfg_hf.vision_config._attn_implementation = "eager"
+    torch.manual_seed(1)
+    model = InternVLModel(cfg_hf).eval()
+    cfg = ivit.tiny_internvit_config(attention_bias=True)
+    vit_params = ivit.params_from_hf(model.state_dict(), cfg, prefix="vision_tower.")
+    proj = ivit.projector_from_hf(model.state_dict(), cfg, prefix="multi_modal_projector.")
+    return model, vit_params, proj, cfg
+
+
+class TestInternVLViTVsHF:
+    """InternViT + pixel-shuffle feature extraction (the reference's
+    ``extract_feature``, modeling_internvl_chat.py:19-33) vs the HF-format
+    InternVL port."""
+
+    def test_tower_last_hidden_matches(self):
+        from transformers import InternVLVisionConfig
+        from transformers.models.internvl.modeling_internvl import InternVLVisionModel
+
+        from framefusion_tpu.models.vision import internvl_vit as ivit
+
+        vc = InternVLVisionConfig(
+            image_size=[28, 28], patch_size=[7, 7], hidden_size=64,
+            intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+            attention_bias=True, use_qk_norm=True,
+        )
+        vc._attn_implementation = "eager"
+        torch.manual_seed(0)
+        tower = InternVLVisionModel(vc).eval()
+        cfg = ivit.tiny_internvit_config(attention_bias=True, use_qk_norm=True)
+        params = ivit.params_from_hf(tower.state_dict(), cfg, prefix="")
+        rng = np.random.default_rng(0)
+        pixels = rng.standard_normal((2, 28, 28, 3)).astype(np.float32)
+        with torch.no_grad():
+            hf = tower(torch.tensor(pixels.transpose(0, 3, 1, 2))).last_hidden_state.numpy()
+        ours = np.asarray(ivit.encode(params, jnp.asarray(pixels), cfg))
+        np.testing.assert_allclose(ours, hf, rtol=3e-4, atol=3e-4)
+
+    def test_extract_features_matches_hf(self):
+        from framefusion_tpu.models.vision import internvl_vit as ivit
+
+        model, vit_params, proj, cfg = make_hf_internvl_model()
+        rng = np.random.default_rng(0)
+        pixels = rng.standard_normal((3, 28, 28, 3)).astype(np.float32)
+        with torch.no_grad():
+            hf = model.get_image_features(
+                torch.tensor(pixels.transpose(0, 3, 1, 2)),
+                vision_feature_layer=-1,
+                vision_feature_select_strategy="default",
+            ).numpy()
+        ours = np.asarray(ivit.extract_features(vit_params, proj, jnp.asarray(pixels), cfg))
+        assert ours.shape == (3, cfg.tokens_per_image, cfg.text_hidden_size)
+        np.testing.assert_allclose(ours, hf, rtol=3e-4, atol=3e-4)
+
+    def test_pixels_to_answer_through_pipeline(self):
+        import jax
+
+        from framefusion_tpu.config import tiny_llm_config
+        from framefusion_tpu.interface import FrameFusionModel, apply_framefusion
+        from framefusion_tpu.models import qwen2
+        from framefusion_tpu.pipeline import TextPipeline
+        from test_pipeline import StubTokenizer
+
+        _, vit_params, proj, vcfg = make_hf_internvl_model()
+        llm_cfg = tiny_llm_config(num_layers=3, hidden_size=32, num_heads=4,
+                                  intermediate_size=64, qkv_bias=False)
+        params = qwen2.init_params(llm_cfg, jax.random.PRNGKey(0))
+        m = apply_framefusion(
+            FrameFusionModel(family="internvl", cfg=llm_cfg, params=params,
+                             attn_impl="einsum"),
+            cost=0.6, similarity_lower_bound=0.9, ratio_lower_bound=0.05,
+        )
+        pipe = TextPipeline(model=m, tokenizer=StubTokenizer(),
+                            vit_params=vit_params, vit_cfg=vcfg, projector=proj)
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+        frames = np.concatenate([base + 0.01 * rng.standard_normal(base.shape)
+                                 for _ in range(5)])
+        text = pipe.ask("what happens?", frames=frames, max_new_tokens=3)
+        assert isinstance(text, str) and len(text) > 0
+
+
 class TestLlavaFrontend:
     def test_video_token_layout(self):
         cfg = siglip.tiny_vit_config()  # 4 patches/side
