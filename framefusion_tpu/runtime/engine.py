@@ -811,6 +811,53 @@ class PrefillResult:
     # that outruns its KV pool falls back to the adaptive fused executor and
     # reports "planned_fallback_fused" here.
     mode: str = "fused"
+    # Where the planned executor's shape buckets came from:
+    # "explicit" (caller-provided), "history" (PlanHistory of earlier
+    # prompts with the same geometry), or "analytic" (pre_plan_length's
+    # conservative bound). None for non-planned executors.
+    plan_source: Optional[str] = None
+
+
+class PlanHistory:
+    """In-process LRU of observed survivor counts, keyed by prompt geometry.
+
+    A serving deployment tunes its planned-mode shape buckets from recent
+    traffic, not from a probe run of the very prompt being served (the
+    round-2 bench did the latter — circular). Every successful prefill
+    records (post-first-merge survivors, final survivors) under
+    (patch_num, n_frames, S_th, cost, r_min, bucket); later prompts with the
+    same geometry plan from the MAX observed counts (maxima can only make
+    the bucket safer — an unprecedented under-merger still falls back to the
+    adaptive executor, slower but never wrong).
+    """
+
+    def __init__(self, capacity: int = 64):
+        from collections import OrderedDict
+
+        self._stats: "OrderedDict[tuple, tuple[int, int]]" = OrderedDict()
+        self._capacity = capacity
+
+    @staticmethod
+    def key(patch_num: int, n_frames: int, ff: FrameFusionConfig) -> tuple:
+        return (
+            patch_num, n_frames,
+            round(ff.similarity_lower_bound, 6), round(ff.cost, 6),
+            round(ff.ratio_lower_bound, 6), ff.bucket,
+        )
+
+    def record(self, key: tuple, n_after_pre: int, n_final: int) -> None:
+        prev = self._stats.pop(key, (0, 0))
+        self._stats[key] = (max(prev[0], n_after_pre), max(prev[1], n_final))
+        while len(self._stats) > self._capacity:
+            self._stats.popitem(last=False)
+
+    def suggest(self, key: tuple, bucket: int) -> Optional[tuple[int, int]]:
+        """(pre_plan_len, plan_len) buckets, or None if the geometry is new."""
+        stats = self._stats.get(key)
+        if stats is None:
+            return None
+        self._stats.move_to_end(key)
+        return bucket_length(stats[0], bucket), bucket_length(stats[1], bucket)
 
 
 class CompressionEngine:
@@ -844,8 +891,28 @@ class CompressionEngine:
         # Research introspection: record each merge event's similarity vector
         # into telemetry (reference ``model.similarities``).
         self.debug_similarities = False
+        # Survivor-count stats from completed prefills; feeds planned-mode
+        # bucket selection for later same-geometry prompts (plan_source
+        # "history").
+        self.plan_history = PlanHistory()
 
     # -- prefill -----------------------------------------------------------
+
+    def _record_plan_stats(self, patch_num: int, patch_type, telemetry) -> None:
+        """Feed PlanHistory from a finished prefill's telemetry."""
+        if telemetry is None or not telemetry.events:
+            return
+        frame_tok = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
+        if patch_num <= 0 or frame_tok % patch_num:
+            return
+        ev0 = telemetry.events[0]
+        n_after_pre = (
+            ev0.tokens_after if ev0.layer == -1 else telemetry.original_length
+        )
+        self.plan_history.record(
+            PlanHistory.key(patch_num, frame_tok // patch_num, self.ff),
+            n_after_pre, telemetry.final_length,
+        )
 
     @staticmethod
     def _mrope_decode_base(position_ids) -> Optional[int]:
@@ -1101,7 +1168,7 @@ class CompressionEngine:
         telemetry.final_length = n_live_final
         telemetry.final_image_tokens = image_token_length - (orig_len - n_live_final)
         telemetry.tail_start_layer = layer_end
-        return PrefillResult(
+        result = PrefillResult(
             logits=logits,
             layer_caches=layer_caches,
             valid_len=n_live_final,
@@ -1109,6 +1176,8 @@ class CompressionEngine:
             telemetry=telemetry,
             pos_dims=pos_tok.shape[1],
         )
+        self._record_plan_stats(patch_num, patch_type, telemetry)
+        return result
 
     def prefill_planned(
         self,
@@ -1146,10 +1215,33 @@ class CompressionEngine:
         cfg, ff = self.cfg, self.ff
         h, pt, pos_tok, orig_len = self._prep_inputs(input_embeds, patch_type, position_ids)
         s_b = h.shape[0]
+        plan_was_none = plan_len is None
         plan_len = s_b if plan_len is None else max(plan_len, ff.bucket)
         telemetry = PrefillTelemetry(original_length=orig_len, image_token_length=image_token_length)
 
         frame_tok0 = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
+
+        # Bucket selection when the caller gives none: survivor-count history
+        # of earlier same-geometry prompts first (the way a deployment tunes
+        # from recent traffic), else the conservative analytic bound. Either
+        # way a too-tight bucket falls back to the adaptive executor —
+        # slower, never wrong.
+        plan_source = "explicit"
+        if pre_plan_len is None:
+            suggestion = None
+            if patch_num > 0 and frame_tok0 and frame_tok0 % patch_num == 0:
+                suggestion = self.plan_history.suggest(
+                    PlanHistory.key(patch_num, frame_tok0 // patch_num, ff), ff.bucket
+                )
+            if suggestion is not None:
+                pre_plan_len, hist_plan = suggestion
+                if plan_was_none:
+                    plan_len = hist_plan
+                plan_source = "history"
+            else:
+                pre_plan_len = pre_plan_length(orig_len, frame_tok0, ff)
+                plan_source = "analytic"
+
         max_events = ff.schedule_num_layers
         phase_common = dict(
             cfg=cfg, attn_impl=self.attn_impl, capture_num=ff.num_importance_queries,
@@ -1164,6 +1256,7 @@ class CompressionEngine:
                 image_token_start, image_token_length,
             )
             res.mode = "planned_fallback_fused"
+            res.plan_source = plan_source
             return res
 
         pre_ctl = None
@@ -1278,11 +1371,12 @@ class CompressionEngine:
         telemetry.final_length = n_live_final
         telemetry.final_image_tokens = image_token_length - (orig_len - n_live_final)
         telemetry.tail_start_layer = layer_end
+        self._record_plan_stats(patch_num, patch_type, telemetry)
         return PrefillResult(
             logits=logits, layer_caches=layer_caches, valid_len=n_live_final,
             decode_pos_base=self._mrope_decode_base(position_ids) or layer_caches[0][2],
             telemetry=telemetry,
-            pos_dims=pos_tok.shape[1], mode="planned",
+            pos_dims=pos_tok.shape[1], mode="planned", plan_source=plan_source,
         )
 
     def prefill_planned_batch(
@@ -1348,10 +1442,24 @@ class CompressionEngine:
         img_start_b = jnp.asarray([b_[3] for b_ in batch], jnp.int32)
         img_len_b = jnp.asarray([b_[4] for b_ in batch], jnp.int32)
 
+        plan_source = "explicit"
         if pre_plan_len is None:
-            pre_plan_len = max(
-                pre_plan_length(orig_lens[i], frame_toks[i], ff) for i in range(len(batch))
-            )
+            suggestions = [
+                self.plan_history.suggest(
+                    PlanHistory.key(patch_num, ft // patch_num, ff), ff.bucket
+                ) if patch_num > 0 and ft and ft % patch_num == 0 else None
+                for ft in frame_toks
+            ]
+            if suggestions and all(s is not None for s in suggestions):
+                pre_plan_len = max(s[0] for s in suggestions)
+                if plan_len is None:
+                    plan_len = max(s[1] for s in suggestions)
+                plan_source = "history"
+            else:
+                pre_plan_len = max(
+                    pre_plan_length(orig_lens[i], frame_toks[i], ff) for i in range(len(batch))
+                )
+                plan_source = "analytic"
         pre_plan_len = min(max(pre_plan_len, ff.bucket), s_b)
         plan_len = pre_plan_len if plan_len is None else min(max(plan_len, ff.bucket), pre_plan_len)
 
@@ -1416,6 +1524,7 @@ class CompressionEngine:
                 # reading it, mirroring the solo ordering (prefill_planned).
                 res = self._prefill_fused(embeds, patch_type, position_ids, patch_num, img_s, img_l)
                 res.mode = "planned_fallback_fused"
+                res.plan_source = plan_source
                 results.append(res)
                 continue
             if bool(packed[4]):
@@ -1426,6 +1535,7 @@ class CompressionEngine:
             if n_live_final > plan_len or (not finished and layer_end < cfg.num_layers):
                 res = self._prefill_fused(embeds, patch_type, position_ids, patch_num, img_s, img_l)
                 res.mode = "planned_fallback_fused"
+                res.plan_source = plan_source
                 results.append(res)
                 continue
 
@@ -1469,11 +1579,12 @@ class CompressionEngine:
             telemetry.final_length = n_live_final
             telemetry.final_image_tokens = img_l - (orig_len - n_live_final)
             telemetry.tail_start_layer = layer_end
+            self._record_plan_stats(patch_num, patch_type, telemetry)
             results.append(PrefillResult(
                 logits=logits_b[bi], layer_caches=layer_caches, valid_len=n_live_final,
                 decode_pos_base=self._mrope_decode_base(position_ids) or layer_caches[0][2],
                 telemetry=telemetry,
-                pos_dims=pos_dims, mode="planned_batch",
+                pos_dims=pos_dims, mode="planned_batch", plan_source=plan_source,
             ))
         return results
 

@@ -507,6 +507,68 @@ class TestBatchedDecode:
         assert cut == full[: full.index(eos) + 1]
 
 
+class TestPlanHistory:
+    """Planned-mode bucket selection without caller-provided buckets:
+    analytic bound on a never-seen geometry, then survivor-count history
+    once the engine has served it (VERDICT r2 item 4 — de-circularized
+    plan autotuning; plan_source records which one fired)."""
+
+    def test_analytic_then_history_source(self, setup):
+        from framefusion_tpu.core import bucket_length
+        from framefusion_tpu.runtime.engine import PlanHistory
+
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.8)
+
+        res1 = engine.prefill_planned(h, pt, pos, 6, img_start, n_img)
+        assert res1.plan_source == "analytic"
+
+        # The first serve recorded survivor counts; a same-geometry repeat
+        # plans from history, with buckets matching the observed telemetry.
+        res2 = engine.prefill_planned(h, pt, pos, 6, img_start, n_img)
+        assert res2.plan_source == "history"
+        assert res2.mode == "planned"
+        key = PlanHistory.key(6, n_img // 6, ff)
+        ev0 = res1.telemetry.events[0]
+        n_after_pre = ev0.tokens_after if ev0.layer == -1 else len(pt)
+        assert engine.plan_history.suggest(key, ff.bucket) == (
+            bucket_length(n_after_pre, ff.bucket),
+            bucket_length(res1.valid_len, ff.bucket),
+        )
+
+        # decisions are identical regardless of the bucket source
+        fused = engine.prefill(h, pt, pos, 6, img_start, n_img, mode="fused")
+        for res in (res1, res2):
+            got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+            want = [(e.layer, e.kind, e.tokens_removed) for e in fused.telemetry.events]
+            assert got == want
+            assert res.valid_len == fused.valid_len
+            np.testing.assert_allclose(np.asarray(res.logits), np.asarray(fused.logits),
+                                       rtol=2e-3, atol=2e-3)
+
+    def test_fused_run_seeds_history(self, setup):
+        """A fused (adaptive) serve also feeds the history, so planned mode
+        never needs a planned probe."""
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        h, pt, pos, img_start, n_img = build_inputs(seed=5, coherent=0.5)
+        engine.prefill(h, pt, pos, 6, img_start, n_img, mode="fused")
+        res = engine.prefill_planned(h, pt, pos, 6, img_start, n_img)
+        assert res.plan_source == "history"
+
+    def test_explicit_buckets_reported(self, setup):
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.8)
+        probe = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        from framefusion_tpu.core import bucket_length
+        plan = bucket_length(probe.valid_len, ff.bucket)
+        res = engine.prefill_planned(h, pt, pos, 6, img_start, n_img,
+                                     plan_len=plan, pre_plan_len=plan)
+        assert res.plan_source == "explicit"
+
+
 class TestBatchedPrefill:
     """Lockstep-batched planned prefill: per-sequence decisions must equal
     each prompt's SOLO fused run (events, lengths, logits, cache
