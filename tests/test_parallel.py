@@ -103,6 +103,77 @@ class TestShardedInference:
         assert toks_tp == toks_ref
 
 
+class TestSeqShardedCompression:
+    """Sequence-sharded compressed prefill (the 72B/256-frame stretch path,
+    SURVEY §7 'hard parts'): per-layer compute sharded over an 8-way seq
+    mesh via shard_map, decisions replicated — events, final length and
+    logits must match the unsharded engine."""
+
+    def _inputs(self, cfg, seed=0, coherent=0.8, n_frames=12):
+        rng = np.random.default_rng(seed)
+        h, pt, img_start, n_img = make_sequence(rng, 5, 6, n_frames, 4,
+                                                hidden=cfg.hidden_size, coherent=coherent)
+        h = (h * 0.05).astype(np.float32)
+        pos = np.arange(len(pt), dtype=np.int32)
+        return h, pt, pos, img_start, n_img
+
+    def test_matches_unsharded_engine(self):
+        from framefusion_tpu.parallel.seq_shard import make_seq_mesh, seq_sharded_prefill
+
+        # 72B-shaped (deep, GQA) scaled down: 8 q heads / 2 kv heads.
+        cfg = tiny_llm_config(num_layers=6, num_heads=8, num_kv_heads=2)
+        ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75,
+                               ratio_lower_bound=0.05, schedule_num_layers=6, bucket=32)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+        h, pt, pos, img_start, n_img = self._inputs(cfg)
+
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        ref = engine.prefill(h, pt, pos, 6, img_start, n_img)
+
+        mesh = make_seq_mesh(jax.devices()[:8])
+        logits, telemetry, valid = seq_sharded_prefill(
+            params, cfg, ff, h, pt, pos, 6, img_start, n_img, mesh
+        )
+        got = [(e.layer, e.kind, e.tokens_removed) for e in telemetry.events]
+        want = [(e.layer, e.kind, e.tokens_removed) for e in ref.telemetry.events]
+        assert got == want
+        assert valid == ref.valid_len
+        assert telemetry.sparsity_list == pytest.approx(ref.telemetry.sparsity_list, abs=1e-7)
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref.logits),
+                                   rtol=2e-3, atol=2e-3)
+        assert int(np.argmax(np.asarray(logits))) == int(np.argmax(np.asarray(ref.logits)))
+
+    def test_mrope_num4_capture(self):
+        """The stretch config is Qwen2.5-VL: 3D mRoPE + 4-row capture must
+        survive sequence sharding (the psum'd partial-importance path)."""
+        from framefusion_tpu.parallel.seq_shard import make_seq_mesh, seq_sharded_prefill
+
+        cfg = tiny_llm_config(num_layers=5, num_heads=8, num_kv_heads=2).replace(
+            mrope_section=(2, 3, 3)
+        )
+        ff = FrameFusionConfig(cost=0.35, similarity_lower_bound=0.7,
+                               ratio_lower_bound=0.05, schedule_num_layers=5, bucket=32,
+                               num_importance_queries=4)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(1))
+        h, pt, pos1d, img_start, n_img = self._inputs(cfg, seed=3, coherent=0.55)
+        pos = np.tile(pos1d, (3, 1))
+
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        ref = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        assert any(e.kind == "prune" for e in ref.telemetry.events), "want a prune event"
+
+        mesh = make_seq_mesh(jax.devices()[:8])
+        logits, telemetry, valid = seq_sharded_prefill(
+            params, cfg, ff, h, pt, pos, 6, img_start, n_img, mesh
+        )
+        got = [(e.layer, e.kind, e.tokens_removed) for e in telemetry.events]
+        want = [(e.layer, e.kind, e.tokens_removed) for e in ref.telemetry.events]
+        assert got == want
+        assert valid == ref.valid_len
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref.logits),
+                                   rtol=2e-3, atol=2e-3)
+
+
 class TestLargeModelSharding:
     """72B-stretch shape checks: Qwen2.5-VL-72B geometry shards cleanly
     (tensor axis divides heads/kv-heads/mlp), and a scaled-down deep variant
