@@ -174,6 +174,93 @@ def params_from_hf(state_dict, cfg: InternViTConfig, prefix: str = "vision_tower
     }
 
 
+def params_from_remote(state_dict, cfg: InternViTConfig, prefix: str = "vision_model."):
+    """Import the HUB checkpoint layout (remote-code ``InternVisionModel``,
+    what InternVL2_5-* checkpoints actually ship: fused ``attn.qkv``,
+    ``ls1``/``ls2`` layer scales, ``embeddings.position_embedding``).
+    Validated against the HF-format importer by renaming in tests."""
+    def np_of(t):
+        if hasattr(t, "detach"):
+            t = t.detach()
+            if str(t.dtype) == "torch.bfloat16":
+                t = t.float()
+            return t.cpu().numpy()
+        return np.asarray(t)
+
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    d = cfg.hidden_size
+
+    def stack(fmt, transpose=False):
+        arrs = [np_of(sd[fmt.format(i)]) for i in range(cfg.num_layers)]
+        arrs = [a.T if transpose else a for a in arrs]
+        return jnp.asarray(np.stack(arrs), cfg.dtype)
+
+    wq, wk, wv, bq, bk, bv = [], [], [], [], [], []
+    for i in range(cfg.num_layers):
+        fused = np_of(sd[f"encoder.layers.{i}.attn.qkv.weight"])  # (3D, D)
+        wq.append(fused[:d].T)
+        wk.append(fused[d : 2 * d].T)
+        wv.append(fused[2 * d :].T)
+        if cfg.attention_bias:
+            fb = np_of(sd[f"encoder.layers.{i}.attn.qkv.bias"])
+            bq.append(fb[:d])
+            bk.append(fb[d : 2 * d])
+            bv.append(fb[2 * d :])
+
+    layers = {
+        "ln1_w": stack("encoder.layers.{}.norm1.weight"),
+        "ln1_b": stack("encoder.layers.{}.norm1.bias"),
+        "ln2_w": stack("encoder.layers.{}.norm2.weight"),
+        "ln2_b": stack("encoder.layers.{}.norm2.bias"),
+        "wq": jnp.asarray(np.stack(wq), cfg.dtype),
+        "wk": jnp.asarray(np.stack(wk), cfg.dtype),
+        "wv": jnp.asarray(np.stack(wv), cfg.dtype),
+        "wo": stack("encoder.layers.{}.attn.proj.weight", True),
+        "bo": stack("encoder.layers.{}.attn.proj.bias"),
+        "w_fc1": stack("encoder.layers.{}.mlp.fc1.weight", True),
+        "b_fc1": stack("encoder.layers.{}.mlp.fc1.bias"),
+        "w_fc2": stack("encoder.layers.{}.mlp.fc2.weight", True),
+        "b_fc2": stack("encoder.layers.{}.mlp.fc2.bias"),
+        "lambda1": stack("encoder.layers.{}.ls1"),
+        "lambda2": stack("encoder.layers.{}.ls2"),
+    }
+    if cfg.attention_bias:
+        layers["bq"] = jnp.asarray(np.stack(bq), cfg.dtype)
+        layers["bk"] = jnp.asarray(np.stack(bk), cfg.dtype)
+        layers["bv"] = jnp.asarray(np.stack(bv), cfg.dtype)
+    if cfg.use_qk_norm:
+        layers["qnorm_w"] = stack("encoder.layers.{}.attn.q_norm.weight")
+        layers["knorm_w"] = stack("encoder.layers.{}.attn.k_norm.weight")
+    kernel = np_of(sd["embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
+    return {
+        "patch_kernel": jnp.asarray(kernel, cfg.dtype),
+        "patch_bias": jnp.asarray(np_of(sd["embeddings.patch_embedding.bias"]), cfg.dtype),
+        "cls_token": jnp.asarray(np_of(sd["embeddings.class_embedding"]).reshape(-1), cfg.dtype),
+        "pos_embed": jnp.asarray(np_of(sd["embeddings.position_embedding"])[0], cfg.dtype),
+        "layers": layers,
+    }
+
+
+def projector_from_remote(state_dict, cfg: InternViTConfig, prefix: str = "mlp1."):
+    """Hub-layout projector: ``mlp1`` = Sequential(LayerNorm, Linear, GELU,
+    Linear) — the reference's ``extract_feature`` applies it after pixel
+    shuffle (modeling_internvl_chat.py:19-33)."""
+    def np_of(t):
+        if hasattr(t, "detach"):
+            return t.detach().float().cpu().numpy()
+        return np.asarray(t)
+
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    return {
+        "ln_w": jnp.asarray(np_of(sd["0.weight"]), cfg.dtype),
+        "ln_b": jnp.asarray(np_of(sd["0.bias"]), cfg.dtype),
+        "w1": jnp.asarray(np_of(sd["1.weight"]).T, cfg.dtype),
+        "b1": jnp.asarray(np_of(sd["1.bias"]), cfg.dtype),
+        "w2": jnp.asarray(np_of(sd["3.weight"]).T, cfg.dtype),
+        "b2": jnp.asarray(np_of(sd["3.bias"]), cfg.dtype),
+    }
+
+
 def projector_from_hf(state_dict, cfg: InternViTConfig, prefix: str = "multi_modal_projector."):
     def np_of(t):
         if hasattr(t, "detach"):

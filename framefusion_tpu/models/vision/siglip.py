@@ -71,6 +71,57 @@ def init_params(cfg: ViTConfig, key: jax.Array) -> dict:
     }
 
 
+def params_from_hf(state_dict, cfg: ViTConfig, prefix: str = "vision_model."):
+    """Import HF ``SiglipVisionModel`` weights (also the layout inside
+    LLaVA-Video hub checkpoints under
+    ``model.vision_tower.vision_tower.vision_model.``)."""
+    import numpy as np
+
+    def np_of(t):
+        if hasattr(t, "detach"):
+            t = t.detach()
+            if str(t.dtype) == "torch.bfloat16":
+                t = t.float()
+            return t.cpu().numpy()
+        return np.asarray(t)
+
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+
+    def stack(fmt, transpose=False):
+        arrs = [np_of(sd[fmt.format(i)]) for i in range(cfg.num_layers)]
+        arrs = [a.T if transpose else a for a in arrs]
+        return jnp.asarray(np.stack(arrs), cfg.dtype)
+
+    layers = {
+        "ln1_w": stack("encoder.layers.{}.layer_norm1.weight"),
+        "ln1_b": stack("encoder.layers.{}.layer_norm1.bias"),
+        "ln2_w": stack("encoder.layers.{}.layer_norm2.weight"),
+        "ln2_b": stack("encoder.layers.{}.layer_norm2.bias"),
+        "wq": stack("encoder.layers.{}.self_attn.q_proj.weight", True),
+        "bq": stack("encoder.layers.{}.self_attn.q_proj.bias"),
+        "wk": stack("encoder.layers.{}.self_attn.k_proj.weight", True),
+        "bk": stack("encoder.layers.{}.self_attn.k_proj.bias"),
+        "wv": stack("encoder.layers.{}.self_attn.v_proj.weight", True),
+        "bv": stack("encoder.layers.{}.self_attn.v_proj.bias"),
+        "wo": stack("encoder.layers.{}.self_attn.out_proj.weight", True),
+        "bo": stack("encoder.layers.{}.self_attn.out_proj.bias"),
+        "w_fc1": stack("encoder.layers.{}.mlp.fc1.weight", True),
+        "b_fc1": stack("encoder.layers.{}.mlp.fc1.bias"),
+        "w_fc2": stack("encoder.layers.{}.mlp.fc2.weight", True),
+        "b_fc2": stack("encoder.layers.{}.mlp.fc2.bias"),
+    }
+    # HF conv kernel: (D, 3, k, k) -> HWIO
+    kernel = np_of(sd["embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
+    return {
+        "patch_kernel": jnp.asarray(kernel, cfg.dtype),
+        "patch_bias": jnp.asarray(np_of(sd["embeddings.patch_embedding.bias"]), cfg.dtype),
+        "pos_embed": jnp.asarray(np_of(sd["embeddings.position_embedding.weight"]), cfg.dtype),
+        "layers": layers,
+        "post_ln_w": jnp.asarray(np_of(sd["post_layernorm.weight"]), cfg.dtype),
+        "post_ln_b": jnp.asarray(np_of(sd["post_layernorm.bias"]), cfg.dtype),
+    }
+
+
 def _layernorm(x, w, b, eps):
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)

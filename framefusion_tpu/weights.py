@@ -148,8 +148,10 @@ def params_from_state_dict_internlm2(state_dict, cfg: LLMConfig, prefix: str = "
     return params
 
 
-def load_safetensors(checkpoint_dir: str, cfg: LLMConfig, prefix: str = "model.") -> dict:
-    """Load a (possibly sharded) safetensors checkpoint directory."""
+def load_state(checkpoint_dir: str) -> dict:
+    """Read a (possibly sharded) safetensors checkpoint directory into a
+    name -> numpy mapping (HF hub layout: ``model.safetensors.index.json``
+    with a weight_map, or loose ``*.safetensors`` shards)."""
     from safetensors import safe_open  # lazy: optional dependency
 
     index_path = os.path.join(checkpoint_dir, "model.safetensors.index.json")
@@ -164,4 +166,179 @@ def load_safetensors(checkpoint_dir: str, cfg: LLMConfig, prefix: str = "model."
         with safe_open(os.path.join(checkpoint_dir, shard), framework="np") as f:
             for name in f.keys():
                 state[name] = f.get_tensor(name)
-    return params_from_state_dict(state, cfg, prefix=prefix)
+    return state
+
+
+def load_safetensors(checkpoint_dir: str, cfg: LLMConfig, prefix: str = "model.") -> dict:
+    """Load a (possibly sharded) safetensors checkpoint directory."""
+    return params_from_state_dict(load_state(checkpoint_dir), cfg, prefix=prefix)
+
+
+# Architecture string (config.json ``architectures[0]``) -> family name, as
+# the reference's isinstance/architecture dispatch (interface.py:58-124).
+_ARCH_TO_FAMILY = {
+    "LlavaQwenForCausalLM": "llava_video",
+    "LlavaNextVideoForConditionalGeneration": "llava_next_video",
+    "MiniCPMV": "minicpmv",
+    "LlavaLlamaModel": "nvila",
+    "Qwen2VLForConditionalGeneration": "qwen2_vl",
+    "Qwen2_5_VLForConditionalGeneration": "qwen2_vl",
+    "InternVLChatModel": "internvl",
+}
+
+
+def llm_config_from_hf(cfg_dict: dict, dtype=jnp.bfloat16):
+    """HF ``config.json`` dict -> (family, LLMConfig).
+
+    Handles the per-family nesting: the LLM fields live at the top level
+    (LLaVA-Video / MiniCPM-V / NVILA / Qwen2-VL), under ``text_config``
+    (LLaVA-NeXT-Video), or under ``llm_config`` (InternVL). mRoPE sections
+    come from ``rope_scaling.mrope_section`` (Qwen2-VL); InternLM2 has no
+    qkv bias (config ``bias``/architecture).
+    """
+    arch = (cfg_dict.get("architectures") or ["?"])[0]
+    family = _ARCH_TO_FAMILY.get(arch)
+    if family is None:
+        raise NotImplementedError(f"Model not supported\nArchitecture: {arch}")
+
+    text = cfg_dict
+    for key in ("text_config", "llm_config"):
+        if isinstance(cfg_dict.get(key), dict):
+            text = cfg_dict[key]
+            break
+
+    mrope_section = None
+    rope_scaling = text.get("rope_scaling") or {}
+    if isinstance(rope_scaling, dict) and rope_scaling.get("mrope_section"):
+        mrope_section = tuple(rope_scaling["mrope_section"])
+
+    text_arch = (text.get("architectures") or [arch])[0]
+    qkv_bias = not (family == "internvl" or "InternLM2" in text_arch)
+    if "bias" in text:  # InternLM2 configs carry an explicit flag
+        qkv_bias = bool(text["bias"])
+
+    llm = LLMConfig(
+        vocab_size=text["vocab_size"],
+        hidden_size=text["hidden_size"],
+        intermediate_size=text["intermediate_size"],
+        num_layers=text["num_hidden_layers"],
+        num_heads=text["num_attention_heads"],
+        num_kv_heads=text.get("num_key_value_heads", text["num_attention_heads"]),
+        rope_theta=float(text.get("rope_theta", 1e6)),
+        rms_norm_eps=float(text.get("rms_norm_eps", 1e-6)),
+        tie_word_embeddings=bool(text.get("tie_word_embeddings", False)),
+        qkv_bias=qkv_bias,
+        mrope_section=mrope_section,
+        dtype=dtype,
+    )
+    return family, llm
+
+
+def _load_vision(family: str, state: dict, cfg_dict: dict, llm_cfg: LLMConfig):
+    """Best-effort vision-tower import from the same checkpoint (hub
+    layouts); returns a family-specific dict or None when the checkpoint
+    carries no (recognizable) vision weights."""
+    vis_cfg = cfg_dict.get("vision_config") or {}
+    try:
+        if family == "qwen2_vl" and any(k.startswith("visual.") for k in state):
+            from .models.vision.qwen2_vl_vit import Qwen2VLViTConfig, params_from_hf
+
+            vit_cfg = Qwen2VLViTConfig(
+                embed_dim=vis_cfg.get("embed_dim", 1280),
+                depth=vis_cfg.get("depth", 32),
+                num_heads=vis_cfg.get("num_heads", 16),
+                patch_size=vis_cfg.get("patch_size", 14),
+                temporal_patch_size=vis_cfg.get("temporal_patch_size", 2),
+                spatial_merge_size=vis_cfg.get("spatial_merge_size", 2),
+                mlp_ratio=vis_cfg.get("mlp_ratio", 4.0),
+                hidden_size=llm_cfg.hidden_size,
+            )
+            return {"kind": "qwen2_vl_vit", "cfg": vit_cfg,
+                    "params": params_from_hf(state, vit_cfg, prefix="visual.")}
+        if family == "internvl" and any(k.startswith("vision_model.") for k in state):
+            from .models.vision.internvl_vit import (
+                InternViTConfig, params_from_remote, projector_from_remote,
+            )
+
+            img = vis_cfg.get("image_size", 448)
+            patch = vis_cfg.get("patch_size", 14)
+            vit_cfg = InternViTConfig(
+                image_size=img if isinstance(img, int) else img[0],
+                patch_size=patch if isinstance(patch, int) else patch[0],
+                hidden_size=vis_cfg.get("hidden_size", 1024),
+                intermediate_size=vis_cfg.get("intermediate_size", 4096),
+                num_layers=vis_cfg.get("num_hidden_layers", 24),
+                num_heads=vis_cfg.get("num_attention_heads", 16),
+                attention_bias=bool(vis_cfg.get("qkv_bias", True)),
+                use_qk_norm=bool(vis_cfg.get("qk_normalization", False)),
+                text_hidden_size=llm_cfg.hidden_size,
+                downsample_ratio=float(cfg_dict.get("downsample_ratio", 0.5)),
+            )
+            return {"kind": "internvl_vit", "cfg": vit_cfg,
+                    "params": params_from_remote(state, vit_cfg, prefix="vision_model."),
+                    "projector": projector_from_remote(state, vit_cfg, prefix="mlp1.")}
+        if family in ("llava_video", "llava_next_video") and any(
+            "vision_tower" in k for k in state
+        ):
+            from .models.vision import siglip
+
+            tower_prefix = next(
+                p for p in ("model.vision_tower.vision_tower.vision_model.",
+                            "vision_tower.vision_model.")
+                if any(k.startswith(p) for k in state)
+            )
+            vit_cfg = siglip.ViTConfig(
+                image_size=vis_cfg.get("image_size", 384),
+                patch_size=vis_cfg.get("patch_size", 14),
+                hidden_size=vis_cfg.get("hidden_size", 1152),
+                intermediate_size=vis_cfg.get("intermediate_size", 4304),
+                num_layers=vis_cfg.get("num_hidden_layers", 27),
+                num_heads=vis_cfg.get("num_attention_heads", 16),
+            )
+            vit = siglip.params_from_hf(state, vit_cfg, prefix=tower_prefix)
+            proj = None
+            if "model.mm_projector.0.weight" in state:
+                proj = {
+                    "w1": jnp.asarray(_to_numpy(state["model.mm_projector.0.weight"]).T, jnp.float32),
+                    "b1": jnp.asarray(_to_numpy(state["model.mm_projector.0.bias"]), jnp.float32),
+                    "w2": jnp.asarray(_to_numpy(state["model.mm_projector.2.weight"]).T, jnp.float32),
+                    "b2": jnp.asarray(_to_numpy(state["model.mm_projector.2.bias"]), jnp.float32),
+                    "image_newline": jnp.asarray(
+                        _to_numpy(state["model.image_newline"]), jnp.float32
+                    ) if "model.image_newline" in state else jnp.zeros(
+                        (llm_cfg.hidden_size,), jnp.float32
+                    ),
+                }
+            return {"kind": "siglip", "cfg": vit_cfg, "params": vit, "projector": proj}
+    except (KeyError, AssertionError):
+        return None  # partial/unrecognized vision weights: LLM-only load
+    return None
+
+
+def load_checkpoint(checkpoint_dir: str, family: str | None = None, dtype=jnp.bfloat16):
+    """Full checkpoint loader: config.json-driven geometry + family dispatch.
+
+    The reference's equivalent surface is HF's ``from_pretrained`` inside
+    each example script (example_llava.py:94-101); here one call reads the
+    hub file layout (config.json + sharded safetensors) and returns a ready
+    ``FrameFusionModel`` (with the vision tower attached when the checkpoint
+    carries one).
+    """
+    from .interface import FAMILIES, FrameFusionModel
+
+    with open(os.path.join(checkpoint_dir, "config.json")) as f:
+        cfg_dict = json.load(f)
+    detected, llm_cfg = llm_config_from_hf(cfg_dict, dtype=dtype)
+    family = family or detected
+    spec = FAMILIES[family]
+    assert llm_cfg.qkv_bias == spec.qkv_bias, (
+        f"config qkv_bias={llm_cfg.qkv_bias} vs family {family}"
+    )
+
+    state = load_state(checkpoint_dir)
+    if family == "internvl":
+        params = params_from_state_dict_internlm2(state, llm_cfg, prefix=spec.llm_prefix)
+    else:
+        params = params_from_state_dict(state, llm_cfg, prefix=spec.llm_prefix)
+    vision = _load_vision(family, state, cfg_dict, llm_cfg)
+    return FrameFusionModel(family=family, cfg=llm_cfg, params=params, vision=vision)

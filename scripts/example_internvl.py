@@ -23,6 +23,9 @@ def main():
     p.add_argument("--ratio-lower-bound", type=float, default=0.1)
     p.add_argument("--precomputed-features", action="store_true",
                    help="skip the ViT; use synthetic per-frame embeddings")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="hub-layout dir (InternLM2 fused wqkv + vision_model.* "
+                        "remote-layout tower + mlp1 projector)")
     args = p.parse_args()
 
     import jax
@@ -33,9 +36,16 @@ def main():
     from framefusion_tpu.models.adapters import internvl
 
     rng = np.random.default_rng(0)
-    cfg = tiny_llm_config(num_layers=8, hidden_size=256, num_heads=8, num_kv_heads=4,
-                          qkv_bias=False)  # InternLM2 has no qkv bias
-    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    loaded = None
+    if args.checkpoint:
+        from framefusion_tpu.weights import load_checkpoint
+
+        loaded = load_checkpoint(args.checkpoint, family="internvl")
+        cfg, params = loaded.cfg, loaded.params
+    else:
+        cfg = tiny_llm_config(num_layers=8, hidden_size=256, num_heads=8, num_kv_heads=4,
+                              qkv_bias=False)  # InternLM2 has no qkv bias
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
 
     tpf = args.tokens_per_frame
     if not args.precomputed_features:
@@ -46,13 +56,19 @@ def main():
             init_projector,
         )
 
-        # 8x8 patch grid -> pixel-shuffled to 4x4 = 16 tokens/frame
-        vit_cfg = InternViTConfig(image_size=112, patch_size=14, hidden_size=128,
-                                  intermediate_size=256, num_layers=4, num_heads=4,
-                                  text_hidden_size=cfg.hidden_size)
-        vit_params = init_vit(vit_cfg, jax.random.PRNGKey(5))
-        proj = init_projector(vit_cfg, jax.random.PRNGKey(6))
-        base = rng.standard_normal((1, 112, 112, 3)).astype(np.float32)
+        if loaded is not None and loaded.vision:
+            vit_cfg = loaded.vision["cfg"]
+            vit_params = loaded.vision["params"]
+            proj = loaded.vision["projector"]
+        else:
+            # 8x8 patch grid -> pixel-shuffled to 4x4 = 16 tokens/frame
+            vit_cfg = InternViTConfig(image_size=112, patch_size=14, hidden_size=128,
+                                      intermediate_size=256, num_layers=4, num_heads=4,
+                                      text_hidden_size=cfg.hidden_size)
+            vit_params = init_vit(vit_cfg, jax.random.PRNGKey(5))
+            proj = init_projector(vit_cfg, jax.random.PRNGKey(6))
+        img = vit_cfg.image_size
+        base = rng.standard_normal((1, img, img, 3)).astype(np.float32)
         pix = np.concatenate([base + 0.03 * rng.standard_normal(base.shape).astype(np.float32)
                               for _ in range(args.num_frames)])
         feats = np.asarray(extract_features(vit_params, proj, jnp.asarray(pix), vit_cfg)) * 0.05

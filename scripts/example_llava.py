@@ -43,12 +43,15 @@ def main():
     rng = np.random.default_rng(0)
     on_tpu = jax.default_backend() == "tpu"
 
+    loaded = None
     if args.checkpoint:
-        from framefusion_tpu.weights import load_safetensors
+        # config.json-driven geometry + LLM + (when present) the siglip
+        # tower and mm_projector from the same hub-layout directory.
+        from framefusion_tpu.weights import load_checkpoint
 
-        cfg = qwen2_7b_config()
-        params = load_safetensors(args.checkpoint, cfg, prefix="model.")
-        vit_cfg = siglip.ViTConfig()
+        loaded = load_checkpoint(args.checkpoint, family="llava_video")
+        cfg, params = loaded.cfg, loaded.params
+        vit_cfg = loaded.vision["cfg"] if loaded.vision else siglip.ViTConfig()
     elif args.full_size:
         cfg = qwen2_7b_config(vocab_size=32768)
         params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
@@ -58,8 +61,14 @@ def main():
         params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
         vit_cfg = siglip.tiny_vit_config(image_size=56, patch_size=7)  # 8 patches/side
 
-    vit = siglip.init_params(vit_cfg, jax.random.PRNGKey(1))
-    proj = init_projector(jax.random.PRNGKey(2), vit_cfg.hidden_size, cfg.hidden_size, cfg.dtype)
+    if loaded is not None and loaded.vision:
+        vit = loaded.vision["params"]
+        proj = loaded.vision["projector"] or init_projector(
+            jax.random.PRNGKey(2), vit_cfg.hidden_size, cfg.hidden_size, cfg.dtype
+        )
+    else:
+        vit = siglip.init_params(vit_cfg, jax.random.PRNGKey(1))
+        proj = init_projector(jax.random.PRNGKey(2), vit_cfg.hidden_size, cfg.hidden_size, cfg.dtype)
 
     if args.video:
         frames = load_video_frames(args.video, args.num_frames, vit_cfg.image_size)

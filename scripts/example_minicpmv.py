@@ -16,6 +16,8 @@ def main():
     p.add_argument("--cost", type=float, default=0.3)
     p.add_argument("--similarity-lower-bound", type=float, default=0.7)
     p.add_argument("--ratio-lower-bound", type=float, default=0.1)
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="hub-layout dir (config.json + safetensors)")
     args = p.parse_args()
 
     import jax
@@ -26,8 +28,14 @@ def main():
     from framefusion_tpu.models.adapters import minicpmv
 
     rng = np.random.default_rng(0)
-    cfg = tiny_llm_config(num_layers=8, hidden_size=256, num_heads=8, num_kv_heads=4)
-    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    if args.checkpoint:
+        from framefusion_tpu.weights import load_checkpoint
+
+        loaded = load_checkpoint(args.checkpoint, family="minicpmv")
+        cfg, params = loaded.cfg, loaded.params
+    else:
+        cfg = tiny_llm_config(num_layers=8, hidden_size=256, num_heads=8, num_kv_heads=4)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
 
     # Layout: 6 text, then per frame [slice_tokens image + 2 separators]
     st = args.slice_tokens

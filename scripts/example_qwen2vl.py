@@ -26,6 +26,9 @@ def main():
     p.add_argument("--ratio-lower-bound", type=float, default=0.1)
     p.add_argument("--precomputed-features", action="store_true",
                    help="skip the ViT; use synthetic visual embeddings")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="hub-layout dir (config.json + safetensors; loads the "
+                        "visual.* tower too)")
     args = p.parse_args()
 
     import jax
@@ -37,10 +40,17 @@ def main():
     from framefusion_tpu.models.adapters import qwen2_vl
 
     rng = np.random.default_rng(0)
-    # Qwen2-VL tiny geometry with mRoPE sections (t,h,w) summing to head_dim/2.
-    cfg = tiny_llm_config(num_layers=8, hidden_size=256, num_heads=8, num_kv_heads=4,
-                          mrope_section=(4, 6, 6))
-    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    loaded = None
+    if args.checkpoint:
+        from framefusion_tpu.weights import load_checkpoint
+
+        loaded = load_checkpoint(args.checkpoint, family="qwen2_vl")
+        cfg, params = loaded.cfg, loaded.params
+    else:
+        # Qwen2-VL tiny geometry with mRoPE sections (t,h,w) summing to head_dim/2.
+        cfg = tiny_llm_config(num_layers=8, hidden_size=256, num_heads=8, num_kv_heads=4,
+                              mrope_section=(4, 6, 6))
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
 
     if args.precomputed_features:
         grid_t, grid_h, grid_w = args.num_frames, 8, 8
@@ -56,11 +66,16 @@ def main():
             Qwen2VLViTConfig, encode_video, init_params as init_vit, pixels_to_patches,
         )
 
-        vit_cfg = Qwen2VLViTConfig(embed_dim=128, depth=4, num_heads=4, patch_size=14,
-                                   mlp_ratio=2.0, hidden_size=cfg.hidden_size)
-        vit_params = init_vit(vit_cfg, jax.random.PRNGKey(7))
+        if loaded is not None and loaded.vision:
+            vit_cfg = loaded.vision["cfg"]
+            vit_params = loaded.vision["params"]
+        else:
+            vit_cfg = Qwen2VLViTConfig(embed_dim=128, depth=4, num_heads=4, patch_size=14,
+                                       mlp_ratio=2.0, hidden_size=cfg.hidden_size)
+            vit_params = init_vit(vit_cfg, jax.random.PRNGKey(7))
+        side = vit_cfg.patch_size * vit_cfg.spatial_merge_size * 4
         # temporally coherent pixel frames: 2 raw frames per temporal patch
-        base = rng.standard_normal((1, 112, 112, 3)).astype(np.float32)
+        base = rng.standard_normal((1, side, side, 3)).astype(np.float32)
         frames = np.concatenate([
             base + 0.05 * rng.standard_normal(base.shape).astype(np.float32)
             for _ in range(2 * args.num_frames)

@@ -1,0 +1,259 @@
+"""Real-checkpoint readiness: every family loads from hub-layout fixture
+files (config.json + bf16 sharded safetensors + index) and produces tokens —
+the offline stand-in for the reference's ``from_pretrained`` downloads
+(reference script/playground/example_llava.py:94-101, README.md:183-209)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytest.importorskip("safetensors")
+pytest.importorskip("torch")
+
+from framefusion_tpu.interface import apply_framefusion
+from framefusion_tpu.models import qwen2
+from framefusion_tpu.weights import llm_config_from_hf, load_checkpoint
+
+from checkpoint_fixtures import TINY_TEXT, write_fixture
+
+FAMILIES = ["llava_video", "llava_next_video", "minicpmv", "nvila", "qwen2_vl", "internvl"]
+
+
+@pytest.fixture(scope="module")
+def fixture_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ckpts")
+    return {fam: write_fixture(root, fam) for fam in FAMILIES}
+
+
+def _embed(model, n, seed=0):
+    rng = np.random.default_rng(seed)
+    ids = rng.integers(0, model.cfg.vocab_size, size=n)
+    return np.asarray(qwen2.embed(model.params, jnp.asarray(ids), model.cfg), np.float32)
+
+
+def _build_inputs(model, fam, seed=0):
+    """Family-adapter inputs; vision-bearing fixtures run their REAL tower."""
+    rng = np.random.default_rng(seed)
+    d = model.cfg.hidden_size
+
+    if fam == "llava_video":
+        from framefusion_tpu.models.vision.llava_frontend import encode_video
+        from framefusion_tpu.models.adapters import llava_video
+
+        assert model.vision is not None and model.vision["kind"] == "siglip"
+        base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+        frames = np.concatenate([base + 0.02 * rng.standard_normal(base.shape)
+                                 for _ in range(4)])
+        toks = np.asarray(encode_video(
+            model.vision["params"], model.vision["cfg"], model.vision["projector"],
+            jnp.asarray(frames),
+        ))
+        return llava_video.build_prefill_inputs(
+            _embed(model, 9, seed), toks, image_token_pos=4,
+            num_patches_per_side=model.vision["cfg"].patches_per_side,
+        )
+    if fam == "qwen2_vl":
+        from framefusion_tpu.models.vision.qwen2_vl_vit import encode_video, pixels_to_patches
+        from framefusion_tpu.models.adapters import qwen2_vl
+
+        assert model.vision is not None and model.vision["kind"] == "qwen2_vl_vit"
+        vcfg = model.vision["cfg"]
+        base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+        frames = np.concatenate([base + 0.02 * rng.standard_normal(base.shape)
+                                 for _ in range(8)])
+        patches, (gt, gh, gw) = pixels_to_patches(frames, vcfg)
+        video = np.asarray(encode_video(
+            model.vision["params"], jnp.asarray(patches), gt, gh, gw, vcfg
+        ))
+        return qwen2_vl.build_prefill_inputs(_embed(model, 8, seed), video, 5, gt, gh, gw)
+    if fam == "internvl":
+        from framefusion_tpu.models.vision.internvl_vit import extract_features
+        from framefusion_tpu.models.adapters import internvl
+
+        assert model.vision is not None and model.vision["kind"] == "internvl_vit"
+        vcfg = model.vision["cfg"]
+        base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+        frames = np.concatenate([base + 0.02 * rng.standard_normal(base.shape)
+                                 for _ in range(3)])
+        feats = np.asarray(extract_features(
+            model.vision["params"], model.vision["projector"], jnp.asarray(frames), vcfg
+        ))
+        tpf = feats.shape[1]
+        chunks, mask = [_embed(model, 4, seed)], [np.zeros(4, bool)]
+        for f in range(feats.shape[0]):
+            chunks.append(_embed(model, 2, seed + 10 + f))
+            mask.append(np.zeros(2, bool))
+            chunks.append(feats[f])
+            mask.append(np.ones(tpf, bool))
+        chunks.append(_embed(model, 3, seed + 50))
+        mask.append(np.zeros(3, bool))
+        return internvl.build_prefill_inputs(
+            np.concatenate(chunks) * 0.2, np.concatenate(mask), tokens_per_frame=tpf
+        )
+
+    # Feature-fed families: synthetic coherent features at LLM width.
+    def coherent_video(n_frames, patch_num):
+        out = np.empty((n_frames * patch_num, d), np.float32)
+        frame = rng.standard_normal((patch_num, d)).astype(np.float32) * 0.05
+        for f in range(n_frames):
+            frame = frame + 0.01 * rng.standard_normal(frame.shape).astype(np.float32)
+            out[f * patch_num : (f + 1) * patch_num] = frame
+        return out
+
+    if fam == "llava_next_video":
+        from framefusion_tpu.models.adapters import llava_next_video
+
+        video = coherent_video(5, 4)  # 16 vit patches pooled by 2 -> 4/frame
+        embeds = np.concatenate([_embed(model, 6, seed), video, _embed(model, 4, seed + 1)])
+        mask = np.zeros(embeds.shape[0], bool)
+        mask[6 : 6 + video.shape[0]] = True
+        return llava_next_video.build_prefill_inputs(embeds, mask, num_vit_patches=16)
+    if fam == "minicpmv":
+        from framefusion_tpu.models.adapters import minicpmv
+
+        tpf, n_frames = 6, 4
+        video = coherent_video(n_frames, tpf)
+        embeds = np.concatenate([_embed(model, 5, seed), video, _embed(model, 4, seed + 1)])
+        bounds = np.asarray([[5 + f * tpf, 5 + (f + 1) * tpf] for f in range(n_frames)])
+        # the adapter's +2 separator geometry needs bounds gaps; emulate the
+        # simple contiguous case the example script drives
+        return minicpmv.build_prefill_inputs(embeds, bounds[:, :2], num_frames=n_frames)
+    if fam == "nvila":
+        from framefusion_tpu.models.adapters import nvila
+
+        video = coherent_video(5, 4)
+        return nvila.build_prefill_inputs_video(
+            _embed(model, 8, seed), video, media_token_pos=5, num_frames=5
+        )
+    raise ValueError(fam)
+
+
+@pytest.mark.parametrize("fam", FAMILIES)
+def test_family_loads_and_generates(fixture_dirs, fam):
+    model = load_checkpoint(fixture_dirs[fam], dtype=jnp.float32)
+    assert model.family == fam
+    assert model.cfg.num_layers == TINY_TEXT["num_hidden_layers"]
+    assert model.cfg.vocab_size == TINY_TEXT["vocab_size"]
+    if fam == "qwen2_vl":
+        assert model.cfg.mrope_section == (2, 3, 3)
+    if fam == "internvl":
+        assert not model.cfg.qkv_bias
+    if fam == "llava_next_video":
+        assert model.cfg.tie_word_embeddings
+        assert "lm_head" not in model.params
+
+    ff_model = apply_framefusion(model, cost=0.6, similarity_lower_bound=0.9,
+                                 ratio_lower_bound=0.05)
+    ff_model.ff = ff_model.ff.replace(schedule_num_layers=model.cfg.num_layers)
+    inputs = _build_inputs(ff_model, fam)
+    tokens, res = ff_model.generate(inputs, max_new_tokens=3)
+    assert len(tokens) == 3
+    assert all(0 <= t < model.cfg.vocab_size for t in tokens)
+    assert np.isfinite(np.asarray(res.logits)).all()
+
+
+def test_bf16_on_disk_roundtrip(fixture_dirs):
+    """Disk tensors are bf16 (hub norm); import casts to the requested
+    compute dtype without precision surprises beyond bf16 quantization."""
+    from framefusion_tpu.weights import load_state
+
+    state = load_state(fixture_dirs["llava_video"])
+    assert str(state["model.embed_tokens.weight"].dtype) == "bfloat16"
+    model = load_checkpoint(fixture_dirs["llava_video"], dtype=jnp.float32)
+    got = np.asarray(model.params["embed"])
+    want = np.asarray(state["model.embed_tokens.weight"]).astype(np.float32)
+    np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("script,fam,extra", [
+    # --cost 0.8: the 2-layer fixture stacks make the reference's default
+    # cost=0.3 schedule infeasible (cost spreads over num_layers events).
+    ("example_llava.py", "llava_video",
+     ["--num-frames", "4", "--max-new-tokens", "2", "--cost", "0.8"]),
+    ("example_qwen2vl.py", "qwen2_vl", ["--num-frames", "4", "--cost", "0.8"]),
+    ("example_internvl.py", "internvl", ["--num-frames", "3", "--cost", "0.8"]),
+    ("example_minicpmv.py", "minicpmv", ["--num-frames", "4", "--cost", "0.8"]),
+    ("example_nvila.py", "nvila", ["--num-frames", "4", "--cost", "0.8"]),
+])
+def test_example_script_checkpoint_path(fixture_dirs, script, fam, extra):
+    """Every example script's --checkpoint path, driven end to end against
+    the hub-layout fixture (the reference's scripts only ever run against
+    downloaded checkpoints — this is the offline equivalent)."""
+    import os
+    import subprocess
+    import sys
+
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    out = subprocess.run(
+        [sys.executable, script, "--checkpoint", fixture_dirs[fam], *extra],
+        cwd=scripts_dir, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, f"{script} failed:\n{out.stdout}\n{out.stderr}"
+    assert "speedup" in out.stdout, out.stdout
+
+
+def test_config_detection_errors():
+    with pytest.raises(NotImplementedError, match="Model not supported"):
+        llm_config_from_hf({"architectures": ["GPT2LMHeadModel"]})
+
+
+def test_remote_internvit_importer_matches_hf_format():
+    """The hub (remote-code) InternViT layout — fused qkv, ls1/ls2 — must
+    import to the same pytree as the HF-format importer given renamed
+    weights."""
+    import torch
+    transformers = pytest.importorskip("transformers")
+    from transformers import InternVLVisionConfig
+    from transformers.models.internvl.modeling_internvl import InternVLVisionModel
+
+    from framefusion_tpu.models.vision import internvl_vit as ivit
+
+    vc = InternVLVisionConfig(
+        image_size=[28, 28], patch_size=[7, 7], hidden_size=64,
+        intermediate_size=128, num_hidden_layers=2, num_attention_heads=4,
+        attention_bias=True, use_qk_norm=False,
+    )
+    torch.manual_seed(0)
+    tower = InternVLVisionModel(vc).eval()
+    sd = {k: v.detach().numpy() for k, v in tower.state_dict().items()}
+    cfg = ivit.tiny_internvit_config(attention_bias=True)
+    hf_params = ivit.params_from_hf(sd, cfg, prefix="")
+
+    # rename HF-format -> remote hub layout
+    remote = {}
+    for i in range(cfg.num_layers):
+        b_hf = f"encoder.layer.{i}."
+        b_rm = f"vision_model.encoder.layers.{i}."
+        remote[b_rm + "attn.qkv.weight"] = np.concatenate([
+            sd[b_hf + "attention.q_proj.weight"],
+            sd[b_hf + "attention.k_proj.weight"],
+            sd[b_hf + "attention.v_proj.weight"],
+        ])
+        remote[b_rm + "attn.qkv.bias"] = np.concatenate([
+            sd[b_hf + "attention.q_proj.bias"],
+            sd[b_hf + "attention.k_proj.bias"],
+            sd[b_hf + "attention.v_proj.bias"],
+        ])
+        remote[b_rm + "attn.proj.weight"] = sd[b_hf + "attention.projection_layer.weight"]
+        remote[b_rm + "attn.proj.bias"] = sd[b_hf + "attention.projection_layer.bias"]
+        remote[b_rm + "ls1"] = sd[b_hf + "lambda_1"]
+        remote[b_rm + "ls2"] = sd[b_hf + "lambda_2"]
+        for rm, hf in [("norm1", "layernorm_before"), ("norm2", "layernorm_after")]:
+            remote[b_rm + rm + ".weight"] = sd[b_hf + hf + ".weight"]
+            remote[b_rm + rm + ".bias"] = sd[b_hf + hf + ".bias"]
+        for p in ("mlp.fc1", "mlp.fc2"):
+            remote[b_rm + p + ".weight"] = sd[b_hf + p + ".weight"]
+            remote[b_rm + p + ".bias"] = sd[b_hf + p + ".bias"]
+    remote["vision_model.embeddings.class_embedding"] = sd["embeddings.cls_token"]
+    remote["vision_model.embeddings.position_embedding"] = sd["embeddings.position_embeddings"]
+    remote["vision_model.embeddings.patch_embedding.weight"] = sd["embeddings.patch_embeddings.projection.weight"]
+    remote["vision_model.embeddings.patch_embedding.bias"] = sd["embeddings.patch_embeddings.projection.bias"]
+
+    rm_params = ivit.params_from_remote(remote, cfg, prefix="vision_model.")
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6),
+        hf_params, rm_params,
+    )

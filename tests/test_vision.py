@@ -28,43 +28,7 @@ def make_hf_siglip():
 
 def import_hf_vit(model, cfg):
     sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
-    pre = "vision_model."
-    n_l = cfg.num_layers
-    d = cfg.hidden_size
-
-    def stack(fmt, transpose=False):
-        arrs = [sd[pre + fmt.format(i)] for i in range(n_l)]
-        arrs = [a.T if transpose else a for a in arrs]
-        return jnp.asarray(np.stack(arrs), cfg.dtype)
-
-    layers = {
-        "ln1_w": stack("encoder.layers.{}.layer_norm1.weight"),
-        "ln1_b": stack("encoder.layers.{}.layer_norm1.bias"),
-        "ln2_w": stack("encoder.layers.{}.layer_norm2.weight"),
-        "ln2_b": stack("encoder.layers.{}.layer_norm2.bias"),
-        "wq": stack("encoder.layers.{}.self_attn.q_proj.weight", True),
-        "bq": stack("encoder.layers.{}.self_attn.q_proj.bias"),
-        "wk": stack("encoder.layers.{}.self_attn.k_proj.weight", True),
-        "bk": stack("encoder.layers.{}.self_attn.k_proj.bias"),
-        "wv": stack("encoder.layers.{}.self_attn.v_proj.weight", True),
-        "bv": stack("encoder.layers.{}.self_attn.v_proj.bias"),
-        "wo": stack("encoder.layers.{}.self_attn.out_proj.weight", True),
-        "bo": stack("encoder.layers.{}.self_attn.out_proj.bias"),
-        "w_fc1": stack("encoder.layers.{}.mlp.fc1.weight", True),
-        "b_fc1": stack("encoder.layers.{}.mlp.fc1.bias"),
-        "w_fc2": stack("encoder.layers.{}.mlp.fc2.weight", True),
-        "b_fc2": stack("encoder.layers.{}.mlp.fc2.bias"),
-    }
-    # HF conv kernel: (D, 3, k, k) -> HWIO
-    kernel = sd[pre + "embeddings.patch_embedding.weight"].transpose(2, 3, 1, 0)
-    return {
-        "patch_kernel": jnp.asarray(kernel, cfg.dtype),
-        "patch_bias": jnp.asarray(sd[pre + "embeddings.patch_embedding.bias"], cfg.dtype),
-        "pos_embed": jnp.asarray(sd[pre + "embeddings.position_embedding.weight"], cfg.dtype),
-        "layers": layers,
-        "post_ln_w": jnp.asarray(sd[pre + "post_layernorm.weight"], cfg.dtype),
-        "post_ln_b": jnp.asarray(sd[pre + "post_layernorm.bias"], cfg.dtype),
-    }
+    return siglip.params_from_hf(sd, cfg, prefix="vision_model.")
 
 
 class TestSiglipVsHF:
