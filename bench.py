@@ -249,36 +249,59 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
     # the detail, never the headline.
     if e2e_tokens:
         try:
-            def e2e(prefill_fn):
+            def e2e(eng, prefill_fn):
                 r = prefill_fn(h)
-                toks = engine.generate_greedy(r, max_new_tokens=e2e_tokens)
-                del r, toks
+                toks = eng.generate_greedy(r, max_new_tokens=e2e_tokens)
+                del r
+                return toks
 
-            def e2e_median(prefill_fn, rounds=3):
+            def e2e_median(eng, prefill_fn, rounds=3):
                 # decode wall-clock varies run to run on relay-attached
                 # runners (DEVNOTES) — a single e2e run has been observed
                 # anywhere in 1.7-2.0x; take the median of 3.
-                e2e(prefill_fn)  # compile
+                toks = e2e(eng, prefill_fn)  # compile
                 ts = []
                 for _ in range(rounds):
                     t0 = time.perf_counter()
-                    e2e(prefill_fn)
+                    e2e(eng, prefill_fn)
                     ts.append(time.perf_counter() - t0)
                 gc.collect()
                 ts.sort()
-                return ts[len(ts) // 2]
+                return ts[len(ts) // 2], toks
 
             def run_dense_full(hh):
                 return engine.dense_prefill(hh, pos)
 
             ff_e2e_fn = run_ff_planned if planned_t <= ff_t else run_ff
-            dense_e2e = e2e_median(run_dense_full)
-            ff_e2e = e2e_median(ff_e2e_fn)
+            dense_e2e, dense_toks = e2e_median(engine, run_dense_full)
+            ff_e2e, ff_toks = e2e_median(engine, ff_e2e_fn)
+
+            # Standing accuracy-perturbation metric at FULL scale: greedy
+            # agreement + first-token logit distance, FF vs dense (the
+            # random-weight stand-in for the reference's lmms-eval accuracy
+            # delta; real-checkpoint numbers need network access).
+            dres = run_dense_full(h)
+            fres = ff_e2e_fn(h)
+            import jax.nn as jnn
+            p = jnn.log_softmax(jnp.asarray(dres.logits, jnp.float32))
+            q = jnn.log_softmax(jnp.asarray(fres.logits, jnp.float32))
+            detail.update({
+                "top1_agreement": round(float(np.mean(
+                    [a == b for a, b in zip(dense_toks, ff_toks)])), 3),
+                "greedy_match_len": next(
+                    (i for i, (a, b) in enumerate(zip(dense_toks, ff_toks)) if a != b),
+                    len(ff_toks)),
+                "first_token_kl": round(float(jnp.sum(jnp.exp(p) * (p - q))), 4),
+            })
+            del dres, fres, p, q
+            gc.collect()
+
             detail.update({
                 "e2e_speedup": round(dense_e2e / ff_e2e, 3),
                 "e2e_new_tokens": e2e_tokens,
                 "e2e_dense_ms": round(dense_e2e * 1e3, 1),
                 "e2e_framefusion_ms": round(ff_e2e * 1e3, 1),
+                "e2e_decode_dtype": "bf16",
                 # Diagnostic: decode wall-clock through the relay varies up
                 # to 4x between processes (DEVNOTES); ~17-24 ms/tok is the
                 # healthy range at 7B bf16, higher means a congested run and
@@ -289,6 +312,44 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                     max(ff_e2e * 1e3 - ff_best * 1e3, 0.0) / max(e2e_tokens - 1, 1), 1
                 ),
             })
+
+            # int8 weight-only serving decode (17.4 vs 24 ms/step measured,
+            # DEVNOTES), guarded by greedy-token parity vs the bf16 run.
+            # quantize_params_int8 CONSUMES the bf16 params (a 16 GB chip
+            # cannot hold both copies) — every bf16 measurement above is
+            # final before this point. The dense baseline stays bf16: the
+            # reference serves bf16 (example_llava.py:94-101), int8 decode
+            # is this framework's own serving feature.
+            if backend == "tpu":
+                from framefusion_tpu.ops.quant import quantize_params_int8
+
+                nonlocal_params = quantize_params_int8(params)
+                engine_q = CompressionEngine(nonlocal_params, cfg, ff, attn_impl=attn_impl)
+                engine_q.plan_history = engine.plan_history
+
+                def run_ff_q(hh):
+                    if ff_e2e_fn is run_ff_planned:
+                        return engine_q.prefill_planned(
+                            hh, patch_type, pos, patch_num=182,
+                            image_token_start=img_start, image_token_length=n_img,
+                            plan_len=plan, pre_plan_len=pre_plan)
+                    return engine_q.prefill(hh, patch_type, pos, patch_num=182,
+                                            image_token_start=img_start,
+                                            image_token_length=n_img)
+
+                ff_e2e_q, ff_toks_q = e2e_median(engine_q, run_ff_q)
+                parity = ff_toks_q == ff_toks
+                detail["int8_decode_parity"] = parity
+                detail["e2e_framefusion_int8_ms"] = round(ff_e2e_q * 1e3, 1)
+                if parity and ff_e2e_q < ff_e2e:
+                    detail.update({
+                        "e2e_speedup": round(dense_e2e / ff_e2e_q, 3),
+                        "e2e_framefusion_ms": round(ff_e2e_q * 1e3, 1),
+                        "e2e_decode_dtype": "int8",
+                        "decode_ms_per_tok": round(
+                            max(ff_e2e_q * 1e3 - ff_best * 1e3, 0.0)
+                            / max(e2e_tokens - 1, 1), 1),
+                    })
         except Exception as e:  # noqa: BLE001 — e2e is best-effort
             detail["e2e_error"] = f"{type(e).__name__}: {str(e)[:200]}"
             gc.collect()

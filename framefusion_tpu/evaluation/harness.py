@@ -97,9 +97,27 @@ class LmmsEvalAdapter:
         self.max_new_tokens = max_new_tokens
 
     def generate_until(self, requests):
+        """lmms-eval ``generate_until`` contract: each request is an
+        ``Instance`` whose ``args`` tuple carries (context, gen_kwargs,
+        doc_to_visual, doc_id, task, split); gen_kwargs may set
+        ``max_new_tokens`` and ``until`` stop strings. Returns one decoded
+        string per request, truncated at the first stop string."""
         outputs = []
         for req in requests:
+            args = getattr(req, "args", None)
+            gen_kwargs = {}
+            if isinstance(args, (tuple, list)) and len(args) > 1 and isinstance(args[1], dict):
+                gen_kwargs = args[1]
             inputs = self.frontend(req)
-            tokens, _ = self.model.generate(inputs, self.max_new_tokens)
-            outputs.append(self.tokenizer.decode(tokens))
+            max_new = int(gen_kwargs.get("max_new_tokens", self.max_new_tokens))
+            tokens, _ = self.model.generate(
+                inputs, max_new,
+                eos_token_id=getattr(self.tokenizer, "eos_token_id", None),
+            )
+            text = self.tokenizer.decode(tokens)
+            for stop in gen_kwargs.get("until") or []:
+                cut = text.find(stop)
+                if cut >= 0:
+                    text = text[:cut]
+            outputs.append(text)
         return outputs

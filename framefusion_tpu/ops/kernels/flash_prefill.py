@@ -622,6 +622,20 @@ def flash_causal_attention_importance(
     scale = 1.0 / (d ** 0.5)
     positions = jnp.arange(s, dtype=jnp.int32)
     vl = jnp.asarray(valid_len, jnp.int32)
+
+    if g > 1 and GROUPED_MAX_S < s <= RESIDENT_KV_MAX_S:
+        # Mid regime: ride the blocked-grouped attention kernel (same
+        # dispatch as flash_causal_attention) and compute the 1-4 capture
+        # rows as the separate O(num*S*D) einsum — those rows cost ~0.2 GF
+        # at the 64-frame buckets, noise next to the ~17 TF main attention,
+        # and last_rows_importance implements the identical live-rank
+        # selection rule (key_valid=None -> trailing [vl-num, vl) window).
+        from ...ops.attention import last_rows_importance
+
+        out = flash_causal_attention(q, k, v, key_valid=key_valid, interpret=interpret)
+        importance = last_rows_importance(q, k, num, vl, key_valid=key_valid)
+        return out, importance
+
     if key_valid is None:
         key_valid = jnp.ones((s,), bool)
         capture = (positions >= vl - num) & (positions < vl)
@@ -724,6 +738,23 @@ def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k:
     k_t = k.transpose(1, 0, 2)  # (Hk, S, D)
     v_t = v.transpose(1, 0, 2)
     kv_mask = key_valid.astype(jnp.int32)[None, :]  # (1, S)
+
+    if g > 1 and GROUPED_MAX_S < sp <= RESIDENT_KV_MAX_S:
+        # Mid regime (the 64-frame phase buckets, S ≈ 8.2k-16k): the
+        # KV-blocked GROUPED kernel — each K/V block DMA'd once per KV head,
+        # small (bq, bk) score tiles, softmax state in scratch. Measured
+        # faster than the per-qhead resident grid here (which tops out at
+        # ~83 TF/s at S=11776; the blocked-grouped kernel reaches
+        # ~100 TF/s at 23.5k and holds the advantage down through this
+        # range — kernel_bench --what attn). bq=256/bk=1024 is the
+        # VMEM-safe tile (DEVNOTES).
+        pad2 = (-sp) % 1024
+        if pad2:
+            q = jnp.pad(q, ((0, pad2), (0, 0), (0, 0)))
+            k = jnp.pad(k, ((0, pad2), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, pad2), (0, 0), (0, 0)))
+            kv_mask = jnp.pad(kv_mask, ((0, 0), (0, pad2)))
+        return _flash_blocked_grouped(q, k, v, kv_mask, 256, 1024, interpret, scale)[:s]
 
     if sp > RESIDENT_KV_MAX_S:
         # Long-video regime: K/V stream one block per grid step. With a GQA

@@ -74,6 +74,20 @@ class TextPipeline:
             return self.chat_template
         return FAMILY_TEMPLATES.get(self.model.family, DEFAULT_TEMPLATE)
 
+    def _render_prompt(self, media: str, question: str, fallback: str) -> str:
+        """Build the chat prompt. A tokenizer carrying a ``chat_template``
+        (tokenizer_config.json-driven, the way the reference's scripts use
+        ``processor.apply_chat_template`` — example_qwen2vl.py:49-54) renders
+        through it; otherwise the family's static template is used. The
+        media placeholder string stays in the user turn either way and is
+        spliced downstream."""
+        if self.chat_template is None and getattr(self.tokenizer, "chat_template", None):
+            return self.tokenizer.apply_chat_template(
+                [{"role": "user", "content": f"{media}{question}"}],
+                tokenize=False, add_generation_prompt=True,
+            )
+        return fallback
+
     def _embed_ids(self, ids) -> np.ndarray:
         return np.asarray(
             qwen2.embed(self.model.params, jnp.asarray(np.asarray(ids, np.int32)), self.model.cfg),
@@ -88,7 +102,10 @@ class TextPipeline:
                                                frames=frames)
         if self.model.family == "internvl":
             return self._build_inputs_internvl(question, video_features, frames=frames)
-        prompt = self._template().format(question=question)
+        prompt = self._render_prompt(
+            f"{self.image_token}\n", question,
+            self._template().format(question=question),
+        )
         before, _, after = prompt.partition(self.image_token)
         ids_before = list(self.tokenizer.encode(before))
         ids_after = list(self.tokenizer.encode(after))
@@ -134,7 +151,10 @@ class TextPipeline:
             ))
         assert video_grid_thw is not None, "qwen2_vl needs video_grid_thw"
         grid_t, grid_h, grid_w = (int(x) for x in video_grid_thw)
-        prompt = self._template().format(question=question)
+        prompt = self._render_prompt(
+            "<|vision_start|><|video_pad|><|vision_end|>", question,
+            self._template().format(question=question),
+        )
         before, _, after = prompt.partition("<|video_pad|>")
         ids_before = list(self.tokenizer.encode(before))
         ids_after = list(self.tokenizer.encode(after))
@@ -168,7 +188,10 @@ class TextPipeline:
         assert feats.ndim == 3, "internvl expects (n_frames, tokens_per_frame, D)"
         n_frames, tpf, d = feats.shape
         video_prefix = "".join(f"Frame{i+1}: {self.image_token}\n" for i in range(n_frames))
-        prompt = self._template().format(video_prefix=video_prefix, question=question)
+        prompt = self._render_prompt(
+            video_prefix, question,
+            self._template().format(video_prefix=video_prefix, question=question),
+        )
         segments = prompt.split(self.image_token)
         assert len(segments) == n_frames + 1
         embeds_parts = []

@@ -360,11 +360,148 @@ def bench_engine():
             print(f"decode scan-xs B={b}: {type(ex).__name__}: {str(ex)[:80]}")
 
 
+def check_kernels() -> int:
+    """On-chip kernel regression gate (VERDICT r2 item 5): COMPILE (not
+    interpret) every dispatch regime and assert parity against an
+    independent oracle; returns the number of failures (non-zero exit).
+    The empirical VMEM-margin constants (GROUPED_MAX_S, bq tiers, the
+    '+3 MB margin' rule — DEVNOTES) have shifted before; this catches the
+    next shift with one command:
+
+        python scripts/kernel_bench.py --check
+
+    Oracle: ops.attention.causal_attention_chunked (pure-XLA online
+    softmax, itself einsum-pinned in the CPU suite — the full einsum would
+    materialize O(S^2) scores at the long-S regimes) and the
+    last_rows_importance einsum for captures.
+    """
+    from framefusion_tpu.ops.attention import (
+        causal_attention_chunked,
+        last_rows_importance,
+    )
+    from framefusion_tpu.ops.kernels.flash_prefill import (
+        GROUPED_MAX_S,
+        RESIDENT_KV_MAX_S,
+        _flash_grouped,
+        flash_causal_attention,
+        flash_causal_attention_importance,
+    )
+    from framefusion_tpu.ops.kernels.sink_prefill import sink_flash_attention
+
+    rng = np.random.default_rng(0)
+    failures = []
+
+    def qkv(s, hq, hk, d=128):
+        q = jnp.asarray(rng.standard_normal((s, hq, d)) * 0.1, jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((s, hk, d)) * 0.1, jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((s, hk, d)) * 0.1, jnp.bfloat16)
+        return q, k, v
+
+    def run(name, fn, ref_fn, atol=2.5e-2, live=None):
+        try:
+            got = np.asarray(fn(), np.float32)
+            want = np.asarray(ref_fn(), np.float32)
+            if live is not None:
+                got, want = got[live], want[live]
+            err = float(np.max(np.abs(got - want)))
+            ok = err <= atol
+            print(f"  {'PASS' if ok else 'FAIL'}  {name:44s} max|err|={err:.2e}")
+            if not ok:
+                failures.append(name)
+        except Exception as e:  # noqa: BLE001 — compile/VMEM failures are the point
+            print(f"  FAIL  {name:44s} {type(e).__name__}: {str(e)[:140]}")
+            failures.append(name)
+
+    # Regime matrix: (name, S, Hq, Hk) hitting every dispatch branch at
+    # Qwen2-7B-like head geometry. Assertions double-check the branch taken.
+    assert GROUPED_MAX_S == 8192 and RESIDENT_KV_MAX_S == 16384, (
+        "dispatch thresholds moved; update the regime matrix"
+    )
+    cases = [
+        ("gmulti bq=512 (S<=4096)", 3456, 28, 4),
+        ("gmulti bq=1024 (4096<S<=8192)", 6656, 28, 4),
+        ("blocked-grouped MID (8192<S<=16384)", 11776, 28, 4),
+        ("per-qhead resident (g=1)", 3456, 4, 4),
+        ("blocked long (g=1, S>16384)", 18432, 2, 2),
+        ("blocked-grouped long (S>16384)", 18432, 28, 4),
+    ]
+    for name, s, hq, hk in cases:
+        q, k, v = qkv(s, hq, hk)
+        run(name,
+            lambda q=q, k=k, v=v: flash_causal_attention(q, k, v),
+            lambda q=q, k=k, v=v: causal_attention_chunked(q, k, v))
+        # key_valid (mask-only compression layout) for the compiled regimes
+        kv_mask = jnp.asarray(rng.random(s) > 0.3).at[0].set(True)
+        live = np.asarray(kv_mask)
+        run(name + " +key_valid",
+            lambda q=q, k=k, v=v, m=kv_mask: flash_causal_attention(q, k, v, key_valid=m),
+            lambda q=q, k=k, v=v, m=kv_mask: causal_attention_chunked(q, k, v, key_valid=m),
+            live=live)
+
+    # plain grouped kernel (exported; not in the default dispatch)
+    q, k, v = qkv(3456, 28, 4)
+    run("grouped (direct)",
+        lambda: _flash_grouped(q, k, v, jnp.ones((1, 3456), jnp.int32), 256, 512,
+                               False, 1.0 / 128 ** 0.5),
+        lambda: causal_attention_chunked(q, k, v))
+
+    # importance epilogues: gmulti fused, per-qhead fused (g=1), and the
+    # mid-regime blocked-grouped + einsum split; each with the live-rank
+    # (key_valid) capture case
+    for name, s, hq, hk in [
+        ("imp gmulti (S<=8192)", 3456, 28, 4),
+        ("imp per-qhead fused (g=1)", 3456, 4, 4),
+        ("imp MID blkgrp+einsum", 11776, 28, 4),
+    ]:
+        q, k, v = qkv(s, hq, hk)
+        vlen = s - 40
+        kv_mask = (jnp.arange(s) < vlen).at[100:140].set(False)
+        for label, kwargs in [("", dict(key_valid=None)), ("+key_valid", dict(key_valid=kv_mask))]:
+            def got_pair(q=q, k=k, v=v, kw=kwargs):
+                return flash_causal_attention_importance(q, k, v, jnp.int32(vlen), num=4, **kw)
+
+            run(name + label + " [out]",
+                lambda: got_pair()[0],
+                lambda q=q, k=k, v=v, kw=kwargs: causal_attention_chunked(
+                    q, k, v, key_valid=kw["key_valid"]),
+                live=np.asarray(kwargs["key_valid"]) if kwargs["key_valid"] is not None else np.arange(s) < vlen)
+            run(name + label + " [imp]",
+                lambda: got_pair()[1],
+                lambda q=q, k=k, v=v, kw=kwargs: last_rows_importance(
+                    q, k, 4, jnp.int32(vlen), key_valid=kw["key_valid"]),
+                atol=2e-3)
+
+    # StreamingLLM sink kernel
+    q, k, v = qkv(3456, 28, 4)
+    run("sink kernel",
+        lambda: sink_flash_attention(q, k, v, 8, 1024),
+        lambda: causal_attention_chunked(q, k, v, sink=(8, 1024)))
+
+    # ragged decode kernel
+    from framefusion_tpu.ops.attention import decode_attention
+    from framefusion_tpu.ops.kernels.decode_attention import ragged_decode_attention
+
+    qd = jnp.asarray(rng.standard_normal((28, 128)) * 0.1, jnp.bfloat16)
+    kp = jnp.asarray(rng.standard_normal((2048, 4, 128)) * 0.1, jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((2048, 4, 128)) * 0.1, jnp.bfloat16)
+    run("ragged decode",
+        lambda: ragged_decode_attention(qd, kp, vp, jnp.int32(1700)),
+        lambda: decode_attention(qd, kp, vp, jnp.int32(1700)))
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return len(failures)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="all", choices=["attn", "engine", "all"])
+    ap.add_argument("--check", action="store_true",
+                    help="compile-and-verify every kernel dispatch regime; "
+                         "non-zero exit on mismatch or compile failure")
     args = ap.parse_args()
     print("backend:", jax.default_backend())
+    if args.check:
+        raise SystemExit(check_kernels())
     if args.what in ("attn", "all"):
         bench_attention()
     if args.what in ("engine", "all"):

@@ -49,3 +49,57 @@ def test_lmms_adapter_gated():
 
     with pytest.raises(ImportError):
         LmmsEvalAdapter(None, None, None)
+
+
+class FakeInstance:
+    """Shape of lmms-eval's ``Instance`` as received by generate_until:
+    ``args`` = (context, gen_kwargs, doc_to_visual, doc_id, task, split)."""
+
+    def __init__(self, context, gen_kwargs, doc_id):
+        self.args = (context, gen_kwargs, lambda doc: [], doc_id, "videomme", "test")
+
+
+def test_lmms_adapter_against_mock_harness(monkeypatch):
+    """Drive LmmsEvalAdapter through a mock lmms-eval (VERDICT r2 item 9):
+    the shim's request parsing, per-request max_new_tokens, eos handling and
+    ``until`` stop-string truncation all execute."""
+    import sys
+    import types
+
+    monkeypatch.setitem(sys.modules, "lmms_eval", types.ModuleType("lmms_eval"))
+    from framefusion_tpu.evaluation.harness import LmmsEvalAdapter
+
+    cfg = tiny_llm_config(num_layers=4)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    model = apply_framefusion(
+        FrameFusionModel(family="llava_video", cfg=cfg, params=params, attn_impl="einsum"),
+        0.5, 0.7, 0.05,
+    )
+    model.ff = model.ff.replace(schedule_num_layers=cfg.num_layers)
+    prompts = build_prompts(cfg, n=2)
+
+    class Tok:
+        eos_token_id = None
+
+        def decode(self, ids):
+            return " ".join(str(i) for i in ids)
+
+    def frontend(req):
+        return prompts[req.args[3]]
+
+    adapter = LmmsEvalAdapter(model, Tok(), frontend, max_new_tokens=8)
+    reqs = [
+        FakeInstance("describe the video", {"max_new_tokens": 5}, 0),
+        FakeInstance("what happens?", {"max_new_tokens": 5}, 1),
+    ]
+    outs = adapter.generate_until(reqs)
+    assert len(outs) == 2 and all(isinstance(o, str) and o for o in outs)
+    assert len(outs[0].split()) == 5  # per-request max_new_tokens honored
+
+    # stop-string truncation: re-run with 'until' set to a substring of the
+    # first output's tail
+    stop = outs[0].split()[-1]
+    outs2 = adapter.generate_until(
+        [FakeInstance("describe the video", {"max_new_tokens": 5, "until": [stop]}, 0)]
+    )
+    assert stop not in outs2[0] and outs2[0] == outs[0][: outs[0].find(stop)]

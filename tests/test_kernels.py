@@ -295,3 +295,43 @@ class TestSinkPrefillKernel:
         ref = causal_attention_chunked(q, k, v, sink=(64, 300))
         got = sink_flash_attention(q, k, v, 64, 300, block_q=128, block_k=128, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+
+class TestMidRegimeDispatch:
+    """The 8.2k-16k (phase-bucket) regime routes to the blocked-grouped
+    kernel with the separate last-rows importance einsum. Exercised here by
+    shrinking the dispatch thresholds (unique shapes -> fresh jit traces);
+    the on-chip compiled twin is kernel_bench --check."""
+
+    def test_attention_matches_einsum(self, monkeypatch):
+        from framefusion_tpu.ops.kernels import flash_prefill as fp
+
+        monkeypatch.setattr(fp, "GROUPED_MAX_S", 256)
+        monkeypatch.setattr(fp, "RESIDENT_KV_MAX_S", 2048)
+        rng = np.random.default_rng(21)
+        s, hq, hk, d = 520, 8, 2, 128
+        q, k, v = make_qkv(rng, s, hq, hk, d)
+        ref = causal_attention_einsum(q, k, v)
+        got = fp.flash_causal_attention(q, k, v, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-3, atol=2e-3)
+
+    def test_importance_matches_oracle(self, monkeypatch):
+        from framefusion_tpu.ops.attention import last_rows_importance
+        from framefusion_tpu.ops.kernels import flash_prefill as fp
+
+        monkeypatch.setattr(fp, "GROUPED_MAX_S", 256)
+        monkeypatch.setattr(fp, "RESIDENT_KV_MAX_S", 2048)
+        rng = np.random.default_rng(22)
+        s, hq, hk, d = 648, 8, 2, 128
+        q, k, v = make_qkv(rng, s, hq, hk, d)
+        valid = 600
+        key_valid = (jnp.arange(s) < valid)
+        out, imp = fp.flash_causal_attention_importance(
+            q, k, v, jnp.int32(valid), num=4, key_valid=key_valid, interpret=True
+        )
+        ref_out = causal_attention_einsum(q, k, v, key_valid=key_valid)
+        ref_imp = last_rows_importance(q, k, 4, jnp.int32(valid), key_valid=key_valid)
+        live = np.arange(s) < valid
+        np.testing.assert_allclose(np.asarray(out)[live], np.asarray(ref_out)[live],
+                                   rtol=2e-3, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(imp), np.asarray(ref_imp), rtol=1e-5, atol=1e-6)

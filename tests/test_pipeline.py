@@ -1,6 +1,7 @@
 """Text-level pipeline test with a stub tokenizer (no network)."""
 
 import numpy as np
+import pytest
 
 import jax
 
@@ -115,3 +116,92 @@ def test_internvl_pipeline_interleaved():
     answer = pipe.ask("Describe the video", video_features=feats, max_new_tokens=4)
     assert isinstance(answer, str) and len(answer) > 0
     assert pipe.last_result.telemetry.vision_token_reduction > 0
+
+
+def _hf_chat_tokenizer(tmp_path):
+    """Tiny real HF fast tokenizer with a tokenizer_config.json-driven
+    chat_template (saved + reloaded via AutoTokenizer, like a hub repo)."""
+    transformers = pytest.importorskip("transformers")
+    tokenizers = pytest.importorskip("tokenizers")
+    from tokenizers import Tokenizer, models, pre_tokenizers
+    from transformers import AutoTokenizer, PreTrainedTokenizerFast
+
+    vocab = {"<unk>": 0}
+    for i, w in enumerate(
+        "what is shown describe the video frame assistant user system n".split(), 1
+    ):
+        vocab[w] = i
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    fast = PreTrainedTokenizerFast(tokenizer_object=tok, unk_token="<unk>")
+    fast.add_special_tokens({"additional_special_tokens": [
+        "<|im_start|>", "<|im_end|>", "<|vision_start|>", "<|video_pad|>",
+        "<|vision_end|>", "<image>",
+    ]})
+    fast.chat_template = (
+        "{% for message in messages %}<|im_start|>{{ message['role'] }}\n"
+        "{{ message['content'] }}<|im_end|>\n{% endfor %}"
+        "{% if add_generation_prompt %}<|im_start|>assistant\n{% endif %}"
+    )
+    d = tmp_path / "tok"
+    fast.save_pretrained(str(d))
+    return AutoTokenizer.from_pretrained(str(d))
+
+
+def test_chat_template_from_tokenizer_config(tmp_path):
+    """qwen2_vl + internvl prompts render through the tokenizer's OWN
+    chat_template (tokenizer_config.json) when one exists — the reference's
+    processor.apply_chat_template path (example_qwen2vl.py:49-54) — and the
+    pipeline still splices media and generates."""
+    from framefusion_tpu.config import tiny_llm_config
+
+    tok = _hf_chat_tokenizer(tmp_path)
+    assert tok.chat_template  # survived the save/reload round trip
+
+    # model vocab == tokenizer vocab so every generated id decodes
+    cfg = tiny_llm_config(num_layers=3, vocab_size=len(tok)).replace(mrope_section=(4, 6, 6))
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(5))
+    model = apply_framefusion(
+        FrameFusionModel(family="qwen2_vl", cfg=cfg, params=params, attn_impl="einsum"),
+        0.5, 0.8, 0.05,
+    )
+    model.ff = model.ff.replace(schedule_num_layers=cfg.num_layers)
+    pipe = TextPipeline(model=model, tokenizer=tok)
+
+    media = "<|vision_start|><|video_pad|><|vision_end|>"
+    rendered = pipe._render_prompt(media, "what is shown", "STATIC")
+    assert rendered != "STATIC"
+    assert rendered == tok.apply_chat_template(
+        [{"role": "user", "content": media + "what is shown"}],
+        tokenize=False, add_generation_prompt=True,
+    )
+    assert rendered.endswith("<|im_start|>assistant\n") and media in rendered
+
+    rng = np.random.default_rng(2)
+    grid_t, grid_h, grid_w = 4, 4, 4
+    frame = rng.standard_normal((4, cfg.hidden_size)).astype(np.float32) * 0.05
+    feats = np.concatenate(
+        [frame + 0.01 * rng.standard_normal(frame.shape) for _ in range(grid_t)]
+    ).astype(np.float32)
+    answer = pipe.ask("what is shown", video_features=feats,
+                      video_grid_thw=(grid_t, grid_h, grid_w), max_new_tokens=3)
+    assert isinstance(answer, str) and len(answer) > 0
+
+    # internvl through the same tokenizer-config template
+    cfg2 = tiny_llm_config(num_layers=3, qkv_bias=False, vocab_size=len(tok))
+    params2 = qwen2.init_params(cfg2, jax.random.PRNGKey(6))
+    model2 = apply_framefusion(
+        FrameFusionModel(family="internvl", cfg=cfg2, params=params2, attn_impl="einsum"),
+        0.5, 0.8, 0.05,
+    )
+    model2.ff = model2.ff.replace(schedule_num_layers=cfg2.num_layers)
+    pipe2 = TextPipeline(model=model2, tokenizer=tok)
+    frame = rng.standard_normal((6, cfg2.hidden_size)).astype(np.float32) * 0.05
+    feats2 = np.stack([frame + 0.01 * rng.standard_normal(frame.shape) for _ in range(4)])
+    answer2 = pipe2.ask("describe the video", video_features=feats2, max_new_tokens=3)
+    assert isinstance(answer2, str) and len(answer2) > 0
+
+    # explicit chat_template=... still overrides the tokenizer's
+    pipe3 = TextPipeline(model=model, tokenizer=tok,
+                         chat_template="Q: <|video_pad|>{question}\nA:")
+    assert pipe3._render_prompt("x", "q", "FALLBACK") == "FALLBACK"
