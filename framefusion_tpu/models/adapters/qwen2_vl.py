@@ -25,11 +25,22 @@ def mrope_position_ids(
     grid_h: int,
     grid_w: int,
     spatial_merge_size: int = 2,
+    second_per_grid_ts: float | None = None,
+    tokens_per_second: int = 2,
 ) -> np.ndarray:
     """(3, S) int32 positions: text advances all three streams together;
     video tokens get (t, h, w) grid coordinates offset by the text position,
     and the text after the video resumes from max(position)+1 — the layout
-    produced by HF ``Qwen2VLModel.get_rope_index`` for one video."""
+    produced by HF ``Qwen2VLModel.get_rope_index`` for one video.
+
+    ``second_per_grid_ts`` switches to Qwen2.5-VL temporal spacing
+    (HF ``Qwen2_5_VLModel.get_rope_index``): the temporal stream advances by
+    absolute video time, ``t_idx * second_per_grid_ts * tokens_per_second``,
+    rather than the frame index — h/w and the text resume rule unchanged.
+    Parity note: HF casts ``second_per_grid_ts`` to int64 BEFORE the
+    multiply (``torch.as_tensor(..., dtype=range_tensor.dtype)``), so
+    fractional seconds-per-grid truncate; replicated bit for bit.
+    """
     h = grid_h // spatial_merge_size
     w = grid_w // spatial_merge_size
     n_video = grid_t * h * w
@@ -38,6 +49,8 @@ def mrope_position_ids(
     pos[:, :video_start] = np.arange(video_start, dtype=np.int32)[None, :]
     # video block
     t_idx = np.repeat(np.arange(grid_t, dtype=np.int32), h * w)
+    if second_per_grid_ts is not None:
+        t_idx = (t_idx.astype(np.int64) * int(second_per_grid_ts) * tokens_per_second).astype(np.int32)
     h_idx = np.tile(np.repeat(np.arange(h, dtype=np.int32), w), grid_t)
     w_idx = np.tile(np.arange(w, dtype=np.int32), grid_t * h)
     base = video_start
@@ -60,6 +73,8 @@ def build_prefill_inputs(
     grid_h: int,
     grid_w: int,
     spatial_merge_size: int = 2,
+    second_per_grid_ts: float | None = None,
+    tokens_per_second: int = 2,
 ) -> PrefillInputs:
     """Fuse text + Qwen2-VL visual embeddings and derive metadata.
 
@@ -77,7 +92,9 @@ def build_prefill_inputs(
     embeds = splice_embeddings(text_embeds, video_token_pos, video_embeds)
     total = embeds.shape[0]
     patch_type = contiguous_patch_type(total, video_token_pos, patch_num, n_frames)
-    pos = mrope_position_ids(total, video_token_pos, grid_t, grid_h, grid_w, spatial_merge_size)
+    pos = mrope_position_ids(total, video_token_pos, grid_t, grid_h, grid_w, spatial_merge_size,
+                             second_per_grid_ts=second_per_grid_ts,
+                             tokens_per_second=tokens_per_second)
     return PrefillInputs(
         input_embeds=embeds,
         patch_type=patch_type,

@@ -136,15 +136,22 @@ class TextPipeline:
         from .models.adapters import qwen2_vl
 
         if video_features is None:
-            from .models.vision.qwen2_vl_vit import encode_video, pixels_to_patches
+            from .models.vision.qwen2_vl_vit import pixels_to_patches
+            from .models.vision.qwen25_vl_vit import Qwen25VLViTConfig
 
             assert frames is not None and self.vit_params is not None, (
-                "qwen2_vl needs frames + a Qwen2-VL ViT (vit_params/vit_cfg), "
-                "or precomputed video_features + video_grid_thw"
+                "qwen2_vl needs frames + a Qwen2-VL/Qwen2.5-VL ViT "
+                "(vit_params/vit_cfg), or precomputed video_features + "
+                "video_grid_thw"
             )
+            # patch layout is shared; the tower dispatches on the config type
             patches, (grid_t, grid_h, grid_w) = pixels_to_patches(
                 np.asarray(frames, np.float32), self.vit_cfg
             )
+            if isinstance(self.vit_cfg, Qwen25VLViTConfig):
+                from .models.vision.qwen25_vl_vit import encode_video
+            else:
+                from .models.vision.qwen2_vl_vit import encode_video
             video_grid_thw = (grid_t, grid_h, grid_w)
             video_features = np.asarray(encode_video(
                 self.vit_params, jnp.asarray(patches), grid_t, grid_h, grid_w, self.vit_cfg

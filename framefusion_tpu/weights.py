@@ -240,6 +240,27 @@ def _load_vision(family: str, state: dict, cfg_dict: dict, llm_cfg: LLMConfig):
     carries no (recognizable) vision weights."""
     vis_cfg = cfg_dict.get("vision_config") or {}
     try:
+        if family == "qwen2_vl" and "out_hidden_size" in vis_cfg and any(
+            k.startswith("visual.") for k in state
+        ):
+            # Qwen2.5-VL tower (window attention / RMSNorm / SwiGLU).
+            from .models.vision.qwen25_vl_vit import Qwen25VLViTConfig, params_from_hf
+
+            vit_cfg = Qwen25VLViTConfig(
+                hidden_size=vis_cfg.get("hidden_size", 1280),
+                depth=vis_cfg.get("depth", 32),
+                num_heads=vis_cfg.get("num_heads", 16),
+                intermediate_size=vis_cfg.get("intermediate_size", 3420),
+                patch_size=vis_cfg.get("patch_size", 14),
+                temporal_patch_size=vis_cfg.get("temporal_patch_size", 2),
+                spatial_merge_size=vis_cfg.get("spatial_merge_size", 2),
+                window_size=vis_cfg.get("window_size", 112),
+                fullatt_block_indexes=tuple(vis_cfg.get("fullatt_block_indexes", (7, 15, 23, 31))),
+                out_hidden_size=vis_cfg.get("out_hidden_size", llm_cfg.hidden_size),
+                tokens_per_second=vis_cfg.get("tokens_per_second", 4),
+            )
+            return {"kind": "qwen25_vl_vit", "cfg": vit_cfg,
+                    "params": params_from_hf(state, vit_cfg, prefix="visual.")}
         if family == "qwen2_vl" and any(k.startswith("visual.") for k in state):
             from .models.vision.qwen2_vl_vit import Qwen2VLViTConfig, params_from_hf
 

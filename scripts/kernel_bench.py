@@ -438,10 +438,11 @@ def check_kernels() -> int:
             lambda q=q, k=k, v=v, m=kv_mask: causal_attention_chunked(q, k, v, key_valid=m),
             live=live)
 
-    # plain grouped kernel (exported; not in the default dispatch)
+    # plain grouped kernel (exported; not in the default dispatch).
+    # Block sizes must DIVIDE the (unpadded) direct-call length.
     q, k, v = qkv(3456, 28, 4)
     run("grouped (direct)",
-        lambda: _flash_grouped(q, k, v, jnp.ones((1, 3456), jnp.int32), 256, 512,
+        lambda: _flash_grouped(q, k, v, jnp.ones((1, 3456), jnp.int32), 128, 128,
                                False, 1.0 / 128 ** 0.5),
         lambda: causal_attention_chunked(q, k, v))
 

@@ -142,6 +142,37 @@ QWEN2VL_VISION_CONFIG = dict(embed_dim=64, depth=2, num_heads=4, patch_size=7,
                              mlp_ratio=2, hidden_size=TINY_TEXT["hidden_size"])
 
 
+def _qwen25vl_visual_state(rng, prefix="visual.", scale=0.05):
+    """Tiny Qwen2.5-VL tower (RMSNorm, SwiGLU with biases, window attn)."""
+    d, i, depth, out = 64, 96, 3, TINY_TEXT["hidden_size"]
+    sd = {prefix + "patch_embed.proj.weight": rng.standard_normal((d, 3, 2, 7, 7)).astype(np.float32) * scale}
+    for l in range(depth):
+        base = f"{prefix}blocks.{l}."
+        sd[base + "norm1.weight"] = np.ones((d,), np.float32)
+        sd[base + "norm2.weight"] = np.ones((d,), np.float32)
+        sd[base + "attn.qkv.weight"] = rng.standard_normal((3 * d, d)).astype(np.float32) * scale
+        sd[base + "attn.qkv.bias"] = np.zeros((3 * d,), np.float32)
+        sd[base + "attn.proj.weight"] = rng.standard_normal((d, d)).astype(np.float32) * scale
+        sd[base + "attn.proj.bias"] = np.zeros((d,), np.float32)
+        for p, shape in [("gate_proj", (i, d)), ("up_proj", (i, d)), ("down_proj", (d, i))]:
+            sd[base + f"mlp.{p}.weight"] = rng.standard_normal(shape).astype(np.float32) * scale
+            sd[base + f"mlp.{p}.bias"] = np.zeros((shape[0],), np.float32)
+    sd[prefix + "merger.ln_q.weight"] = np.ones((d,), np.float32)
+    sd[prefix + "merger.mlp.0.weight"] = rng.standard_normal((4 * d, 4 * d)).astype(np.float32) * scale
+    sd[prefix + "merger.mlp.0.bias"] = np.zeros((4 * d,), np.float32)
+    sd[prefix + "merger.mlp.2.weight"] = rng.standard_normal((out, 4 * d)).astype(np.float32) * scale
+    sd[prefix + "merger.mlp.2.bias"] = np.zeros((out,), np.float32)
+    return sd
+
+
+QWEN25VL_VISION_CONFIG = dict(hidden_size=64, depth=3, num_heads=4,
+                              intermediate_size=96, patch_size=7,
+                              temporal_patch_size=2, spatial_merge_size=2,
+                              window_size=28, fullatt_block_indexes=[1],
+                              out_hidden_size=TINY_TEXT["hidden_size"],
+                              tokens_per_second=4)
+
+
 def _internvit_remote_state(rng, prefix="vision_model.", scale=0.05):
     """Tiny remote-layout InternViT (image 28, patch 7, D 64, 2 layers)."""
     d, i, n_l, n_p = 64, 128, 2, 16
@@ -262,6 +293,13 @@ def write_fixture(tmp_path, family: str) -> str:
                   "tie_word_embeddings": False,
                   "rope_scaling": {"type": "mrope", "mrope_section": [2, 3, 3]},
                   "vision_config": QWEN2VL_VISION_CONFIG}
+    elif family == "qwen25_vl":
+        state = _qwen2_state(rng, "model.")
+        state.update(_qwen25vl_visual_state(rng))
+        config = {"architectures": ["Qwen2_5_VLForConditionalGeneration"], **TINY_TEXT,
+                  "tie_word_embeddings": False,
+                  "rope_scaling": {"type": "mrope", "mrope_section": [2, 3, 3]},
+                  "vision_config": QWEN25VL_VISION_CONFIG}
     elif family == "internvl":
         state = _internlm2_state(rng)
         state.update(_internvit_remote_state(rng))

@@ -154,6 +154,40 @@ def test_family_loads_and_generates(fixture_dirs, fam):
     assert np.isfinite(np.asarray(res.logits)).all()
 
 
+def test_qwen25_vl_checkpoint_loads_and_generates(tmp_path):
+    """Qwen2.5-VL hub layout (Qwen2_5_VLForConditionalGeneration arch,
+    window-attention tower) -> qwen2_vl family with the qwen25 tower; pixels
+    through the loaded tower to tokens, with 2.5 temporal rope spacing."""
+    from framefusion_tpu.models.adapters import qwen2_vl as a_qwen2vl
+    from framefusion_tpu.models.vision.qwen2_vl_vit import pixels_to_patches
+    from framefusion_tpu.models.vision.qwen25_vl_vit import encode_video
+
+    d = write_fixture(tmp_path, "qwen25_vl")
+    model = load_checkpoint(d, dtype=jnp.float32)
+    assert model.family == "qwen2_vl"
+    assert model.cfg.mrope_section == (2, 3, 3)
+    assert model.vision is not None and model.vision["kind"] == "qwen25_vl_vit"
+    vcfg = model.vision["cfg"]
+    assert vcfg.fullatt_block_indexes == (1,) and vcfg.window_size == 28
+
+    ff_model = apply_framefusion(model, cost=0.6, similarity_lower_bound=0.9,
+                                 ratio_lower_bound=0.05)
+    ff_model.ff = ff_model.ff.replace(schedule_num_layers=model.cfg.num_layers)
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+    frames = np.concatenate([base + 0.02 * rng.standard_normal(base.shape)
+                             for _ in range(8)])
+    patches, (gt, gh, gw) = pixels_to_patches(frames, vcfg)
+    video = np.asarray(encode_video(model.vision["params"], jnp.asarray(patches),
+                                    gt, gh, gw, vcfg))
+    inputs = a_qwen2vl.build_prefill_inputs(
+        _embed(model, 8), video, 5, gt, gh, gw,
+        second_per_grid_ts=1.0, tokens_per_second=vcfg.tokens_per_second,
+    )
+    tokens, res = ff_model.generate(inputs, max_new_tokens=3)
+    assert len(tokens) == 3 and np.isfinite(np.asarray(res.logits)).all()
+
+
 def test_bf16_on_disk_roundtrip(fixture_dirs):
     """Disk tensors are bf16 (hub norm); import casts to the requested
     compute dtype without precision surprises beyond bf16 quantization."""

@@ -127,6 +127,50 @@ def test_rope_index_matches_hf(grid_t, grid_h, grid_w, video_start, n_tail):
     assert base == int(hf_pos.max()) + 1 == len(ids) + int(hf_delta[0, 0])
 
 
+def make_hf_qwen25vl():
+    from transformers import Qwen2_5_VLConfig, Qwen2_5_VLForConditionalGeneration
+
+    hf_cfg = Qwen2_5_VLConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        rope_theta=10000.0, rope_scaling={"type": "mrope", "mrope_section": [2, 3, 3]},
+        vision_start_token_id=VISION_START, video_token_id=VIDEO_TOKEN,
+        image_token_id=IMAGE_TOKEN,
+        vision_config=dict(depth=2, hidden_size=32, num_heads=2, intermediate_size=48,
+                           patch_size=7, spatial_merge_size=2, window_size=28,
+                           fullatt_block_indexes=[1], out_hidden_size=64,
+                           tokens_per_second=4),
+        attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    return Qwen2_5_VLForConditionalGeneration(hf_cfg).eval()
+
+
+@pytest.mark.parametrize("spgt,grid_t,grid_h,grid_w,video_start,n_tail", [
+    (0.5, 2, 4, 4, 4, 2),   # fractional spgt: HF truncates to int64 first
+    (1.0, 3, 4, 8, 2, 5),
+    (2.0, 4, 8, 4, 6, 3),
+])
+def test_qwen25_rope_index_matches_hf(spgt, grid_t, grid_h, grid_w, video_start, n_tail):
+    """Qwen2.5-VL temporal spacing (second_per_grid_ts * tokens_per_second,
+    HF Qwen2_5_VLModel.get_rope_index) vs the adapter, incl. rope_deltas /
+    decode base."""
+    model = make_hf_qwen25vl()
+    rng = np.random.default_rng(int(spgt * 10))
+    n_video = grid_t * (grid_h // 2) * (grid_w // 2)
+    ids = video_prompt_ids(rng, video_start, n_video, n_tail)
+    ids_t = torch.tensor(ids[None])
+    hf_pos, hf_delta = model.model.get_rope_index(
+        ids_t, None, torch.tensor([[grid_t, grid_h, grid_w]]),
+        torch.tensor([spgt]), torch.ones_like(ids_t),
+    )
+    ours = mrope_position_ids(len(ids), video_start, grid_t, grid_h, grid_w,
+                              second_per_grid_ts=spgt, tokens_per_second=4)
+    np.testing.assert_array_equal(ours, hf_pos[:, 0].numpy())
+    base = CompressionEngine._mrope_decode_base(ours)
+    assert base == int(hf_pos.max()) + 1 == len(ids) + int(hf_delta[0, 0])
+
+
 def _ours_prefill_logits(params, cfg, ids, pos3, attn_impl="einsum"):
     embeds = qwen2.embed(params, jnp.asarray(ids), cfg)
     cos, sin = qwen2.positions_cos_sin(jnp.asarray(pos3, jnp.int32), cfg)

@@ -160,6 +160,78 @@ class TestQwen2VLViTVsHF:
         assert isinstance(text, str) and len(text) > 0
 
 
+def make_hf_qwen25vl_tower():
+    from transformers import Qwen2_5_VLConfig
+    from transformers.models.qwen2_5_vl.modeling_qwen2_5_vl import (
+        Qwen2_5_VisionTransformerPretrainedModel,
+    )
+
+    from framefusion_tpu.models.vision import qwen25_vl_vit as vit25
+
+    vc = Qwen2_5_VLConfig(vision_config=dict(
+        depth=3, hidden_size=64, num_heads=4, intermediate_size=96, patch_size=7,
+        temporal_patch_size=2, spatial_merge_size=2, window_size=28,
+        fullatt_block_indexes=[1], out_hidden_size=32, in_channels=3,
+    )).vision_config
+    vc._attn_implementation = "eager"
+    torch.manual_seed(0)
+    tower = Qwen2_5_VisionTransformerPretrainedModel._from_config(vc).eval()
+    cfg = vit25.tiny_qwen25vl_vit_config()
+    params = vit25.params_from_hf(tower.state_dict(), cfg, prefix="")
+    return tower, params, cfg
+
+
+class TestQwen25VLViTVsHF:
+    """Qwen2.5-VL tower (the stretch config's family): window-permuted
+    attention with full-attention blocks at fullatt_block_indexes, RMSNorm,
+    SwiGLU, and the inverse-permuted PatchMerger output — vs HF."""
+
+    @pytest.mark.parametrize("shape,grid", [
+        ((4, 28, 28, 3), (2, 4, 4)),   # exact windows
+        ((6, 42, 56, 3), (3, 6, 8)),   # partial windows at both edges
+    ])
+    def test_features_match_hf(self, shape, grid):
+        from framefusion_tpu.models.vision import qwen25_vl_vit as vit25
+        from framefusion_tpu.models.vision.qwen2_vl_vit import pixels_to_patches
+
+        tower, params, cfg = make_hf_qwen25vl_tower()
+        rng = np.random.default_rng(shape[0])
+        frames = rng.standard_normal(shape).astype(np.float32)
+        patches, (gt, gh, gw) = pixels_to_patches(frames, cfg)
+        assert (gt, gh, gw) == grid
+        with torch.no_grad():
+            hf = tower(torch.tensor(patches), grid_thw=torch.tensor([[gt, gh, gw]])).numpy()
+        ours = np.asarray(vit25.encode_video(params, jnp.asarray(patches), gt, gh, gw, cfg))
+        np.testing.assert_allclose(ours, hf, rtol=3e-4, atol=3e-4)
+
+    def test_pixels_to_answer_through_pipeline(self):
+        import jax
+
+        from framefusion_tpu.config import tiny_llm_config
+        from framefusion_tpu.interface import FrameFusionModel, apply_framefusion
+        from framefusion_tpu.models import qwen2
+        from framefusion_tpu.pipeline import TextPipeline
+        from test_pipeline import StubTokenizer
+
+        _, vparams, vcfg = make_hf_qwen25vl_tower()
+        llm_cfg = tiny_llm_config(num_layers=3, hidden_size=32, num_heads=4,
+                                  intermediate_size=64).replace(mrope_section=(1, 2, 1))
+        params = qwen2.init_params(llm_cfg, jax.random.PRNGKey(0))
+        m = apply_framefusion(
+            FrameFusionModel(family="qwen2_vl", cfg=llm_cfg, params=params,
+                             attn_impl="einsum"),
+            cost=0.6, similarity_lower_bound=0.9, ratio_lower_bound=0.05,
+        )
+        pipe = TextPipeline(model=m, tokenizer=StubTokenizer(),
+                            vit_params=vparams, vit_cfg=vcfg)
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+        frames = np.concatenate([base + 0.01 * rng.standard_normal(base.shape)
+                                 for _ in range(4)])
+        text = pipe.ask("what happens?", frames=frames, max_new_tokens=3)
+        assert isinstance(text, str) and len(text) > 0
+
+
 def make_hf_internvl_model():
     """Tiny HF-format InternVLModel (InternViT tower + pixel-shuffle
     projector + a 1-layer Qwen2 text stack we ignore)."""
