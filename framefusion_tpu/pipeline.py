@@ -102,6 +102,10 @@ class TextPipeline:
                                                frames=frames)
         if self.model.family == "internvl":
             return self._build_inputs_internvl(question, video_features, frames=frames)
+        if self.model.family == "minicpmv":
+            return self._build_inputs_minicpmv(question, video_features, frames=frames)
+        if self.model.family == "nvila":
+            return self._build_inputs_nvila(question, video_features, frames=frames)
         prompt = self._render_prompt(
             f"{self.image_token}\n", question,
             self._template().format(question=question),
@@ -214,6 +218,86 @@ class TextPipeline:
         embeds = np.concatenate(embeds_parts, axis=0)
         image_mask = np.concatenate(mask_parts)
         return internvl.build_prefill_inputs(embeds, image_mask, tokens_per_frame=tpf)
+
+    def _build_inputs_minicpmv(self, question: str, video_features, frames=None):
+        """MiniCPM-V: per-frame 64-token resampled blocks scattered at the
+        image bounds (reference modeling_minicpmv.py:80-88 scatter +
+        :90-107 bound-derived geometry). Raw ``frames`` run through the
+        in-repo SigLIP + perceiver resampler
+        (models/vision/minicpmv_frontend); ``video_features`` may be
+        (n_frames, tokens_per_frame, D) precomputed."""
+        from .models.adapters import minicpmv
+
+        if video_features is None:
+            from .models.vision.minicpmv_frontend import encode_video
+
+            assert frames is not None and self.vit_params is not None and self.projector, (
+                "minicpmv needs frames + SigLIP (vit_params/vit_cfg) + a "
+                "resampler in projector={'params', 'cfg'}, or precomputed "
+                "(n_frames, tokens_per_frame, D) video_features"
+            )
+            video_features = np.asarray(encode_video(
+                self.vit_params, self.vit_cfg,
+                self.projector["params"], self.projector["cfg"],
+                jnp.asarray(np.asarray(frames, np.float32)),
+            ))
+        feats = np.asarray(video_features, np.float32)
+        assert feats.ndim == 3, "minicpmv expects (n_frames, tokens_per_frame, D)"
+        n_frames, tpf, _ = feats.shape
+        prompt = self._render_prompt(f"{self.image_token}\n", question,
+                                     self._template().format(question=question))
+        before, _, after = prompt.partition(self.image_token)
+        emb_before = self._embed_ids(list(self.tokenizer.encode(before)))
+        emb_after = self._embed_ids(list(self.tokenizer.encode(after)))
+        # 2 text separator slots per frame — the ``(<image>./</image>)\n``
+        # suffix tokens whose distance the adapter's token_per_frame
+        # includes (reference modeling_minicpmv.py:95-98).
+        sep = self._embed_ids((list(self.tokenizer.encode(")\n")) + [0, 0])[:2])
+        chunks, bounds, cursor = [emb_before], [], emb_before.shape[0]
+        for f in range(n_frames):
+            chunks.append(feats[f])
+            bounds.append([cursor, cursor + tpf])
+            chunks.append(sep)
+            cursor += tpf + 2
+        chunks.append(emb_after)
+        embeds = np.concatenate(chunks)
+        return minicpmv.build_prefill_inputs(embeds, np.asarray(bounds),
+                                             num_frames=n_frames)
+
+    def _build_inputs_nvila(self, question: str, video_features, frames=None):
+        """NVILA: one contiguous media block at the placeholder (reference
+        llava_arch.py:85-104). Raw ``frames`` run through SigLIP + the VILA
+        mlp_downsample connector (models/vision/nvila_frontend)."""
+        from .models.adapters import nvila
+
+        if video_features is None:
+            from .models.vision.nvila_frontend import encode_video
+
+            assert frames is not None and self.vit_params is not None and self.projector, (
+                "nvila needs frames + SigLIP (vit_params/vit_cfg) + a "
+                "projector in projector={'params', 'cfg'}, or precomputed "
+                "(n_frames * patch_num, D) video_features"
+            )
+            frames = np.asarray(frames, np.float32)
+            video_features = np.asarray(encode_video(
+                self.vit_params, self.vit_cfg,
+                self.projector["params"], self.projector["cfg"],
+                jnp.asarray(frames),
+            ))
+            n_frames = frames.shape[0]
+        else:
+            n_frames = getattr(self, "nvila_num_frames", None)
+            assert n_frames, "set pipeline.nvila_num_frames with precomputed features"
+        prompt = self._render_prompt(f"{self.image_token}\n", question,
+                                     self._template().format(question=question))
+        before, _, after = prompt.partition(self.image_token)
+        ids_before = list(self.tokenizer.encode(before))
+        ids_after = list(self.tokenizer.encode(after))
+        text_embeds = self._embed_ids(ids_before + [0] + ids_after)
+        return nvila.build_prefill_inputs_video(
+            text_embeds, np.asarray(video_features, np.float32),
+            media_token_pos=len(ids_before), num_frames=n_frames,
+        )
 
     def ask(self, question: str, frames=None, video_features=None,
             max_new_tokens: int = 64, eos_token_id: Optional[int] = None,

@@ -374,3 +374,116 @@ class TestLlavaFrontend:
         assert res.telemetry.vision_token_reduction > 0.3
         toks_out = engine.generate_greedy(res, max_new_tokens=3)
         assert len(toks_out) == 3
+
+
+class TestMiniCPMVFrontend:
+    """SigLIP + perceiver resampler (no offline oracle — the MiniCPM remote
+    package isn't importable; behavioral pins only, see module docstring)."""
+
+    def test_resampler_shapes_and_pos_sensitivity(self):
+        import jax
+
+        from framefusion_tpu.models.vision import minicpmv_frontend as mf
+
+        cfg = mf.tiny_resampler_config()
+        params = mf.init_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        feats = jnp.asarray(rng.standard_normal((2, 16, cfg.kv_dim)) * 0.1, jnp.float32)
+        out = mf.resample(params, feats, 4, 4, cfg)
+        assert out.shape == (2, cfg.num_queries, cfg.embed_dim)
+        # permuting the patch order must CHANGE the output (2D sincos key
+        # positions break permutation invariance of plain cross-attention)
+        perm = rng.permutation(16)
+        out_p = mf.resample(params, feats[:, perm], 4, 4, cfg)
+        assert not np.allclose(np.asarray(out), np.asarray(out_p), atol=1e-5)
+
+    def test_sincos_embed_properties(self):
+        from framefusion_tpu.models.vision.minicpmv_frontend import sincos_pos_embed_2d
+
+        e = sincos_pos_embed_2d(3, 5, 64)
+        assert e.shape == (15, 64)
+        # row-coordinate half identical within a row, column half within a column
+        grid = e.reshape(3, 5, 64)
+        np.testing.assert_allclose(grid[1, 0, :32], grid[1, 3, :32], atol=1e-7)
+        np.testing.assert_allclose(grid[0, 2, 32:], grid[2, 2, 32:], atol=1e-7)
+
+    def test_pixels_to_answer_through_pipeline(self):
+        import jax
+
+        from framefusion_tpu.config import tiny_llm_config
+        from framefusion_tpu.interface import FrameFusionModel, apply_framefusion
+        from framefusion_tpu.models import qwen2
+        from framefusion_tpu.models.vision import minicpmv_frontend as mf
+        from framefusion_tpu.pipeline import TextPipeline
+        from test_pipeline import StubTokenizer
+
+        llm_cfg = tiny_llm_config(num_layers=3)
+        params = qwen2.init_params(llm_cfg, jax.random.PRNGKey(0))
+        vit_cfg = siglip.tiny_vit_config()
+        vit = siglip.init_params(vit_cfg, jax.random.PRNGKey(1))
+        rcfg = mf.tiny_resampler_config(embed_dim=llm_cfg.hidden_size,
+                                        kv_dim=vit_cfg.hidden_size, num_heads=4)
+        rparams = mf.init_params(rcfg, jax.random.PRNGKey(2))
+
+        m = apply_framefusion(
+            FrameFusionModel(family="minicpmv", cfg=llm_cfg, params=params,
+                             attn_impl="einsum"),
+            cost=0.6, similarity_lower_bound=0.9, ratio_lower_bound=0.05,
+        )
+        pipe = TextPipeline(model=m, tokenizer=StubTokenizer(), vit_params=vit,
+                            vit_cfg=vit_cfg,
+                            projector={"params": rparams, "cfg": rcfg})
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+        frames = np.concatenate([base + 0.01 * rng.standard_normal(base.shape)
+                                 for _ in range(5)])
+        text = pipe.ask("what happens?", frames=frames, max_new_tokens=3)
+        assert isinstance(text, str) and len(text) > 0
+        # adapter geometry: patch_num = resampled tokens + 2 separators
+        assert pipe.last_result.telemetry is not None
+
+
+class TestNvilaFrontend:
+    def test_space_to_channel_layout(self):
+        from framefusion_tpu.models.vision.nvila_frontend import space_to_channel
+
+        feats = jnp.arange(2 * 16 * 3, dtype=jnp.float32).reshape(2, 16, 3)
+        out = space_to_channel(feats, 4, 2)
+        assert out.shape == (2, 4, 12)
+        # first output token = rows 0-1 x cols 0-1 of the 4x4 grid,
+        # row-major within the block
+        want = jnp.concatenate([feats[0, 0], feats[0, 1], feats[0, 4], feats[0, 5]])
+        np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(want))
+
+    def test_pixels_to_answer_through_pipeline(self):
+        import jax
+
+        from framefusion_tpu.config import tiny_llm_config
+        from framefusion_tpu.interface import FrameFusionModel, apply_framefusion
+        from framefusion_tpu.models import qwen2
+        from framefusion_tpu.models.vision import nvila_frontend as nf
+        from framefusion_tpu.pipeline import TextPipeline
+        from test_pipeline import StubTokenizer
+
+        llm_cfg = tiny_llm_config(num_layers=3)
+        params = qwen2.init_params(llm_cfg, jax.random.PRNGKey(0))
+        vit_cfg = siglip.tiny_vit_config()  # 4 patches/side -> pooled 2x2
+        vit = siglip.init_params(vit_cfg, jax.random.PRNGKey(1))
+        pcfg = nf.NvilaProjectorConfig(vision_dim=vit_cfg.hidden_size,
+                                       llm_dim=llm_cfg.hidden_size)
+        proj = nf.init_projector(pcfg, jax.random.PRNGKey(2))
+
+        m = apply_framefusion(
+            FrameFusionModel(family="nvila", cfg=llm_cfg, params=params,
+                             attn_impl="einsum"),
+            cost=0.6, similarity_lower_bound=0.9, ratio_lower_bound=0.05,
+        )
+        pipe = TextPipeline(model=m, tokenizer=StubTokenizer(), vit_params=vit,
+                            vit_cfg=vit_cfg, projector={"params": proj, "cfg": pcfg})
+        rng = np.random.default_rng(3)
+        base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+        frames = np.concatenate([base + 0.01 * rng.standard_normal(base.shape)
+                                 for _ in range(6)])
+        text = pipe.ask("what happens?", frames=frames, max_new_tokens=3)
+        assert isinstance(text, str) and len(text) > 0
+        assert pipe.last_result.telemetry.original_length > 6 * 4
