@@ -646,7 +646,7 @@ def flash_causal_attention_importance(
     if g > 1 and s <= GROUPED_MAX_S:
         # Grouped-multi regime (same thresholds as flash_causal_attention):
         # ~45x fewer grid steps than the per-qhead grid at the phase buckets.
-        bq = 512 if s <= 4096 else 1024
+        bq = 512
         bk = min(block_k, 512)
         pad = (-s) % max(bq, bk)
         if pad:
@@ -789,12 +789,12 @@ def flash_causal_attention(q, k, v, key_valid=None, block_q: int = 256, block_k:
         # sub-block loops INSIDE the kernel (_flash_kernel_grouped_multi) —
         # K/V stay VMEM-resident across a large query block, score tiles stay
         # (sub_q, block_k) so VMEM never blows up. Measured (kernel_bench,
-        # v5e): S=3456 1.0-1.2 ms (~75 TF/s, was 1.9); S=6656 ~4.2 ms.
-        # Above ~8k keys the per-qhead path's bigger parallel grid wins
-        # (83 TF/s at S=11776). bq=1792 is VMEM-borderline at sp=7168
-        # (19.3M scoped, compiles or not depending on context) — bq=1024
-        # keeps ~3 MB of margin.
-        bq = 512 if sp <= 4096 else 1024
+        # v5e): S=3456 1.1-1.3 ms; S=6656 4.16 ms at bq=512 vs 4.96 at
+        # bq=1024 (within-process, r3 sweep) — one bq tier for the whole
+        # range. Above 8k keys the blocked-grouped kernel wins (84.6 TF/s
+        # at S=11776); bq=1792 is VMEM-borderline at sp=7168 (19.3M scoped,
+        # compiles or not depending on context).
+        bq = 512
         pad2 = (-sp) % bq
         if pad2:
             q = jnp.pad(q, ((0, pad2), (0, 0), (0, 0)))
