@@ -87,6 +87,18 @@ def plan_length(orig_len: int, image_len: int, ff: FrameFusionConfig, assumed_ev
     return bucket_length(orig_len - image_len + math.ceil(image_len * d_max), ff.bucket)
 
 
+def plan_length_analytic(orig_len: int, frame_token_num: int, ff: FrameFusionConfig,
+                         expected_reduction: float = 0.45) -> int:
+    """Static bucket for the FINAL compacted state when no history exists.
+    At the default knobs the merge+prune trajectory removes ~70% of the
+    vision tokens (README headline); ``expected_reduction`` is deliberately
+    conservative — an under-compressing prompt overflows the bucket and
+    falls back to the adaptive executor (correct, just slower), it never
+    truncates. Tighter than the old plan==pre_plan default, whose tail ran
+    at the post-first-merge bucket (~3x the compute at 64f)."""
+    return bucket_length(orig_len - int(expected_reduction * frame_token_num), ff.bucket)
+
+
 def pre_plan_length(orig_len: int, frame_token_num: int, ff: FrameFusionConfig,
                     expected_first_merge: float = 0.25) -> int:
     """Static bucket for the post-first-merge state in two-stage planned
@@ -1240,6 +1252,8 @@ class CompressionEngine:
                 plan_source = "history"
             else:
                 pre_plan_len = pre_plan_length(orig_len, frame_tok0, ff)
+                if plan_was_none:
+                    plan_len = plan_length_analytic(orig_len, frame_tok0, ff)
                 plan_source = "analytic"
 
         max_events = ff.schedule_num_layers
