@@ -493,9 +493,50 @@ def check_kernels() -> int:
     return len(failures)
 
 
+def bench_quant():
+    """Is the int8 MXU path reachable from XLA on this chip? v5e quotes
+    ~394 TOPS int8 vs ~197 TFLOPS bf16; if int8 x int8 -> int32 matmuls run
+    ~2x, a W8A8 tail (activations quantized per row AFTER all compression
+    decisions) is the next planned-prefill lever."""
+    rng = np.random.default_rng(0)
+    m, k, n = 3328, 3584, 18944
+    x_bf = jnp.asarray(rng.standard_normal((m, k)) * 0.1, jnp.bfloat16)
+    w_bf = jnp.asarray(rng.standard_normal((k, n)) * 0.1, jnp.bfloat16)
+    x_i8 = jnp.asarray(rng.integers(-127, 127, (m, k)), jnp.int8)
+    w_i8 = jnp.asarray(rng.integers(-127, 127, (k, n)), jnp.int8)
+    sx = jnp.asarray(rng.random((m, 1)) + 0.5, jnp.float32)
+    sw = jnp.asarray(rng.random((1, n)) + 0.5, jnp.float32)
+    fl = 2 * m * k * n
+
+    @jax.jit
+    def f_bf(x, w):
+        return jnp.dot(x, w, preferred_element_type=jnp.float32)
+
+    @jax.jit
+    def f_i8(x, w):
+        return jnp.dot(x, w, preferred_element_type=jnp.int32)
+
+    @jax.jit
+    def f_w8a8(x, w, sx, sw):
+        # full W8A8 epilogue: int32 accum -> fp32 descale -> bf16
+        acc = jnp.dot(x, w, preferred_element_type=jnp.int32)
+        return (acc.astype(jnp.float32) * sx * sw).astype(jnp.bfloat16)
+
+    for name, fn in [
+        ("bf16 x bf16 -> f32", lambda: f_bf(x_bf, w_bf)),
+        ("int8 x int8 -> i32", lambda: f_i8(x_i8, w_i8)),
+        ("W8A8 + descale epilogue", lambda: f_w8a8(x_i8, w_i8, sx, sw)),
+    ]:
+        try:
+            t = timeit(fn)
+            print(f"  {name:26s}: {t*1e3:7.3f} ms  {fl/t/1e12:6.1f} T(FL)OP/s")
+        except Exception as e:  # noqa: BLE001
+            print(f"  {name:26s}: {type(e).__name__}: {str(e)[:100]}")
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="all", choices=["attn", "engine", "all"])
+    ap.add_argument("--what", default="all", choices=["attn", "engine", "quant", "all"])
     ap.add_argument("--check", action="store_true",
                     help="compile-and-verify every kernel dispatch regime; "
                          "non-zero exit on mismatch or compile failure")
@@ -505,6 +546,8 @@ def main():
         raise SystemExit(check_kernels())
     if args.what in ("attn", "all"):
         bench_attention()
+    if args.what in ("quant", "all"):
+        bench_quant()
     if args.what in ("engine", "all"):
         bench_engine()
 
