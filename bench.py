@@ -376,6 +376,31 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                             max(ff_e2e_q * 1e3 - ff_best * 1e3, 0.0)
                             / max(e2e_tokens - 1, 1), 1),
                     })
+
+                # W8A8 tail (int8 activations x int8 weights on the MXU,
+                # ~341 TOP/s vs ~185 TF/s bf16 — kernel_bench --what quant):
+                # every compression decision precedes the tail, so only the
+                # logits shift; reported in detail (the headline stays the
+                # bf16 serving config, like the reference's).
+                engine_w8 = CompressionEngine(nonlocal_params, cfg, ff,
+                                              attn_impl=attn_impl, tail_w8a8=True)
+
+                def run_ff_w8a8(hh):
+                    return engine_w8.prefill_planned(
+                        hh, patch_type, pos, patch_num=182,
+                        image_token_start=img_start, image_token_length=n_img,
+                        plan_len=plan, pre_plan_len=pre_plan)
+
+                w8a8_t, res_w8 = timed(run_ff_w8a8, min(reps, 3))
+                ev_w8 = [(e.layer, e.kind, e.tokens_removed) for e in res_w8.telemetry.events]
+                detail.update({
+                    "framefusion_planned_w8a8_ms": round(w8a8_t * 1e3, 1),
+                    "w8a8_events_match": [list(e) for e in ev_w8] == [list(e) for e in detail["events"]],
+                    "w8a8_speedup_vs_logits_only": round(dense_logits_t / w8a8_t, 3),
+                    "w8a8_speedup_vs_dense": round(dense_t / w8a8_t, 3),
+                })
+                del res_w8
+                gc.collect()
         except Exception as e:  # noqa: BLE001 — e2e is best-effort
             detail["e2e_error"] = f"{type(e).__name__}: {str(e)[:200]}"
             gc.collect()

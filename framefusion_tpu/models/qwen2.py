@@ -88,24 +88,39 @@ def positions_cos_sin(position_ids: jnp.ndarray, cfg: LLMConfig):
     return rope_cos_sin(position_ids, cfg.head_dim_, cfg.rope_theta)
 
 
-def mm(x: jnp.ndarray, w) -> jnp.ndarray:
+def mm(x: jnp.ndarray, w, w8a8: bool = False) -> jnp.ndarray:
     """x @ w, where ``w`` is a dense (K, O) array or an int8 weight-only
     quant pair {"q8": int8 (K, O), "scale": f32 (O,)} (ops/quant.py). The
     per-output-channel scale factors out of the contraction exactly; the
     int8->compute-dtype convert fuses into the matmul tiles, so HBM reads
-    stay int8."""
+    stay int8.
+
+    ``w8a8=True`` (requires quantized ``w``) additionally quantizes the
+    ACTIVATIONS per row (symmetric int8, dynamic scale = rowmax/127) and
+    runs the contraction int8 x int8 -> int32 — the v5e MXU's int8 path
+    measures ~341 TOP/s vs ~185 TF/s bf16 (kernel_bench --what quant), so
+    compute-bound matmuls run ~1.5x faster after the descale epilogue. The
+    engine enables this only for the post-compression TAIL, where every
+    merge/prune decision is already made — quantization error perturbs
+    logits (reported by bench first_token_kl/top1), never decisions."""
     if isinstance(w, dict):
+        if w8a8:
+            s_x = jnp.max(jnp.abs(x).astype(jnp.float32), axis=-1, keepdims=True) / 127.0
+            s_x = jnp.maximum(s_x, 1e-12)
+            x_q = jnp.clip(jnp.round(x.astype(jnp.float32) / s_x), -127, 127).astype(jnp.int8)
+            acc = jnp.dot(x_q, w["q8"], preferred_element_type=jnp.int32)
+            return (acc.astype(jnp.float32) * s_x * w["scale"]).astype(x.dtype)
         y = jnp.dot(x, w["q8"].astype(x.dtype), preferred_element_type=jnp.float32)
         return (y * w["scale"]).astype(x.dtype)
     return x @ w
 
 
-def _project_qkv(lp: dict, x: jnp.ndarray, cfg: LLMConfig):
+def _project_qkv(lp: dict, x: jnp.ndarray, cfg: LLMConfig, w8a8: bool = False):
     s = x.shape[0]
     hd = cfg.head_dim_
-    q = mm(x, lp["wq"])
-    k = mm(x, lp["wk"])
-    v = mm(x, lp["wv"])
+    q = mm(x, lp["wq"], w8a8)
+    k = mm(x, lp["wk"], w8a8)
+    v = mm(x, lp["wv"], w8a8)
     if cfg.qkv_bias:
         q = q + lp["bq"]
         k = k + lp["bk"]
@@ -128,6 +143,7 @@ def layer_attention(
     capture_num: int = 0,
     valid_len=None,
     key_valid=None,
+    w8a8: bool = False,
 ):
     """Pre-norm attention block with residual.
 
@@ -142,13 +158,13 @@ def layer_attention(
     ``key_valid`` masks dead keys in the mask-only fused compression phase.
     """
     x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
-    q, k, v = _project_qkv(lp, x, cfg)
+    q, k, v = _project_qkv(lp, x, cfg, w8a8)
     q, k = apply_rope(q, k, cos, sin)
     attn, importance = attention_kernel_dispatch(
         q, k, v, attn_impl, capture_num, valid_len, key_valid
     )
     s = h.shape[0]
-    h_out = h + mm(attn.reshape(s, -1), lp["wo"])
+    h_out = h + mm(attn.reshape(s, -1), lp["wo"], w8a8)
     return h_out, k, v, importance
 
 
@@ -178,10 +194,10 @@ def attention_kernel_dispatch(q, k, v, attn_impl, capture_num, valid_len, key_va
     return attn, importance
 
 
-def layer_mlp(lp: dict, h: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
+def layer_mlp(lp: dict, h: jnp.ndarray, cfg: LLMConfig, w8a8: bool = False) -> jnp.ndarray:
     x = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
-    gated = jax.nn.silu(mm(x, lp["w_gate"])) * mm(x, lp["w_up"])
-    return h + mm(gated, lp["w_down"])
+    gated = jax.nn.silu(mm(x, lp["w_gate"], w8a8)) * mm(x, lp["w_up"], w8a8)
+    return h + mm(gated, lp["w_down"], w8a8)
 
 
 def embed(params: dict, input_ids: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
@@ -210,6 +226,7 @@ def run_layers(
     stop_layer=None,
     attn_impl: str = "chunked",
     want_caches: bool = True,
+    w8a8: bool = False,
 ):
     """Run layers [start_layer, stop_layer) over ``h``; returns (h, k_all, v_all).
 
@@ -230,8 +247,8 @@ def run_layers(
     if not want_caches:
         def body_h(l, h):
             lp = layer_slice(params["layers"], l)
-            h, _, _, _ = layer_attention(lp, h, cos, sin, cfg, attn_impl=attn_impl)
-            return layer_mlp(lp, h, cfg)
+            h, _, _, _ = layer_attention(lp, h, cos, sin, cfg, attn_impl=attn_impl, w8a8=w8a8)
+            return layer_mlp(lp, h, cfg, w8a8)
 
         h = jax.lax.fori_loop(start_layer, stop_layer, body_h, h)
         return h, None, None
@@ -242,8 +259,8 @@ def run_layers(
     def body(l, carry):
         h, k_all, v_all = carry
         lp = layer_slice(params["layers"], l)
-        h, k, v, _ = layer_attention(lp, h, cos, sin, cfg, attn_impl=attn_impl)
-        h = layer_mlp(lp, h, cfg)
+        h, k, v, _ = layer_attention(lp, h, cos, sin, cfg, attn_impl=attn_impl, w8a8=w8a8)
+        h = layer_mlp(lp, h, cfg, w8a8)
         k_all = jax.lax.dynamic_update_index_in_dim(k_all, k.astype(cfg.dtype), l, 0)
         v_all = jax.lax.dynamic_update_index_in_dim(v_all, v.astype(cfg.dtype), l, 0)
         return h, k_all, v_all

@@ -197,11 +197,11 @@ def _mlp_program(params, layer_idx, h, *, cfg: LLMConfig):
     return qwen2.layer_mlp(lp, h, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
-def _tail_program(params, start_layer, h, pos_tok, valid_len, *, cfg: LLMConfig, attn_impl: str):
+@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "w8a8"))
+def _tail_program(params, start_layer, h, pos_tok, valid_len, *, cfg: LLMConfig, attn_impl: str, w8a8: bool = False):
     cos, sin = qwen2.positions_cos_sin(_pos_axes(pos_tok), cfg)
     h, k_all, v_all = qwen2.run_layers(
-        params, h, cos, sin, cfg, start_layer=start_layer, attn_impl=attn_impl
+        params, h, cos, sin, cfg, start_layer=start_layer, attn_impl=attn_impl, w8a8=w8a8
     )
     last = jax.lax.dynamic_slice_in_dim(h, valid_len - 1, 1, axis=0)
     logits = qwen2.final_logits(params, last, cfg)[0]
@@ -884,6 +884,7 @@ class CompressionEngine:
         attn_impl: str = "chunked",
         pool_layers: int = 8,
         compact_pre_event: bool = False,
+        tail_w8a8: bool = False,
     ):
         self.params = params
         self.cfg = cfg
@@ -907,6 +908,12 @@ class CompressionEngine:
         # bucket selection for later same-geometry prompts (plan_source
         # "history").
         self.plan_history = PlanHistory()
+        # W8A8 tail: run the post-compression tail's matmuls int8 x int8 on
+        # the MXU (~1.5x at v5e; models/qwen2.mm docstring). Requires
+        # int8-quantized params (ops/quant.quantize_params_int8); every
+        # merge/prune decision happens BEFORE the tail, so this perturbs
+        # logits only (solo executors; the batched tail stays weight-only).
+        self.tail_w8a8 = tail_w8a8
 
     # -- prefill -----------------------------------------------------------
 
@@ -1156,7 +1163,7 @@ class CompressionEngine:
         )
         logits, k_tail, v_tail = _tail_program(
             self.params, jnp.int32(layer_end), h2, pos2, jnp.int32(n_live_final),
-            cfg=cfg, attn_impl=self.attn_impl,
+            cfg=cfg, attn_impl=self.attn_impl, w8a8=self.tail_w8a8,
         )
 
         # Per-layer cache lengths come from the event log (no extra sync):
@@ -1319,7 +1326,7 @@ class CompressionEngine:
         )
         logits, k_tail, v_tail = _tail_program(
             self.params, st["layer"], h2, pos2, st["n_live"],
-            cfg=cfg, attn_impl=self.attn_impl,
+            cfg=cfg, attn_impl=self.attn_impl, w8a8=self.tail_w8a8,
         )
 
         # Post-hoc control reads (telemetry + cache bookkeeping), off the
@@ -1719,7 +1726,7 @@ class CompressionEngine:
         # Tail: every remaining layer at the final bucket, one program.
         logits, k_tail, v_tail = _tail_program(
             self.params, jnp.int32(layer), h, pos_tok, jnp.int32(valid),
-            cfg=cfg, attn_impl=self.attn_impl,
+            cfg=cfg, attn_impl=self.attn_impl, w8a8=self.tail_w8a8,
         )
         for j in range(layer, cfg.num_layers):
             layer_caches[j] = (k_tail[j], v_tail[j], valid)

@@ -83,3 +83,58 @@ class TestQuantizedEngine:
         res = engine.prefill(h, pt, pos, 6, img_start, n_img)
         toks = engine.generate_greedy(res, max_new_tokens=4)
         assert len(toks) == 4
+
+
+class TestW8A8Tail:
+    """W8A8 (int8 activations x int8 weights) for the post-compression tail:
+    decisions are made before the tail, so event trajectories must be
+    IDENTICAL to the weight-only int8 run; logits shift only by activation
+    quantization error."""
+
+    def test_mm_w8a8_matches_manual(self):
+        rng = np.random.default_rng(2)
+        x = jnp.asarray(rng.standard_normal((8, 64)), jnp.float32)
+        w = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32) * 0.1
+        wq = quantize_weight(w.copy())
+        got = qwen2.mm(x, wq, True)
+        # manual: per-row activation quant, int32 accumulate, descale
+        s_x = np.max(np.abs(np.asarray(x)), axis=-1, keepdims=True) / 127.0
+        x_q = np.clip(np.round(np.asarray(x) / s_x), -127, 127).astype(np.int32)
+        acc = x_q @ np.asarray(wq["q8"], np.int32)
+        want = acc.astype(np.float32) * s_x * np.asarray(wq["scale"])
+        np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-5)
+        # and close to the exact product (bounded quantization error)
+        exact = np.asarray(x) @ np.asarray(w)
+        assert np.max(np.abs(np.asarray(got) - exact)) < 0.05
+
+    def test_tail_w8a8_same_decisions_close_logits(self):
+        cfg = tiny_llm_config(num_layers=6)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+        params_q = quantize_params_int8(jax.tree.map(jnp.array, params))
+        ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75,
+                               ratio_lower_bound=0.05, schedule_num_layers=6, bucket=32)
+        # coherent=0.5 -> multi-layer event trajectory, so a real phase
+        # precedes the tail (tail_start > 0)
+        h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.5)
+
+        e_wo = CompressionEngine(params_q, cfg, ff, attn_impl="einsum")
+        e_w8 = CompressionEngine(params_q, cfg, ff, attn_impl="einsum", tail_w8a8=True)
+        for mode in ("fused", "planned", "segmented"):
+            r_wo = e_wo.prefill(h, pt, pos, 6, img_start, n_img, mode=mode)
+            r_w8 = e_w8.prefill(h, pt, pos, 6, img_start, n_img, mode=mode)
+            assert [(e.layer, e.kind, e.tokens_removed) for e in r_w8.telemetry.events] == \
+                   [(e.layer, e.kind, e.tokens_removed) for e in r_wo.telemetry.events], mode
+            assert r_w8.valid_len == r_wo.valid_len, mode
+            lo, l8 = np.asarray(r_wo.logits), np.asarray(r_w8.logits)
+            # activations stay bounded at this scale; w8a8 error is small
+            assert np.max(np.abs(lo - l8)) < 0.35 * max(np.max(np.abs(lo)), 1.0), mode
+            # PHASE-layer caches (before the tail) are untouched by the tail
+            # dtype — the w8a8 region starts at tail_start_layer.
+            ts = r_wo.telemetry.tail_start_layer
+            assert ts and ts > 0, "want a real phase for this check"
+            for l in range(ts):
+                np.testing.assert_allclose(
+                    np.asarray(r_w8.layer_caches[l][0]),
+                    np.asarray(r_wo.layer_caches[l][0]), rtol=1e-6, atol=1e-6,
+                    err_msg=f"{mode} layer {l}",
+                )
