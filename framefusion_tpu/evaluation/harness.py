@@ -115,7 +115,10 @@ class LmmsEvalAdapter:
                 eos_token_id=getattr(self.tokenizer, "eos_token_id", None),
             )
             text = self.tokenizer.decode(tokens)
-            for stop in gen_kwargs.get("until") or []:
+            until = gen_kwargs.get("until") or []
+            if isinstance(until, str):  # the contract allows a bare string
+                until = [until]
+            for stop in until:
                 cut = text.find(stop)
                 if cut >= 0:
                     text = text[:cut]

@@ -34,12 +34,15 @@ def mrope_position_ids(
     produced by HF ``Qwen2VLModel.get_rope_index`` for one video.
 
     ``second_per_grid_ts`` switches to Qwen2.5-VL temporal spacing
-    (HF ``Qwen2_5_VLModel.get_rope_index``): the temporal stream advances by
-    absolute video time, ``t_idx * second_per_grid_ts * tokens_per_second``,
-    rather than the frame index — h/w and the text resume rule unchanged.
-    Parity note: HF casts ``second_per_grid_ts`` to int64 BEFORE the
-    multiply (``torch.as_tensor(..., dtype=range_tensor.dtype)``), so
-    fractional seconds-per-grid truncate; replicated bit for bit.
+    (``Qwen2_5_VLModel.get_rope_index`` — beyond the reference repo, which
+    has no Qwen2.5 code; the oracle is the installed transformers, pinned
+    by tests/test_qwen2vl_vs_hf.py::test_qwen25_rope_index_matches_hf):
+    the temporal stream advances by absolute video time,
+    ``t_idx * second_per_grid_ts * tokens_per_second``, rather than the
+    frame index — h/w and the text resume rule unchanged. Oracle quirk
+    (transformers 4.57): ``second_per_grid_ts`` is cast to int64 BEFORE the
+    multiply, so fractional seconds-per-grid truncate; replicated to match
+    the testable oracle (real checkpoints ship integer-valued defaults).
     """
     h = grid_h // spatial_merge_size
     w = grid_w // spatial_merge_size

@@ -31,6 +31,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...weights import to_numpy
+
 
 @dataclasses.dataclass(frozen=True)
 class InternViTConfig:
@@ -124,18 +126,11 @@ def init_projector(cfg: InternViTConfig, key: jax.Array) -> dict:
 
 def params_from_hf(state_dict, cfg: InternViTConfig, prefix: str = "vision_tower."):
     """Import HF-format ``InternVLVisionModel`` weights (tower only)."""
-    def np_of(t):
-        if hasattr(t, "detach"):
-            t = t.detach()
-            if str(t.dtype) == "torch.bfloat16":
-                t = t.float()
-            return t.cpu().numpy()
-        return np.asarray(t)
 
     sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
 
     def stack(fmt, transpose=False):
-        arrs = [np_of(sd[fmt.format(i)]) for i in range(cfg.num_layers)]
+        arrs = [to_numpy(sd[fmt.format(i)]) for i in range(cfg.num_layers)]
         arrs = [a.T if transpose else a for a in arrs]
         return jnp.asarray(np.stack(arrs), cfg.dtype)
 
@@ -164,12 +159,12 @@ def params_from_hf(state_dict, cfg: InternViTConfig, prefix: str = "vision_tower
         layers["qnorm_w"] = stack("encoder.layer.{}.attention.q_norm.weight")
         layers["knorm_w"] = stack("encoder.layer.{}.attention.k_norm.weight")
     # HF conv kernel (D, 3, k, k) -> HWIO
-    kernel = np_of(sd["embeddings.patch_embeddings.projection.weight"]).transpose(2, 3, 1, 0)
+    kernel = to_numpy(sd["embeddings.patch_embeddings.projection.weight"]).transpose(2, 3, 1, 0)
     return {
         "patch_kernel": jnp.asarray(kernel, cfg.dtype),
-        "patch_bias": jnp.asarray(np_of(sd["embeddings.patch_embeddings.projection.bias"]), cfg.dtype),
-        "cls_token": jnp.asarray(np_of(sd["embeddings.cls_token"]).reshape(-1), cfg.dtype),
-        "pos_embed": jnp.asarray(np_of(sd["embeddings.position_embeddings"])[0], cfg.dtype),
+        "patch_bias": jnp.asarray(to_numpy(sd["embeddings.patch_embeddings.projection.bias"]), cfg.dtype),
+        "cls_token": jnp.asarray(to_numpy(sd["embeddings.cls_token"]).reshape(-1), cfg.dtype),
+        "pos_embed": jnp.asarray(to_numpy(sd["embeddings.position_embeddings"])[0], cfg.dtype),
         "layers": layers,
     }
 
@@ -179,30 +174,23 @@ def params_from_remote(state_dict, cfg: InternViTConfig, prefix: str = "vision_m
     what InternVL2_5-* checkpoints actually ship: fused ``attn.qkv``,
     ``ls1``/``ls2`` layer scales, ``embeddings.position_embedding``).
     Validated against the HF-format importer by renaming in tests."""
-    def np_of(t):
-        if hasattr(t, "detach"):
-            t = t.detach()
-            if str(t.dtype) == "torch.bfloat16":
-                t = t.float()
-            return t.cpu().numpy()
-        return np.asarray(t)
 
     sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
     d = cfg.hidden_size
 
     def stack(fmt, transpose=False):
-        arrs = [np_of(sd[fmt.format(i)]) for i in range(cfg.num_layers)]
+        arrs = [to_numpy(sd[fmt.format(i)]) for i in range(cfg.num_layers)]
         arrs = [a.T if transpose else a for a in arrs]
         return jnp.asarray(np.stack(arrs), cfg.dtype)
 
     wq, wk, wv, bq, bk, bv = [], [], [], [], [], []
     for i in range(cfg.num_layers):
-        fused = np_of(sd[f"encoder.layers.{i}.attn.qkv.weight"])  # (3D, D)
+        fused = to_numpy(sd[f"encoder.layers.{i}.attn.qkv.weight"])  # (3D, D)
         wq.append(fused[:d].T)
         wk.append(fused[d : 2 * d].T)
         wv.append(fused[2 * d :].T)
         if cfg.attention_bias:
-            fb = np_of(sd[f"encoder.layers.{i}.attn.qkv.bias"])
+            fb = to_numpy(sd[f"encoder.layers.{i}.attn.qkv.bias"])
             bq.append(fb[:d])
             bk.append(fb[d : 2 * d])
             bv.append(fb[2 * d :])
@@ -231,12 +219,12 @@ def params_from_remote(state_dict, cfg: InternViTConfig, prefix: str = "vision_m
     if cfg.use_qk_norm:
         layers["qnorm_w"] = stack("encoder.layers.{}.attn.q_norm.weight")
         layers["knorm_w"] = stack("encoder.layers.{}.attn.k_norm.weight")
-    kernel = np_of(sd["embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
+    kernel = to_numpy(sd["embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
     return {
         "patch_kernel": jnp.asarray(kernel, cfg.dtype),
-        "patch_bias": jnp.asarray(np_of(sd["embeddings.patch_embedding.bias"]), cfg.dtype),
-        "cls_token": jnp.asarray(np_of(sd["embeddings.class_embedding"]).reshape(-1), cfg.dtype),
-        "pos_embed": jnp.asarray(np_of(sd["embeddings.position_embedding"])[0], cfg.dtype),
+        "patch_bias": jnp.asarray(to_numpy(sd["embeddings.patch_embedding.bias"]), cfg.dtype),
+        "cls_token": jnp.asarray(to_numpy(sd["embeddings.class_embedding"]).reshape(-1), cfg.dtype),
+        "pos_embed": jnp.asarray(to_numpy(sd["embeddings.position_embedding"])[0], cfg.dtype),
         "layers": layers,
     }
 
@@ -245,36 +233,28 @@ def projector_from_remote(state_dict, cfg: InternViTConfig, prefix: str = "mlp1.
     """Hub-layout projector: ``mlp1`` = Sequential(LayerNorm, Linear, GELU,
     Linear) — the reference's ``extract_feature`` applies it after pixel
     shuffle (modeling_internvl_chat.py:19-33)."""
-    def np_of(t):
-        if hasattr(t, "detach"):
-            return t.detach().float().cpu().numpy()
-        return np.asarray(t)
 
     sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
     return {
-        "ln_w": jnp.asarray(np_of(sd["0.weight"]), cfg.dtype),
-        "ln_b": jnp.asarray(np_of(sd["0.bias"]), cfg.dtype),
-        "w1": jnp.asarray(np_of(sd["1.weight"]).T, cfg.dtype),
-        "b1": jnp.asarray(np_of(sd["1.bias"]), cfg.dtype),
-        "w2": jnp.asarray(np_of(sd["3.weight"]).T, cfg.dtype),
-        "b2": jnp.asarray(np_of(sd["3.bias"]), cfg.dtype),
+        "ln_w": jnp.asarray(to_numpy(sd["0.weight"]), cfg.dtype),
+        "ln_b": jnp.asarray(to_numpy(sd["0.bias"]), cfg.dtype),
+        "w1": jnp.asarray(to_numpy(sd["1.weight"]).T, cfg.dtype),
+        "b1": jnp.asarray(to_numpy(sd["1.bias"]), cfg.dtype),
+        "w2": jnp.asarray(to_numpy(sd["3.weight"]).T, cfg.dtype),
+        "b2": jnp.asarray(to_numpy(sd["3.bias"]), cfg.dtype),
     }
 
 
 def projector_from_hf(state_dict, cfg: InternViTConfig, prefix: str = "multi_modal_projector."):
-    def np_of(t):
-        if hasattr(t, "detach"):
-            return t.detach().float().cpu().numpy()
-        return np.asarray(t)
 
     sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
     return {
-        "ln_w": jnp.asarray(np_of(sd["layer_norm.weight"]), cfg.dtype),
-        "ln_b": jnp.asarray(np_of(sd["layer_norm.bias"]), cfg.dtype),
-        "w1": jnp.asarray(np_of(sd["linear_1.weight"]).T, cfg.dtype),
-        "b1": jnp.asarray(np_of(sd["linear_1.bias"]), cfg.dtype),
-        "w2": jnp.asarray(np_of(sd["linear_2.weight"]).T, cfg.dtype),
-        "b2": jnp.asarray(np_of(sd["linear_2.bias"]), cfg.dtype),
+        "ln_w": jnp.asarray(to_numpy(sd["layer_norm.weight"]), cfg.dtype),
+        "ln_b": jnp.asarray(to_numpy(sd["layer_norm.bias"]), cfg.dtype),
+        "w1": jnp.asarray(to_numpy(sd["linear_1.weight"]).T, cfg.dtype),
+        "b1": jnp.asarray(to_numpy(sd["linear_1.bias"]), cfg.dtype),
+        "w2": jnp.asarray(to_numpy(sd["linear_2.weight"]).T, cfg.dtype),
+        "b2": jnp.asarray(to_numpy(sd["linear_2.bias"]), cfg.dtype),
     }
 
 

@@ -83,6 +83,38 @@ def init_params(cfg: ResamplerConfig, key: jax.Array) -> dict:
     }
 
 
+def params_from_remote(state_dict, cfg: ResamplerConfig, prefix: str = "resampler."):
+    """Import the hub checkpoint layout (MiniCPM-V remote ``Resampler``):
+    fused ``attn.in_proj_*`` (torch MultiheadAttention packing q|k|v),
+    ``kv_proj`` (no bias), ``ln_q``/``ln_kv``/``ln_post``, the raw ``proj``
+    parameter matrix (applied as x @ proj) and the learned ``query``."""
+    from ...weights import to_numpy
+
+    sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
+    d = cfg.embed_dim
+    in_w = to_numpy(sd["attn.in_proj_weight"])  # (3D, D)
+    in_b = to_numpy(sd["attn.in_proj_bias"])
+    return {
+        "query": jnp.asarray(to_numpy(sd["query"]), cfg.dtype),
+        "w_kv": jnp.asarray(to_numpy(sd["kv_proj.weight"]).T, cfg.dtype),
+        "ln_q_w": jnp.asarray(to_numpy(sd["ln_q.weight"]), cfg.dtype),
+        "ln_q_b": jnp.asarray(to_numpy(sd["ln_q.bias"]), cfg.dtype),
+        "ln_kv_w": jnp.asarray(to_numpy(sd["ln_kv.weight"]), cfg.dtype),
+        "ln_kv_b": jnp.asarray(to_numpy(sd["ln_kv.bias"]), cfg.dtype),
+        "w_q": jnp.asarray(in_w[:d].T, cfg.dtype),
+        "b_q": jnp.asarray(in_b[:d], cfg.dtype),
+        "w_k": jnp.asarray(in_w[d:2 * d].T, cfg.dtype),
+        "b_k": jnp.asarray(in_b[d:2 * d], cfg.dtype),
+        "w_v": jnp.asarray(in_w[2 * d:].T, cfg.dtype),
+        "b_v": jnp.asarray(in_b[2 * d:], cfg.dtype),
+        "w_o": jnp.asarray(to_numpy(sd["attn.out_proj.weight"]).T, cfg.dtype),
+        "b_o": jnp.asarray(to_numpy(sd["attn.out_proj.bias"]), cfg.dtype),
+        "ln_post_w": jnp.asarray(to_numpy(sd["ln_post.weight"]), cfg.dtype),
+        "ln_post_b": jnp.asarray(to_numpy(sd["ln_post.bias"]), cfg.dtype),
+        "proj": jnp.asarray(to_numpy(sd["proj"]), cfg.dtype),
+    }
+
+
 def _layernorm(x, w, b, eps=1e-5):
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)

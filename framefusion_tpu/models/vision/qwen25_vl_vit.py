@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...weights import to_numpy
+
 
 @dataclasses.dataclass(frozen=True)
 class Qwen25VLViTConfig:
@@ -100,18 +102,11 @@ def init_params(cfg: Qwen25VLViTConfig, key: jax.Array) -> dict:
 
 
 def params_from_hf(state_dict, cfg: Qwen25VLViTConfig, prefix: str = "visual.") -> dict:
-    def np_of(t):
-        if hasattr(t, "detach"):
-            t = t.detach()
-            if str(t.dtype) == "torch.bfloat16":
-                t = t.float()
-            return t.cpu().numpy()
-        return np.asarray(t)
 
     sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
 
     def stack(fmt, transpose=False):
-        arrs = [np_of(sd[fmt.format(i)]) for i in range(cfg.depth)]
+        arrs = [to_numpy(sd[fmt.format(i)]) for i in range(cfg.depth)]
         arrs = [a.T if transpose else a for a in arrs]
         return jnp.asarray(np.stack(arrs), cfg.dtype)
 
@@ -129,15 +124,15 @@ def params_from_hf(state_dict, cfg: Qwen25VLViTConfig, prefix: str = "visual.") 
         "w_down": stack("blocks.{}.mlp.down_proj.weight", True),
         "b_down": stack("blocks.{}.mlp.down_proj.bias"),
     }
-    kernel = np_of(sd["patch_embed.proj.weight"]).reshape(cfg.hidden_size, cfg.patch_dim).T
+    kernel = to_numpy(sd["patch_embed.proj.weight"]).reshape(cfg.hidden_size, cfg.patch_dim).T
     return {
         "patch_proj": jnp.asarray(kernel, cfg.dtype),
         "layers": layers,
-        "merger_ln_w": jnp.asarray(np_of(sd["merger.ln_q.weight"]), cfg.dtype),
-        "merger_w0": jnp.asarray(np_of(sd["merger.mlp.0.weight"]).T, cfg.dtype),
-        "merger_b0": jnp.asarray(np_of(sd["merger.mlp.0.bias"]), cfg.dtype),
-        "merger_w1": jnp.asarray(np_of(sd["merger.mlp.2.weight"]).T, cfg.dtype),
-        "merger_b1": jnp.asarray(np_of(sd["merger.mlp.2.bias"]), cfg.dtype),
+        "merger_ln_w": jnp.asarray(to_numpy(sd["merger.ln_q.weight"]), cfg.dtype),
+        "merger_w0": jnp.asarray(to_numpy(sd["merger.mlp.0.weight"]).T, cfg.dtype),
+        "merger_b0": jnp.asarray(to_numpy(sd["merger.mlp.0.bias"]), cfg.dtype),
+        "merger_w1": jnp.asarray(to_numpy(sd["merger.mlp.2.weight"]).T, cfg.dtype),
+        "merger_b1": jnp.asarray(to_numpy(sd["merger.mlp.2.bias"]), cfg.dtype),
     }
 
 
@@ -219,7 +214,7 @@ def encode_video(params: dict, patches: jnp.ndarray, grid_t: int, grid_h: int,
     scale = jnp.float32(1.0 / hd ** 0.5)
     mu = cfg.merge_unit
 
-    _, token_perm, inv_perm, seg_window, seg_full = window_layout(grid_t, grid_h, grid_w, cfg)
+    window_index, token_perm, _, seg_window, seg_full = window_layout(grid_t, grid_h, grid_w, cfg)
     token_perm = jnp.asarray(token_perm)
     seg_w = jnp.asarray(seg_window)
     seg_f = jnp.asarray(seg_full)
@@ -266,5 +261,4 @@ def encode_video(params: dict, patches: jnp.ndarray, grid_t: int, grid_h: int,
     z = z @ params["merger_w1"] + params["merger_b1"]
     # merger output rows are merge units in WINDOW order; inverse-permute
     # (HF: hidden_states[reverse_indices]) back to the original order.
-    window_index = jnp.asarray(window_layout(grid_t, grid_h, grid_w, cfg)[0])
-    return z[jnp.argsort(window_index)]
+    return z[jnp.asarray(np.argsort(window_index))]

@@ -32,6 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ...weights import to_numpy
+
 
 @dataclasses.dataclass(frozen=True)
 class Qwen2VLViTConfig:
@@ -107,18 +109,11 @@ def params_from_hf(state_dict, cfg: Qwen2VLViTConfig, prefix: str = "visual.") -
     inside the checkpoint (``"visual."`` at Qwen2VLModel scope,
     ``"model.visual."`` from a full Qwen2VLForConditionalGeneration dict).
     """
-    def np_of(t):
-        if hasattr(t, "detach"):
-            t = t.detach()
-            if str(t.dtype) == "torch.bfloat16":
-                t = t.float()
-            return t.cpu().numpy()
-        return np.asarray(t)
 
     sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
 
     def stack(fmt, transpose=False):
-        arrs = [np_of(sd[fmt.format(i)]) for i in range(cfg.depth)]
+        arrs = [to_numpy(sd[fmt.format(i)]) for i in range(cfg.depth)]
         arrs = [a.T if transpose else a for a in arrs]
         return jnp.asarray(np.stack(arrs), cfg.dtype)
 
@@ -136,16 +131,16 @@ def params_from_hf(state_dict, cfg: Qwen2VLViTConfig, prefix: str = "visual.") -
     }
     # Conv3d kernel (D, C, tp, p, p): stride == kernel, so it is exactly a
     # (C*tp*p*p -> D) matmul over the processor's flattened patch rows.
-    kernel = np_of(sd["patch_embed.proj.weight"]).reshape(cfg.embed_dim, cfg.patch_dim).T
+    kernel = to_numpy(sd["patch_embed.proj.weight"]).reshape(cfg.embed_dim, cfg.patch_dim).T
     return {
         "patch_proj": jnp.asarray(kernel, cfg.dtype),
         "layers": layers,
-        "merger_ln_w": jnp.asarray(np_of(sd["merger.ln_q.weight"]), cfg.dtype),
-        "merger_ln_b": jnp.asarray(np_of(sd["merger.ln_q.bias"]), cfg.dtype),
-        "merger_w0": jnp.asarray(np_of(sd["merger.mlp.0.weight"]).T, cfg.dtype),
-        "merger_b0": jnp.asarray(np_of(sd["merger.mlp.0.bias"]), cfg.dtype),
-        "merger_w1": jnp.asarray(np_of(sd["merger.mlp.2.weight"]).T, cfg.dtype),
-        "merger_b1": jnp.asarray(np_of(sd["merger.mlp.2.bias"]), cfg.dtype),
+        "merger_ln_w": jnp.asarray(to_numpy(sd["merger.ln_q.weight"]), cfg.dtype),
+        "merger_ln_b": jnp.asarray(to_numpy(sd["merger.ln_q.bias"]), cfg.dtype),
+        "merger_w0": jnp.asarray(to_numpy(sd["merger.mlp.0.weight"]).T, cfg.dtype),
+        "merger_b0": jnp.asarray(to_numpy(sd["merger.mlp.0.bias"]), cfg.dtype),
+        "merger_w1": jnp.asarray(to_numpy(sd["merger.mlp.2.weight"]).T, cfg.dtype),
+        "merger_b1": jnp.asarray(to_numpy(sd["merger.mlp.2.bias"]), cfg.dtype),
     }
 
 

@@ -15,6 +15,9 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+
+from ...weights import to_numpy
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,20 +78,10 @@ def params_from_hf(state_dict, cfg: ViTConfig, prefix: str = "vision_model."):
     """Import HF ``SiglipVisionModel`` weights (also the layout inside
     LLaVA-Video hub checkpoints under
     ``model.vision_tower.vision_tower.vision_model.``)."""
-    import numpy as np
-
-    def np_of(t):
-        if hasattr(t, "detach"):
-            t = t.detach()
-            if str(t.dtype) == "torch.bfloat16":
-                t = t.float()
-            return t.cpu().numpy()
-        return np.asarray(t)
-
     sd = {k[len(prefix):]: v for k, v in state_dict.items() if k.startswith(prefix)}
 
     def stack(fmt, transpose=False):
-        arrs = [np_of(sd[fmt.format(i)]) for i in range(cfg.num_layers)]
+        arrs = [to_numpy(sd[fmt.format(i)]) for i in range(cfg.num_layers)]
         arrs = [a.T if transpose else a for a in arrs]
         return jnp.asarray(np.stack(arrs), cfg.dtype)
 
@@ -111,14 +104,14 @@ def params_from_hf(state_dict, cfg: ViTConfig, prefix: str = "vision_model."):
         "b_fc2": stack("encoder.layers.{}.mlp.fc2.bias"),
     }
     # HF conv kernel: (D, 3, k, k) -> HWIO
-    kernel = np_of(sd["embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
+    kernel = to_numpy(sd["embeddings.patch_embedding.weight"]).transpose(2, 3, 1, 0)
     return {
         "patch_kernel": jnp.asarray(kernel, cfg.dtype),
-        "patch_bias": jnp.asarray(np_of(sd["embeddings.patch_embedding.bias"]), cfg.dtype),
-        "pos_embed": jnp.asarray(np_of(sd["embeddings.position_embedding.weight"]), cfg.dtype),
+        "patch_bias": jnp.asarray(to_numpy(sd["embeddings.patch_embedding.bias"]), cfg.dtype),
+        "pos_embed": jnp.asarray(to_numpy(sd["embeddings.position_embedding.weight"]), cfg.dtype),
         "layers": layers,
-        "post_ln_w": jnp.asarray(np_of(sd["post_layernorm.weight"]), cfg.dtype),
-        "post_ln_b": jnp.asarray(np_of(sd["post_layernorm.bias"]), cfg.dtype),
+        "post_ln_w": jnp.asarray(to_numpy(sd["post_layernorm.weight"]), cfg.dtype),
+        "post_ln_b": jnp.asarray(to_numpy(sd["post_layernorm.bias"]), cfg.dtype),
     }
 
 

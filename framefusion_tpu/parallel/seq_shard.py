@@ -31,10 +31,11 @@ Design (shard_map, explicit collectives):
 Memory at the stretch config (per device; see DEVNOTES for the full
 estimate): activations 46.6k x 8192 bf16 = 764 MB replicated-equivalent
 shrink to 95 MB/device at seq=8; the per-layer K/V all-gather transient is
-2 x 46.6k x 8 x 128 bf16 = 191 MB; attention score tiles stay O(S/n x S)
-per flash block. Parameters ride an orthogonal ``tensor`` axis in a real
-deployment (this prototype's mesh is 1D ``seq`` — compose with
-sharding.make_mesh for 2D).
+2 x 46.6k x 8 x 128 bf16 = 191 MB; attention walks K/V blockwise with an
+online softmax, so live fp32 score tensors are (Hk, G, S/n, block_k) —
+~1.5 GB per block at the stretch shapes. Parameters ride an orthogonal
+``tensor`` axis in a real deployment (this prototype's mesh is 1D ``seq``
+— compose with sharding.make_mesh for 2D).
 """
 
 from __future__ import annotations
@@ -50,15 +51,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..config import FrameFusionConfig, LLMConfig
 from ..core import bucket_length
 from ..core.constants import PAD_TOKEN, TEXT_TOKEN
-from ..core.schedule import compute_pruning_ratio
 from ..models import qwen2
 from ..runtime.engine import (
     CompressionEvent,
     PrefillTelemetry,
+    SegmentedEventState,
     _merge_compact_program,
     _pos_axes,
     _prune_compact_program,
-    _round_half_even,
     _sim_program,
 )
 
@@ -73,7 +73,13 @@ def make_seq_mesh(devices=None, seq: int | None = None) -> Mesh:
 @functools.lru_cache(maxsize=32)
 def _sharded_layer_fn(mesh: Mesh, cfg: LLMConfig, do_mlp: bool, capture_num: int):
     """One decoder layer, sequence-sharded: local q/k/v, all-gathered K/V,
-    globally-positioned causal mask, optional fused importance capture."""
+    globally-positioned causal mask, optional importance capture.
+
+    Attention walks the gathered K/V in blocks with an online softmax
+    (flash-style in pure XLA), so the live fp32 score tensor is
+    (Hk, G, S_local, block_k) — at the 72B/256-frame stretch shapes that is
+    ~1.5 GB of transient per block instead of the ~69 GB a full
+    (S_local, S) materialisation would need."""
     n_seq = mesh.shape["seq"]
     hd = cfg.head_dim_
     hk = cfg.num_kv_heads
@@ -81,8 +87,13 @@ def _sharded_layer_fn(mesh: Mesh, cfg: LLMConfig, do_mlp: bool, capture_num: int
     scale = jnp.float32(1.0 / hd ** 0.5)
 
     def shard(lp, h_l, cos_l, sin_l, valid_len):
+        from ..ops.attention import NEG_INF
+
         s_local = h_l.shape[0]
         s_full = s_local * n_seq
+        block_k = next(bk for bk in (1024, 512, 256, 128, 64, 32, 16, 8)
+                       if s_full % bk == 0)
+        nk = s_full // block_k
         q_off = jax.lax.axis_index("seq") * s_local
 
         x = qwen2.rmsnorm(h_l, lp["ln1"], cfg.rms_norm_eps)
@@ -91,28 +102,52 @@ def _sharded_layer_fn(mesh: Mesh, cfg: LLMConfig, do_mlp: bool, capture_num: int
         k_all = jax.lax.all_gather(k, "seq", axis=0, tiled=True)  # (S, Hk, hd)
         v_all = jax.lax.all_gather(v, "seq", axis=0, tiled=True)
 
-        qg = q.reshape(s_local, hk, g, hd).transpose(1, 2, 0, 3).astype(jnp.float32)
-        kf = k_all.transpose(1, 0, 2).astype(jnp.float32)  # (Hk, S, hd)
-        vf = v_all.transpose(1, 0, 2).astype(jnp.float32)
-        scores = jnp.einsum("hgsd,htd->hgst", qg, kf) * scale  # (Hk,G,S/n,S)
+        qg = q.reshape(s_local, hk, g, hd).transpose(1, 2, 0, 3)  # (Hk,G,S/n,hd)
+        kb = k_all.reshape(nk, block_k, hk, hd).transpose(0, 2, 1, 3)  # (nk,Hk,bk,hd)
+        vb = v_all.reshape(nk, block_k, hk, hd).transpose(0, 2, 1, 3)
         q_pos = q_off + jnp.arange(s_local, dtype=jnp.int32)
-        k_pos = jnp.arange(s_full, dtype=jnp.int32)
-        mask = (k_pos[None, :] <= q_pos[:, None]) & (k_pos[None, :] < valid_len)
-        from ..ops.attention import NEG_INF
+        k_pos = jnp.arange(s_full, dtype=jnp.int32).reshape(nk, block_k)
 
-        scores = jnp.where(mask[None, None], scores, NEG_INF)
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("hgst,htd->hgsd", probs, vf)
+        def kv_step(carry, inputs):
+            m, l, acc = carry
+            k_blk, v_blk, kp = inputs
+            s = jnp.einsum("hgsd,htd->hgst", qg, k_blk,
+                           preferred_element_type=jnp.float32) * scale
+            mask = (kp[None, :] <= q_pos[:, None]) & (kp[None, :] < valid_len)
+            s = jnp.where(mask[None, None], s, NEG_INF)
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m - m_new)
+            p = jnp.exp(s - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            pv = jnp.einsum("hgst,htd->hgsd", p.astype(v_blk.dtype), v_blk,
+                            preferred_element_type=jnp.float32)
+            return (m_new, l_new, acc * alpha + pv), None
+
+        m0 = jnp.full((hk, g, s_local, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((hk, g, s_local, 1), jnp.float32)
+        acc0 = jnp.zeros((hk, g, s_local, hd), jnp.float32)
+        (m, l, acc), _ = jax.lax.scan(kv_step, (m0, l0, acc0), (kb, vb, k_pos))
+        out = acc / jnp.maximum(l, 1e-30)
         out = out.transpose(2, 0, 1, 3).reshape(s_local, cfg.num_heads * hd).astype(h_l.dtype)
         h_mid = h_l + qwen2.mm(out, lp["wo"])
 
         if capture_num:
-            # Partial importance from the captured rows THIS shard owns
-            # (rows [valid-num, valid) of the compacted state); psum
-            # assembles the full last_rows_importance vector.
-            wanted = (q_pos >= valid_len - capture_num) & (q_pos < valid_len)
-            head_mean = probs.mean(axis=(0, 1))  # (S/n, S)
-            partial = jnp.sum(jnp.where(wanted[:, None], head_mean, 0.0), axis=0)
+            # Importance from the captured rows (global positions
+            # [valid-num, valid) of the compacted state): each shard
+            # contributes the rows it OWNS — a (num, S) computation, tiny
+            # next to the attention — and psum assembles the full
+            # last_rows_importance vector.
+            row_pos = valid_len - capture_num + jnp.arange(capture_num, dtype=jnp.int32)
+            owned = (row_pos >= q_off) & (row_pos < q_off + s_local)
+            local_idx = jnp.clip(row_pos - q_off, 0, s_local - 1)
+            q_rows = jnp.take(q, local_idx, axis=0).astype(jnp.float32)  # (num,Hq,hd)
+            q_rows = q_rows.reshape(capture_num, hk, g, hd).transpose(1, 2, 0, 3)
+            s_r = jnp.einsum("hgnd,thd->hgnt", q_rows,
+                             k_all.astype(jnp.float32)) * scale  # (Hk,G,num,S)
+            kmask = jnp.arange(s_full, dtype=jnp.int32)[None, :] <= row_pos[:, None]
+            s_r = jnp.where(kmask[None, None], s_r, NEG_INF)
+            probs_r = jax.nn.softmax(s_r, axis=-1).mean(axis=(0, 1))  # (num, S)
+            partial = jnp.sum(jnp.where(owned[:, None], probs_r, 0.0), axis=0)
             importance = jax.lax.psum(partial, "seq") / jnp.float32(capture_num)
         else:
             importance = jnp.zeros((s_full,), jnp.float32)
@@ -183,28 +218,15 @@ def seq_sharded_prefill(
     telemetry = PrefillTelemetry(original_length=orig_len, image_token_length=image_token_length)
     valid = orig_len
     frame_tok = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
-    sparsity: list[float] = []
-    finish_merging = False
-    finish_pruning = False
+    # ONE decision-arithmetic implementation shared with _prefill_segmented
+    # (fp32 schedule twins' lockstep rule) — this module only invokes
+    # programs and shards compute.
+    state = SegmentedEventState(ff)
     s_th = jnp.float32(ff.similarity_lower_bound)
 
     def merge_event(h, pt, pos_tok, valid, frame_tok, scored, layer_idx, do_mlp):
-        nonlocal finish_merging, finish_pruning
-        budget = compute_pruning_ratio(sparsity, ff.cost, ff.schedule_num_layers)
         sim, order, count = scored
-        count = int(count)
-        above_ratio = count / frame_tok
-        if above_ratio < budget:
-            k_marked = count
-            sparsity.append(above_ratio)
-            kind = "merge"
-            if above_ratio < ff.ratio_lower_bound:
-                finish_merging = True
-        else:
-            k_marked = int(budget * frame_tok)
-            finish_merging = True
-            finish_pruning = True
-            kind = "merge_capped"
+        k_marked, kind, above_ratio, budget = state.merge_decision(count, frame_tok)
 
         new_valid = valid - k_marked
         new_len = bucket_length(new_valid, ff.bucket)
@@ -229,9 +251,9 @@ def seq_sharded_prefill(
     )
 
     layer = 0
-    while layer < cfg.num_layers and not (finish_merging and finish_pruning):
-        capture = ff.num_importance_queries if (finish_merging and not finish_pruning) else 0
-        need_sim = not finish_merging
+    while layer < cfg.num_layers and not state.done:
+        capture = ff.num_importance_queries if (state.finish_merging and not state.finish_pruning) else 0
+        need_sim = not state.finish_merging
         layer_fn = _sharded_layer_fn(mesh, cfg, do_mlp=False, capture_num=capture)
         h_mid, importance = layer_fn(params, jnp.int32(layer), h, pos_tok, jnp.int32(valid))
 
@@ -241,12 +263,9 @@ def seq_sharded_prefill(
                 h_mid, pt, pos_tok, valid, frame_tok, scored, layer_idx=layer, do_mlp=True,
             )
         else:
-            ratio = compute_pruning_ratio(sparsity, ff.cost, ff.schedule_num_layers)
-            cur_img_len = image_token_length - (orig_len - valid)
-            k_keep = _round_half_even(
-                float(np.float32(cur_img_len) * (np.float32(1.0) - np.float32(ratio)))
+            ratio, cur_img_len, k_keep, removed = state.prune_decision(
+                image_token_length, orig_len, valid
             )
-            removed = cur_img_len - k_keep
             new_valid = valid - removed
             new_len = bucket_length(new_valid, ff.bucket)
             h, pos_tok, pt = _prune_compact_program(
@@ -261,7 +280,6 @@ def seq_sharded_prefill(
                 tokens_after=new_valid, budget=ratio, bucket=new_len,
             ))
             valid = new_valid
-            finish_pruning = True
         layer += 1
 
     # Tail: remaining layers, still sequence-sharded, at the compacted bucket.
@@ -272,7 +290,7 @@ def seq_sharded_prefill(
 
     logits = _logits_at(params, h, jnp.int32(valid - 1), cfg=cfg)
 
-    telemetry.sparsity_list = list(sparsity)
+    telemetry.sparsity_list = list(state.sparsity)
     telemetry.final_length = valid
     telemetry.final_image_tokens = image_token_length - (orig_len - valid)
     return logits, telemetry, valid

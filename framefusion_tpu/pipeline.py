@@ -95,11 +95,12 @@ class TextPipeline:
         )
 
     def build_inputs(self, question: str, frames=None, video_features=None,
-                     video_grid_thw=None):
+                     video_grid_thw=None, second_per_grid_ts=None):
         """Tokenize the family's chat prompt and splice the video features."""
         if self.model.family == "qwen2_vl":
             return self._build_inputs_qwen2_vl(question, video_features, video_grid_thw,
-                                               frames=frames)
+                                               frames=frames,
+                                               second_per_grid_ts=second_per_grid_ts)
         if self.model.family == "internvl":
             return self._build_inputs_internvl(question, video_features, frames=frames)
         if self.model.family == "minicpmv":
@@ -131,17 +132,24 @@ class TextPipeline:
         )
 
     def _build_inputs_qwen2_vl(self, question: str, video_features, video_grid_thw,
-                               frames=None):
+                               frames=None, second_per_grid_ts=None):
         """Qwen2-VL: one vision span, 3D mRoPE ids from video_grid_thw
         (reference qwenvl/modeling_qwen2_vl.py:117-163). Raw ``frames`` run
         through the in-repo ViT (models/vision/qwen2_vl_vit — the reference
         calls ``self.visual`` at qwenvl/modeling_qwen2_vl.py:95-111);
-        precomputed ``video_features`` + ``video_grid_thw`` skip it."""
-        from .models.adapters import qwen2_vl
+        precomputed ``video_features`` + ``video_grid_thw`` skip it.
 
+        With a Qwen2.5-VL tower (Qwen25VLViTConfig) the temporal mRoPE
+        stream advances by absolute video time: ``second_per_grid_ts``
+        (default 1.0 = temporal_patch_size 2 / 2 fps, the HF processor's
+        default sampling) times the tower's ``tokens_per_second``.
+        """
+        from .models.adapters import qwen2_vl
+        from .models.vision.qwen25_vl_vit import Qwen25VLViTConfig
+
+        is_qwen25 = isinstance(self.vit_cfg, Qwen25VLViTConfig)
         if video_features is None:
             from .models.vision.qwen2_vl_vit import pixels_to_patches
-            from .models.vision.qwen25_vl_vit import Qwen25VLViTConfig
 
             assert frames is not None and self.vit_params is not None, (
                 "qwen2_vl needs frames + a Qwen2-VL/Qwen2.5-VL ViT "
@@ -152,7 +160,7 @@ class TextPipeline:
             patches, (grid_t, grid_h, grid_w) = pixels_to_patches(
                 np.asarray(frames, np.float32), self.vit_cfg
             )
-            if isinstance(self.vit_cfg, Qwen25VLViTConfig):
+            if is_qwen25:
                 from .models.vision.qwen25_vl_vit import encode_video
             else:
                 from .models.vision.qwen2_vl_vit import encode_video
@@ -170,9 +178,13 @@ class TextPipeline:
         ids_before = list(self.tokenizer.encode(before))
         ids_after = list(self.tokenizer.encode(after))
         text_embeds = self._embed_ids(ids_before + [0] + ids_after)
+        if is_qwen25 and second_per_grid_ts is None:
+            second_per_grid_ts = 1.0
         return qwen2_vl.build_prefill_inputs(
             text_embeds, np.asarray(video_features, np.float32),
             video_token_pos=len(ids_before), grid_t=grid_t, grid_h=grid_h, grid_w=grid_w,
+            second_per_grid_ts=second_per_grid_ts,
+            tokens_per_second=(self.vit_cfg.tokens_per_second if is_qwen25 else 2),
         )
 
     def _build_inputs_internvl(self, question: str, video_features, frames=None):
@@ -301,9 +313,10 @@ class TextPipeline:
 
     def ask(self, question: str, frames=None, video_features=None,
             max_new_tokens: int = 64, eos_token_id: Optional[int] = None,
-            video_grid_thw=None) -> str:
+            video_grid_thw=None, second_per_grid_ts=None) -> str:
         inputs = self.build_inputs(question, frames=frames, video_features=video_features,
-                                   video_grid_thw=video_grid_thw)
+                                   video_grid_thw=video_grid_thw,
+                                   second_per_grid_ts=second_per_grid_ts)
         eos = eos_token_id
         if eos is None:
             eos = getattr(self.tokenizer, "eos_token_id", None)

@@ -87,6 +87,55 @@ def plan_length(orig_len: int, image_len: int, ff: FrameFusionConfig, assumed_ev
     return bucket_length(orig_len - image_len + math.ceil(image_len * d_max), ff.bucket)
 
 
+class SegmentedEventState:
+    """Host-side merge/prune decision arithmetic for the segmented-style
+    executors — ONE implementation shared by ``_prefill_segmented`` and
+    ``parallel.seq_shard.seq_sharded_prefill`` so the fp32 schedule twins
+    stay in lockstep (CLAUDE.md decision-parity rule): budget vs
+    above-threshold branch, capped-merge finish semantics, and the
+    banker's-rounded prune keep count (reference main.py:40-140, 61-101).
+    Program invocation stays with the caller; this class only decides."""
+
+    def __init__(self, ff: FrameFusionConfig):
+        self.ff = ff
+        self.sparsity: list[float] = []
+        self.finish_merging = False
+        self.finish_pruning = False
+
+    @property
+    def done(self) -> bool:
+        return self.finish_merging and self.finish_pruning
+
+    def merge_decision(self, count: int, frame_tok: int):
+        """-> (k_marked, kind, above_ratio, budget); updates flags/history."""
+        budget = compute_pruning_ratio(self.sparsity, self.ff.cost, self.ff.schedule_num_layers)
+        above_ratio = int(count) / frame_tok
+        if above_ratio < budget:
+            k_marked = int(count)
+            self.sparsity.append(above_ratio)
+            kind = "merge"
+            if above_ratio < self.ff.ratio_lower_bound:
+                self.finish_merging = True
+        else:
+            k_marked = int(budget * frame_tok)
+            self.finish_merging = True
+            self.finish_pruning = True
+            kind = "merge_capped"
+        return k_marked, kind, above_ratio, budget
+
+    def prune_decision(self, image_token_length: int, orig_len: int, valid: int):
+        """-> (ratio, cur_img_len, k_keep, removed); sets finish_pruning."""
+        ratio = compute_pruning_ratio(self.sparsity, self.ff.cost, self.ff.schedule_num_layers)
+        cur_img_len = image_token_length - (orig_len - valid)
+        # fp32 product before rounding — keeps the host twin bit-identical
+        # to the fused executor's jnp.round(fp32) at half-way ties.
+        k_keep = _round_half_even(
+            float(np.float32(cur_img_len) * (np.float32(1.0) - np.float32(ratio)))
+        )
+        self.finish_pruning = True
+        return ratio, cur_img_len, k_keep, cur_img_len - k_keep
+
+
 def plan_length_analytic(orig_len: int, frame_token_num: int, ff: FrameFusionConfig,
                          expected_reduction: float = 0.45) -> int:
     """Static bucket for the FINAL compacted state when no history exists.
@@ -1623,9 +1672,7 @@ class CompressionEngine:
         telemetry = PrefillTelemetry(original_length=orig_len, image_token_length=image_token_length)
         valid = orig_len
 
-        sparsity: list[float] = []
-        finish_merging = False
-        finish_pruning = False
+        state = SegmentedEventState(ff)
         frame_tok = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
         s_th = jnp.float32(ff.similarity_lower_bound)
         layer_caches: list = [None] * cfg.num_layers
@@ -1637,22 +1684,8 @@ class CompressionEngine:
             standalone similarity program (layer-0 pre-attention event) or
             fused into the preceding layer-attention program.
             """
-            nonlocal finish_merging, finish_pruning
-            budget = compute_pruning_ratio(sparsity, ff.cost, ff.schedule_num_layers)
             sim, order, count = scored
-            count = int(count)
-            above_ratio = count / frame_tok
-            if above_ratio < budget:
-                k_marked = count
-                sparsity.append(above_ratio)
-                kind = "merge"
-                if above_ratio < ff.ratio_lower_bound:
-                    finish_merging = True
-            else:
-                k_marked = int(budget * frame_tok)
-                finish_merging = True
-                finish_pruning = True
-                kind = "merge_capped"
+            k_marked, kind, above_ratio, budget = state.merge_decision(count, frame_tok)
 
             new_valid = valid - k_marked
             new_len = bucket_length(new_valid, ff.bucket)
@@ -1678,9 +1711,9 @@ class CompressionEngine:
         )
 
         layer = 0
-        while layer < cfg.num_layers and not (finish_merging and finish_pruning):
-            capture = ff.num_importance_queries if (finish_merging and not finish_pruning) else 0
-            need_sim = not finish_merging
+        while layer < cfg.num_layers and not state.done:
+            capture = ff.num_importance_queries if (state.finish_merging and not state.finish_pruning) else 0
+            need_sim = not state.finish_merging
             h_mid, k, v, sim, order, count, importance = _layer_attn_program(
                 self.params, jnp.int32(layer), h, pos_tok, pt, jnp.int32(valid), s_th,
                 cfg=cfg, attn_impl=self.attn_impl, capture_num=capture,
@@ -1696,15 +1729,9 @@ class CompressionEngine:
             else:
                 # Prune (reference main.py:61-101): keep top-k image tokens by
                 # the captured importance, then run this layer's MLP.
-                ratio = compute_pruning_ratio(sparsity, ff.cost, ff.schedule_num_layers)
-                cur_img_len = image_token_length - (orig_len - valid)
-                # fp32 product before rounding — keeps the segmented executor
-                # bit-identical to the fused twin's jnp.round(fp32) at
-                # representational half-way ties.
-                k_keep = _round_half_even(
-                    float(np.float32(cur_img_len) * (np.float32(1.0) - np.float32(ratio)))
+                ratio, cur_img_len, k_keep, removed = state.prune_decision(
+                    image_token_length, orig_len, valid
                 )
-                removed = cur_img_len - k_keep
                 new_valid = valid - removed
                 new_len = bucket_length(new_valid, ff.bucket)
                 h, pos_tok, pt = _prune_compact_program(
@@ -1720,7 +1747,6 @@ class CompressionEngine:
                     )
                 )
                 valid = new_valid
-                finish_pruning = True
             layer += 1
 
         # Tail: every remaining layer at the final bucket, one program.
@@ -1731,7 +1757,7 @@ class CompressionEngine:
         for j in range(layer, cfg.num_layers):
             layer_caches[j] = (k_tail[j], v_tail[j], valid)
 
-        telemetry.sparsity_list = list(sparsity)
+        telemetry.sparsity_list = list(state.sparsity)
         telemetry.final_length = valid
         telemetry.final_image_tokens = image_token_length - (orig_len - valid)
         telemetry.tail_start_layer = layer

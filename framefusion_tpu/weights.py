@@ -39,7 +39,7 @@ _QWEN2_LAYER_KEYS = {
 }
 
 
-def _to_numpy(t) -> np.ndarray:
+def to_numpy(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
         return t
     # torch tensor (possibly bf16) without importing torch at module scope
@@ -72,7 +72,7 @@ def params_from_state_dict(state_dict, cfg: LLMConfig, prefix: str = "model.") -
         if sub not in _QWEN2_LAYER_KEYS:
             continue
         ours, transpose = _QWEN2_LAYER_KEYS[sub]
-        arr = _to_numpy(tensor)
+        arr = to_numpy(tensor)
         per_layer.setdefault(ours, {})[idx] = arr.T if transpose else arr
 
     layers = {}
@@ -83,16 +83,16 @@ def params_from_state_dict(state_dict, cfg: LLMConfig, prefix: str = "model.") -
         )
 
     params = {
-        "embed": jnp.asarray(_to_numpy(sd[prefix + "embed_tokens.weight"]), dtype=cfg.dtype),
+        "embed": jnp.asarray(to_numpy(sd[prefix + "embed_tokens.weight"]), dtype=cfg.dtype),
         "layers": layers,
-        "final_norm": jnp.asarray(_to_numpy(sd[prefix + "norm.weight"]), dtype=cfg.dtype),
+        "final_norm": jnp.asarray(to_numpy(sd[prefix + "norm.weight"]), dtype=cfg.dtype),
     }
     lm_head_key = "lm_head.weight"
     if not cfg.tie_word_embeddings:
         # lm_head lives at top level regardless of the LM prefix.
         candidates = [k for k in sd if k.endswith(lm_head_key)]
         assert candidates, "untied config but no lm_head in checkpoint"
-        params["lm_head"] = jnp.asarray(_to_numpy(sd[candidates[0]]).T, dtype=cfg.dtype)
+        params["lm_head"] = jnp.asarray(to_numpy(sd[candidates[0]]).T, dtype=cfg.dtype)
     return params
 
 
@@ -112,7 +112,7 @@ def params_from_state_dict_internlm2(state_dict, cfg: LLMConfig, prefix: str = "
 
     wq, wk, wv, rest = [], [], [], {}
     for i in range(cfg.num_layers):
-        fused = _to_numpy(sd[f"{prefix}layers.{i}.attention.wqkv.weight"])  # (Hkv*(g+2)*hd, D)
+        fused = to_numpy(sd[f"{prefix}layers.{i}.attention.wqkv.weight"])  # (Hkv*(g+2)*hd, D)
         grouped = fused.reshape(cfg.num_kv_heads, g + 2, hd, cfg.hidden_size)
         q = grouped[:, :g].reshape(cfg.num_heads * hd, cfg.hidden_size)
         k = grouped[:, g].reshape(cfg.num_kv_heads * hd, cfg.hidden_size)
@@ -128,7 +128,7 @@ def params_from_state_dict_internlm2(state_dict, cfg: LLMConfig, prefix: str = "
             ("w_up", "feed_forward.w3.weight", True),
             ("w_down", "feed_forward.w2.weight", True),
         ):
-            arr = _to_numpy(sd[f"{prefix}layers.{i}.{name}"])
+            arr = to_numpy(sd[f"{prefix}layers.{i}.{name}"])
             rest.setdefault(ours, []).append(arr.T if transpose else arr)
 
     layers = {ours: jnp.asarray(np.stack(v), dtype=cfg.dtype) for ours, v in rest.items()}
@@ -137,14 +137,14 @@ def params_from_state_dict_internlm2(state_dict, cfg: LLMConfig, prefix: str = "
     layers["wv"] = jnp.asarray(np.stack(wv), dtype=cfg.dtype)
 
     params = {
-        "embed": jnp.asarray(_to_numpy(sd[prefix + "tok_embeddings.weight"]), dtype=cfg.dtype),
+        "embed": jnp.asarray(to_numpy(sd[prefix + "tok_embeddings.weight"]), dtype=cfg.dtype),
         "layers": layers,
-        "final_norm": jnp.asarray(_to_numpy(sd[prefix + "norm.weight"]), dtype=cfg.dtype),
+        "final_norm": jnp.asarray(to_numpy(sd[prefix + "norm.weight"]), dtype=cfg.dtype),
     }
     if not cfg.tie_word_embeddings:
         head_candidates = [k for k in sd if k.endswith("output.weight") or k.endswith("lm_head.weight")]
         assert head_candidates, "no output head in checkpoint"
-        params["lm_head"] = jnp.asarray(_to_numpy(sd[head_candidates[0]]).T, dtype=cfg.dtype)
+        params["lm_head"] = jnp.asarray(to_numpy(sd[head_candidates[0]]).T, dtype=cfg.dtype)
     return params
 
 
@@ -298,6 +298,35 @@ def _load_vision(family: str, state: dict, cfg_dict: dict, llm_cfg: LLMConfig):
             return {"kind": "internvl_vit", "cfg": vit_cfg,
                     "params": params_from_remote(state, vit_cfg, prefix="vision_model."),
                     "projector": projector_from_remote(state, vit_cfg, prefix="mlp1.")}
+        if family == "minicpmv" and any(k.startswith("vpm.") for k in state):
+            # MiniCPM-V hub layout: SigLIP tower under ``vpm.`` (transformers
+            # Siglip naming) + perceiver ``resampler.``. The tower imports at
+            # the checkpoint's native image_size (variable-aspect pos-embed
+            # interpolation is not implemented — fixed-size inputs only).
+            from .models.vision import siglip
+            from .models.vision.minicpmv_frontend import (
+                ResamplerConfig, params_from_remote,
+            )
+
+            img = vis_cfg.get("image_size", 980)
+            vit_cfg = siglip.ViTConfig(
+                image_size=img if isinstance(img, int) else img[0],
+                patch_size=vis_cfg.get("patch_size", 14),
+                hidden_size=vis_cfg.get("hidden_size", 1152),
+                intermediate_size=vis_cfg.get("intermediate_size", 4304),
+                num_layers=vis_cfg.get("num_hidden_layers", 27),
+                num_heads=vis_cfg.get("num_attention_heads", 16),
+            )
+            res_cfg = ResamplerConfig(
+                num_queries=cfg_dict.get("query_num", 64),
+                embed_dim=llm_cfg.hidden_size,
+                num_heads=max(llm_cfg.hidden_size // 128, 1),
+                kv_dim=vit_cfg.hidden_size,
+            )
+            return {"kind": "minicpmv", "cfg": vit_cfg,
+                    "params": siglip.params_from_hf(state, vit_cfg, prefix="vpm."),
+                    "projector": {"params": params_from_remote(state, res_cfg),
+                                  "cfg": res_cfg}}
         if family in ("llava_video", "llava_next_video") and any(
             "vision_tower" in k for k in state
         ):
@@ -320,12 +349,12 @@ def _load_vision(family: str, state: dict, cfg_dict: dict, llm_cfg: LLMConfig):
             proj = None
             if "model.mm_projector.0.weight" in state:
                 proj = {
-                    "w1": jnp.asarray(_to_numpy(state["model.mm_projector.0.weight"]).T, jnp.float32),
-                    "b1": jnp.asarray(_to_numpy(state["model.mm_projector.0.bias"]), jnp.float32),
-                    "w2": jnp.asarray(_to_numpy(state["model.mm_projector.2.weight"]).T, jnp.float32),
-                    "b2": jnp.asarray(_to_numpy(state["model.mm_projector.2.bias"]), jnp.float32),
+                    "w1": jnp.asarray(to_numpy(state["model.mm_projector.0.weight"]).T, jnp.float32),
+                    "b1": jnp.asarray(to_numpy(state["model.mm_projector.0.bias"]), jnp.float32),
+                    "w2": jnp.asarray(to_numpy(state["model.mm_projector.2.weight"]).T, jnp.float32),
+                    "b2": jnp.asarray(to_numpy(state["model.mm_projector.2.bias"]), jnp.float32),
                     "image_newline": jnp.asarray(
-                        _to_numpy(state["model.image_newline"]), jnp.float32
+                        to_numpy(state["model.image_newline"]), jnp.float32
                     ) if "model.image_newline" in state else jnp.zeros(
                         (llm_cfg.hidden_size,), jnp.float32
                     ),

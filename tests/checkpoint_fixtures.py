@@ -282,10 +282,28 @@ def write_fixture(tmp_path, family: str) -> str:
         config = {"architectures": ["LlavaNextVideoForConditionalGeneration"],
                   "text_config": {**TINY_TEXT, "tie_word_embeddings": True,
                                   "architectures": ["Qwen2ForCausalLM"]}}
-    elif family in ("minicpmv", "nvila"):
+    elif family == "minicpmv":
         state = _qwen2_state(rng, "llm.model.")
-        arch = "MiniCPMV" if family == "minicpmv" else "LlavaLlamaModel"
-        config = {"architectures": [arch], **TINY_TEXT, "tie_word_embeddings": False}
+        state.update(_siglip_state(rng, "vpm."))
+        d = TINY_TEXT["hidden_size"]
+        # remote Resampler layout: fused MultiheadAttention in_proj + raw proj
+        state["resampler.query"] = rng.standard_normal((8, d)).astype(np.float32) * 0.05
+        state["resampler.kv_proj.weight"] = rng.standard_normal((d, 64)).astype(np.float32) * 0.05
+        state["resampler.attn.in_proj_weight"] = rng.standard_normal((3 * d, d)).astype(np.float32) * 0.05
+        state["resampler.attn.in_proj_bias"] = np.zeros((3 * d,), np.float32)
+        state["resampler.attn.out_proj.weight"] = rng.standard_normal((d, d)).astype(np.float32) * 0.05
+        state["resampler.attn.out_proj.bias"] = np.zeros((d,), np.float32)
+        for ln in ("ln_q", "ln_kv", "ln_post"):
+            state[f"resampler.{ln}.weight"] = np.ones((d,), np.float32)
+            state[f"resampler.{ln}.bias"] = np.zeros((d,), np.float32)
+        state["resampler.proj"] = rng.standard_normal((d, d)).astype(np.float32) * 0.05
+        config = {"architectures": ["MiniCPMV"], **TINY_TEXT,
+                  "tie_word_embeddings": False, "query_num": 8,
+                  "vision_config": SIGLIP_VISION_CONFIG}
+    elif family == "nvila":
+        state = _qwen2_state(rng, "llm.model.")
+        config = {"architectures": ["LlavaLlamaModel"], **TINY_TEXT,
+                  "tie_word_embeddings": False}
     elif family == "qwen2_vl":
         state = _qwen2_state(rng, "model.")
         state.update(_qwen2vl_visual_state(rng))

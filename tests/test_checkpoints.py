@@ -113,8 +113,24 @@ def _build_inputs(model, fam, seed=0):
     if fam == "minicpmv":
         from framefusion_tpu.models.adapters import minicpmv
 
-        tpf, n_frames = 6, 4
-        video = coherent_video(n_frames, tpf)
+        if model.vision is not None:
+            # hub fixture carries the vpm SigLIP tower + remote resampler
+            from framefusion_tpu.models.vision.minicpmv_frontend import encode_video
+
+            assert model.vision["kind"] == "minicpmv"
+            base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+            frames = np.concatenate([base + 0.02 * rng.standard_normal(base.shape)
+                                     for _ in range(4)])
+            feats = np.asarray(encode_video(
+                model.vision["params"], model.vision["cfg"],
+                model.vision["projector"]["params"], model.vision["projector"]["cfg"],
+                jnp.asarray(frames),
+            ))
+            n_frames, tpf = feats.shape[:2]
+            video = feats.reshape(n_frames * tpf, -1) * 0.2
+        else:
+            tpf, n_frames = 6, 4
+            video = coherent_video(n_frames, tpf)
         embeds = np.concatenate([_embed(model, 5, seed), video, _embed(model, 4, seed + 1)])
         bounds = np.asarray([[5 + f * tpf, 5 + (f + 1) * tpf] for f in range(n_frames)])
         # the adapter's +2 separator geometry needs bounds gaps; emulate the

@@ -228,6 +228,14 @@ class TestQwen25VLViTVsHF:
         base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
         frames = np.concatenate([base + 0.01 * rng.standard_normal(base.shape)
                                  for _ in range(4)])
+        # Qwen2.5-VL temporal spacing flows through: the temporal stream
+        # advances by second_per_grid_ts (1.0 default) * tokens_per_second
+        # per grid step, not by 1 (the Qwen2-VL frame index).
+        inputs = pipe.build_inputs("what happens?", frames=frames)
+        t_stream = inputs.position_ids[0]
+        vs, n_img = inputs.image_token_start, inputs.image_token_length
+        t_video = np.unique(t_stream[vs : vs + n_img])
+        assert np.array_equal(np.diff(t_video), [vcfg.tokens_per_second])
         text = pipe.ask("what happens?", frames=frames, max_new_tokens=3)
         assert isinstance(text, str) and len(text) > 0
 
