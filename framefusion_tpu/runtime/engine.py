@@ -971,7 +971,7 @@ class CompressionEngine:
         if telemetry is None or not telemetry.events:
             return
         frame_tok = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
-        if patch_num <= 0 or frame_tok % patch_num:
+        if patch_num <= 0 or not frame_tok or frame_tok % patch_num:
             return
         ev0 = telemetry.events[0]
         n_after_pre = (
@@ -1039,9 +1039,40 @@ class CompressionEngine:
             image_token_start: first image-token index.
             image_token_length: number of image tokens at S.
             mode: "fused" (single-program phase, one host sync),
-                "planned" (sync-free serving path, static plan bucket), or
-                "segmented" (per-layer programs, one sync per merge event).
+                "planned" (sync-free serving path, static plan bucket),
+                "segmented" (per-layer programs, one sync per merge event), or
+                "auto" (serving policy: planned from PlanHistory once this
+                prompt geometry has been seen, else the adaptive fused
+                executor — which both serves the request AND records the
+                survivor counts that let the next same-geometry prompt ride
+                the sync-free path. Strictly dominates cold-start planned
+                with analytic buckets: fused pays one host sync at the TRUE
+                compressed lengths, while an analytic plan over-provisions
+                its tail bucket ~2x at the default knobs; measured ~442 ms
+                fused vs 744+ ms analytic-planned at 7B/64f, DEVNOTES
+                round-3 facts).
         """
+        if mode == "auto":
+            frame_tok = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
+            suggestion = None
+            if patch_num > 0 and frame_tok and frame_tok % patch_num == 0:
+                suggestion = self.plan_history.suggest(
+                    PlanHistory.key(patch_num, frame_tok // patch_num, self.ff),
+                    self.ff.bucket,
+                )
+            if suggestion is None:
+                res = self._prefill_fused(
+                    input_embeds, patch_type, position_ids, patch_num,
+                    image_token_start, image_token_length,
+                )
+                res.plan_source = "cold"
+                return res
+            # prefill_planned re-derives the same suggestion and labels the
+            # result plan_source="history".
+            return self.prefill_planned(
+                input_embeds, patch_type, position_ids, patch_num,
+                image_token_start, image_token_length,
+            )
         if mode == "fused":
             return self._prefill_fused(
                 input_embeds, patch_type, position_ids, patch_num,

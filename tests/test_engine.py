@@ -557,6 +557,40 @@ class TestPlanHistory:
         res = engine.prefill_planned(h, pt, pos, 6, img_start, n_img)
         assert res.plan_source == "history"
 
+    def test_auto_mode_cold_then_history(self, setup):
+        """mode="auto" serving policy: a never-seen geometry rides the
+        adaptive fused executor (and seeds history); the same-geometry repeat
+        rides the sync-free planned path with history buckets. Decisions are
+        identical either way."""
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        h, pt, pos, img_start, n_img = build_inputs(seed=3, coherent=0.6)
+
+        cold = engine.prefill(h, pt, pos, 6, img_start, n_img, mode="auto")
+        assert cold.plan_source == "cold"
+        assert cold.mode != "planned"
+
+        warm = engine.prefill(h, pt, pos, 6, img_start, n_img, mode="auto")
+        assert warm.plan_source == "history"
+        assert warm.mode == "planned"
+        got = [(e.layer, e.kind, e.tokens_removed) for e in warm.telemetry.events]
+        want = [(e.layer, e.kind, e.tokens_removed) for e in cold.telemetry.events]
+        assert got == want
+        assert warm.valid_len == cold.valid_len
+        np.testing.assert_allclose(np.asarray(warm.logits), np.asarray(cold.logits),
+                                   rtol=2e-3, atol=2e-3)
+
+    def test_auto_mode_text_only_prompt(self, setup):
+        """auto on a promptless-geometry (all-text) input must not key
+        history (frame count undefined) — it serves via the fused executor."""
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        h, pt, pos, img_start, n_img = build_inputs(seed=2, coherent=0.5)
+        pt_text = np.full_like(np.asarray(pt), -1)
+        res = engine.prefill(h, pt_text, pos, 6, 0, 0, mode="auto")
+        assert res.plan_source == "cold"
+        assert not engine.plan_history._stats
+
     def test_explicit_buckets_reported(self, setup):
         cfg, params, ff = setup
         engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
