@@ -8,8 +8,10 @@ LLaVA-Video-7B-Qwen2 geometry, cost=0.3, S_th=0.6, r_min=0.1.
 
 Timing note: on this runner, dispatch and ``block_until_ready`` are
 asynchronous stubs (remote-relay execution); only a device->host read forces
-completion. Each path is therefore timed as N queued runs closed by a single
-forced logits read, with the measured read round-trip subtracted.
+completion, and that read's round-trip latency is large, time-varying, and
+OVERLAPS queued execution (max(work, L) wall — DEVNOTES). Each path is
+therefore timed as the SLOPE between two dependency-chained run counts,
+which cancels every constant and latency-overlap term (see timed()).
 
 Robustness contract (CLAUDE.md): this script prints exactly ONE JSON line
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
@@ -143,27 +145,60 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
         return engine.prefill(hh, patch_type, pos, patch_num=182,
                               image_token_start=img_start, image_token_length=n_img)
 
-    def timed(fn, reps, rounds=3):
-        """Median of ``rounds`` dependency-chained measurements: each rep's
-        input embeddings carry a term derived from the previous rep's logits,
-        so the relay/XLA can neither elide unread intermediate results nor
-        reuse a previous execution (identical-input repeats have been
-        observed to collapse to ~0 ms through the relay). Read overhead
-        subtracted."""
+    chain_k = [0]  # process-global rep counter: every chained input distinct
+
+    def timed(fn, reps=None, rounds=3, clean_out=False):
+        """Per-run time as the SLOPE between two chain lengths.
+
+        The relay's device->host read round-trip (L) is large, time-varying
+        within a process (~20 ms to ~1.3 s measured), and OVERLAPS queued
+        execution: a chain of N runs closed by one forced read takes
+        ``max(N*T, L) + eps`` wall — so both "total/N" and "total minus an
+        idle-queue read_overhead probe" mis-measure by up to L/N (the
+        round-2/3 dense logits-only readings of 968-974 ms were exactly
+        (5*T - L)/5 with T=1215 ms; /tmp/reps_probe.py sweep, DEVNOTES r3).
+        The slope (total(hi) - total(lo)) / (hi - lo) cancels every constant
+        and latency-overlap term. Chain lengths escalate geometrically until
+        the total clears max(3*L_est, 2 s), guaranteeing both points sit in
+        the linear regime. Each rep's input carries a bf16-visible
+        multiplicative scale (bitwise-distinct inputs; cosine/RMSNorm are
+        scale-invariant per token so compression decisions are unchanged)
+        plus a term from the previous rep's logits (ordering).
+        ``reps`` is accepted for call-site compatibility and ignored.
+        ``clean_out=True`` re-runs once on the unscaled input so returned
+        telemetry reflects the real prompt."""
         out = fn(h)
         force(out.logits)  # warmup: compile + drain
-        overhead = read_overhead()
-        times = []
-        for _ in range(rounds):
+        l_est = read_overhead()  # idle-queue read == the latency floor L
+
+        def chain(n):
+            nonlocal out
             t0 = time.perf_counter()
             eps = jnp.float32(0.0)
-            for _ in range(reps):
-                out = fn(h + eps)
+            for _ in range(n):
+                chain_k[0] += 1
+                scale = jnp.float32(1.0 + (chain_k[0] % 97 + 1) * 2.0**-7)
+                out = fn(h * scale + eps)
                 eps = out.logits[0] * jnp.float32(1e-30)
             force(out.logits)
-            times.append(max((time.perf_counter() - t0 - overhead) / reps, 1e-9))
-        times.sort()
-        return times[len(times) // 2], out
+            return time.perf_counter() - t0
+
+        n, total = 2, chain(2)
+        while total < max(3.0 * l_est, 2.0) and n < 32:
+            n *= 2
+            total = chain(n)
+        lo, hi = max(n // 2, 1), n
+        slopes = []
+        for _ in range(rounds):
+            e_lo = chain(lo)
+            e_hi = chain(hi)
+            slopes.append(max((e_hi - e_lo) / (hi - lo), 1e-9))
+        slopes.sort()
+        t = slopes[len(slopes) // 2]
+        if clean_out:
+            out = fn(h)
+            force(out.logits)
+        return t, (out if clean_out else None)
 
     dense_logits_t, _ = timed(run_dense_logits_only, reps)
     dense_caches_t, _ = timed(run_dense_timing, min(reps, 2))  # bound in-flight caches
@@ -174,7 +209,7 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
     # logits-only baseline when that happens.
     caches_sane = dense_logits_t * 0.95 <= dense_caches_t <= dense_logits_t * 1.6
     dense_t = dense_caches_t if caches_sane else dense_logits_t
-    ff_t, res = timed(run_ff, reps)
+    ff_t, res = timed(run_ff, reps, clean_out=True)
 
     # Serving path: two-stage planned prefill (sync-free critical path; plan
     # buckets from the compression telemetry of the probe run above, the way
@@ -201,7 +236,7 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                                       image_token_length=n_img,
                                       plan_len=plan, pre_plan_len=pre_plan)
 
-    planned_t, res_p = timed(run_ff_planned, reps)
+    planned_t, res_p = timed(run_ff_planned, reps, clean_out=True)
 
     # De-circularized planned timing (VERDICT r2 weak #1): buckets from the
     # ANALYTIC bounds only — what a deployment pays on a geometry it has
@@ -220,7 +255,7 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                                       plan_len=plan_analytic,
                                       pre_plan_len=pre_plan_analytic)
 
-    planned_analytic_t, res_pa = timed(run_ff_planned_analytic, min(reps, 3))
+    planned_analytic_t, res_pa = timed(run_ff_planned_analytic, min(reps, 3), clean_out=True)
     ff_best = min(ff_t, planned_t)
     detail = {
         "backend": backend,
@@ -287,18 +322,27 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
             # Standing accuracy-perturbation metric at FULL scale: greedy
             # agreement + first-token logit distance, FF vs dense (the
             # random-weight stand-in for the reference's lmms-eval accuracy
-            # delta; real-checkpoint numbers need network access).
+            # delta; real-checkpoint numbers need network access). On RANDOM
+            # weights the vocab-32k argmax is near-chance, so any
+            # perturbation flips the whole greedy chain — the noise floor
+            # below (dense vs dense on an input nudged by one bf16 ulp
+            # scale) calibrates how much of the disagreement is metric
+            # saturation rather than compression damage.
             dres = run_dense_full(h)
             fres = ff_e2e_fn(h)
             import jax.nn as jnn
             p = jnn.log_softmax(jnp.asarray(dres.logits, jnp.float32))
             q = jnn.log_softmax(jnp.asarray(fres.logits, jnp.float32))
+            noise_toks = e2e(engine,
+                             lambda hh: run_dense_full(hh * jnp.float32(1.0 + 2.0**-7)))
             detail.update({
                 "top1_agreement": round(float(np.mean(
                     [a == b for a, b in zip(dense_toks, ff_toks)])), 3),
                 "greedy_match_len": next(
                     (i for i, (a, b) in enumerate(zip(dense_toks, ff_toks)) if a != b),
                     len(ff_toks)),
+                "top1_noise_floor": round(float(np.mean(
+                    [a == b for a, b in zip(dense_toks, noise_toks)])), 3),
                 "first_token_kl": round(float(jnp.sum(jnp.exp(p) * (p - q))), 4),
             })
             del dres, fres, p, q
@@ -391,7 +435,7 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                         image_token_start=img_start, image_token_length=n_img,
                         plan_len=plan, pre_plan_len=pre_plan)
 
-                w8a8_t, res_w8 = timed(run_ff_w8a8, min(reps, 3))
+                w8a8_t, res_w8 = timed(run_ff_w8a8, min(reps, 3), clean_out=True)
                 ev_w8 = [(e.layer, e.kind, e.tokens_removed) for e in res_w8.telemetry.events]
                 detail.update({
                     "framefusion_planned_w8a8_ms": round(w8a8_t * 1e3, 1),
