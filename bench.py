@@ -147,7 +147,7 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
 
     chain_k = [0]  # process-global rep counter: every chained input distinct
 
-    def timed(fn, reps=None, rounds=3, clean_out=False):
+    def timed(fn, reps=None, rounds=3, clean_out=False, max_chain=32):
         """Per-run time as the SLOPE between two chain lengths.
 
         The relay's device->host read round-trip (L) is large, time-varying
@@ -163,12 +163,19 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
         the linear regime. Each rep's input carries a bf16-visible
         multiplicative scale (bitwise-distinct inputs; cosine/RMSNorm are
         scale-invariant per token so compression decisions are unchanged)
-        plus a term from the previous rep's logits (ordering).
+        plus a term from the previous rep's output (ordering). ``fn`` may
+        return a PrefillResult-like object (``.logits``) or a raw device
+        array (e.g. decode tokens). ``max_chain`` bounds in-flight queued
+        reps — each queued rep's intermediates (KV caches, decode pools)
+        stay live until executed, so cache-producing paths must cap it.
         ``reps`` is accepted for call-site compatibility and ignored.
         ``clean_out=True`` re-runs once on the unscaled input so returned
         telemetry reflects the real prompt."""
+        def val(o):
+            return o.logits if hasattr(o, "logits") else o
+
         out = fn(h)
-        force(out.logits)  # warmup: compile + drain
+        force(val(out))  # warmup: compile + drain
         l_est = read_overhead()  # idle-queue read == the latency floor L
 
         def chain(n):
@@ -179,12 +186,12 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                 chain_k[0] += 1
                 scale = jnp.float32(1.0 + (chain_k[0] % 97 + 1) * 2.0**-7)
                 out = fn(h * scale + eps)
-                eps = out.logits[0] * jnp.float32(1e-30)
-            force(out.logits)
+                eps = val(out).reshape(-1)[0].astype(jnp.float32) * jnp.float32(1e-30)
+            force(val(out))
             return time.perf_counter() - t0
 
         n, total = 2, chain(2)
-        while total < max(3.0 * l_est, 2.0) and n < 32:
+        while total < max(3.0 * l_est, 2.0) and n < max_chain:
             n *= 2
             total = chain(n)
         lo, hi = max(n // 2, 1), n
@@ -197,11 +204,11 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
         t = slopes[len(slopes) // 2]
         if clean_out:
             out = fn(h)
-            force(out.logits)
+            force(val(out))
         return t, (out if clean_out else None)
 
     dense_logits_t, _ = timed(run_dense_logits_only, reps)
-    dense_caches_t, _ = timed(run_dense_timing, min(reps, 2))  # bound in-flight caches
+    dense_caches_t, _ = timed(run_dense_timing, max_chain=4)  # bound in-flight caches
     gc.collect()
     # Plausibility guard: the with-caches prefill can only be >= the
     # logits-only one; sporadic relay under-measurement has produced
@@ -298,26 +305,33 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                 del r
                 return toks
 
-            def e2e_median(eng, prefill_fn, rounds=3):
-                # decode wall-clock varies run to run on relay-attached
-                # runners (DEVNOTES) — a single e2e run has been observed
-                # anywhere in 1.7-2.0x; take the median of 3.
-                toks = e2e(eng, prefill_fn)  # compile
-                ts = []
-                for _ in range(rounds):
-                    t0 = time.perf_counter()
-                    e2e(eng, prefill_fn)
-                    ts.append(time.perf_counter() - t0)
+            def e2e_device(eng, prefill_fn):
+                # Device-chainable e2e run (no host sync): prefill + decode
+                # scan, tokens left on device so timed() can slope-time it —
+                # a single e2e run's wall is max(work, L) like any other
+                # read-closed dispatch (DEVNOTES), and ff-e2e work (~0.8 s)
+                # can sit BELOW the relay's latency floor L.
+                def run(hh):
+                    r = prefill_fn(hh)
+                    toks = eng.generate_device(r, max_new_tokens=e2e_tokens)
+                    del r
+                    return toks
+                return run
+
+            def e2e_timed(eng, prefill_fn):
+                # max_chain=4: each queued rep holds its decode pools live.
+                t, _ = timed(e2e_device(eng, prefill_fn), max_chain=4)
                 gc.collect()
-                ts.sort()
-                return ts[len(ts) // 2], toks
+                return t
 
             def run_dense_full(hh):
                 return engine.dense_prefill(hh, pos)
 
             ff_e2e_fn = run_ff_planned if planned_t <= ff_t else run_ff
-            dense_e2e, dense_toks = e2e_median(engine, run_dense_full)
-            ff_e2e, ff_toks = e2e_median(engine, ff_e2e_fn)
+            dense_e2e = e2e_timed(engine, run_dense_full)
+            dense_toks = e2e(engine, run_dense_full)
+            ff_e2e = e2e_timed(engine, ff_e2e_fn)
+            ff_toks = e2e(engine, ff_e2e_fn)
 
             # Standing accuracy-perturbation metric at FULL scale: greedy
             # agreement + first-token logit distance, FF vs dense (the
@@ -354,12 +368,11 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                 "e2e_dense_ms": round(dense_e2e * 1e3, 1),
                 "e2e_framefusion_ms": round(ff_e2e * 1e3, 1),
                 "e2e_decode_dtype": "bf16",
-                # Diagnostic: decode wall-clock through the relay varies up
-                # to 4x between processes (DEVNOTES); ~17-24 ms/tok is the
-                # healthy range at 7B bf16, higher means a congested run and
-                # an understated e2e_speedup. The first token comes from the
-                # prefill logits, so e2e_tokens-1 decode steps ran; clamped
-                # at 0 (relay variance can make the difference negative).
+                # Diagnostic: slope-timed decode rate; ~17-24 ms/tok is the
+                # healthy range at 7B bf16 (weight-stream floor 16.4 ms,
+                # DEVNOTES). The first token comes from the prefill logits,
+                # so e2e_tokens-1 decode steps ran; clamped at 0 (residual
+                # measurement noise can make the difference negative).
                 "decode_ms_per_tok": round(
                     max(ff_e2e * 1e3 - ff_best * 1e3, 0.0) / max(e2e_tokens - 1, 1), 1
                 ),
@@ -389,7 +402,8 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                                             image_token_start=img_start,
                                             image_token_length=n_img)
 
-                ff_e2e_q, ff_toks_q = e2e_median(engine_q, run_ff_q)
+                ff_e2e_q = e2e_timed(engine_q, run_ff_q)
+                ff_toks_q = e2e(engine_q, run_ff_q)
                 # Parity guard: exact 32-token greedy equality is chaotic at
                 # random init (near-uniform logits — FF-vs-dense agreement is
                 # ~0 for the same reason), so the gate is the part int8 must

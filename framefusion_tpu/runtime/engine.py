@@ -1863,6 +1863,25 @@ class CompressionEngine:
         ``eos_token_id`` truncates host-side afterwards — the reference
         generates to length in its timed A/Bs too.
         """
+        toks = self.generate_device(result, max_new_tokens, sampler=sampler,
+                                    rng_key=rng_key)
+        out = [int(t) for t in np.asarray(toks)]
+        if eos_token_id is not None and eos_token_id in out:
+            out = out[: out.index(eos_token_id) + 1]
+        return out
+
+    def generate_device(
+        self,
+        result: PrefillResult,
+        max_new_tokens: int,
+        sampler=None,
+        rng_key=None,
+    ):
+        """``generate`` minus the host sync: returns the generated token ids
+        as an on-device int32 array of length ``max_new_tokens`` without
+        materialising them host-side. Lets callers pipeline/chain decode
+        dispatches (serving, dependency-chained timing) and defer the one
+        device->host read to wherever they consume the tokens."""
         from ..ops.sampling import SamplerConfig
 
         cfg = self.cfg
@@ -1875,10 +1894,7 @@ class CompressionEngine:
             cfg=cfg, attn_impl="pallas" if self.attn_impl == "pallas" else "jax",
             n_steps=max_new_tokens - 1, pos_dims=result.pos_dims, sampler=sampler,
         )
-        out = [int(t) for t in np.asarray(toks)]
-        if eos_token_id is not None and eos_token_id in out:
-            out = out[: out.index(eos_token_id) + 1]
-        return out
+        return toks
 
     def generate_greedy(self, result: PrefillResult, max_new_tokens: int, eos_token_id: Optional[int] = None):
         return self.generate(result, max_new_tokens, eos_token_id=eos_token_id)

@@ -72,11 +72,10 @@ class DeviceTimer:
 
     @staticmethod
     def timeit(fn, probe, reps=3):
-        """Median of ``reps`` individually-forced runs. Chained unforced
-        repeats are NOT used: identical-input repeats can be elided through
-        the execution relay (observed collapsing to ~0 ms), deflating
-        chained averages. Each sample pays one device->host read; that cost
-        is identical across compared methods."""
+        """Median of ``reps`` individually-forced runs. Each sample's wall is
+        ``max(T, L)`` where L is the relay's read round-trip (DEVNOTES) —
+        fine when T >> L, but methods faster than L read as L. Prefer
+        ``timeit_slope`` for anything whose runtime can sit below ~1 s."""
         out = fn()
         DeviceTimer.force(probe(out))  # warmup / compile
         times = []
@@ -87,6 +86,56 @@ class DeviceTimer:
             times.append(time.perf_counter() - t0)
         times.sort()
         return times[len(times) // 2], out
+
+    @staticmethod
+    def timeit_slope(run, probe, rounds=3, max_chain=32):
+        """Latency-artifact-free per-run time: the SLOPE between two
+        dependency-chained run counts (see bench.py timed() and DEVNOTES —
+        a chain of N dispatches closed by one forced read takes
+        ``max(N*T, L)`` wall, so slope cancels the relay's read latency L
+        and every other constant term).
+
+        ``run(scale, eps)`` must execute one dispatch on an input made
+        bf16-visibly distinct by multiplying with the python float ``scale``
+        and adding the jnp scalar ``eps`` (derived from the previous rep's
+        output, ordering the chain). ``probe(out)`` selects a device array
+        of the output. Returns ``(seconds_per_run, clean_out)`` where
+        clean_out is a final unscaled run (scale=1, eps=0).
+        """
+        import jax.numpy as jnp
+
+        out = run(1.0, jnp.float32(0.0))
+        DeviceTimer.force(probe(out))  # warmup / compile
+        t0 = time.perf_counter()
+        DeviceTimer.force(probe(out))
+        l_est = time.perf_counter() - t0  # idle-queue read == latency floor
+
+        k = [0]
+
+        def chain(n):
+            t0 = time.perf_counter()
+            eps = jnp.float32(0.0)
+            for _ in range(n):
+                k[0] += 1
+                o = run(1.0 + (k[0] % 97 + 1) * 2.0 ** -7, eps)
+                eps = probe(o).reshape(-1)[0].astype(jnp.float32) * jnp.float32(1e-30)
+            DeviceTimer.force(probe(o))
+            return time.perf_counter() - t0
+
+        n, total = 2, chain(2)
+        while total < max(3.0 * l_est, 2.0) and n < max_chain:
+            n *= 2
+            total = chain(n)
+        lo, hi = max(n // 2, 1), n
+        slopes = []
+        for _ in range(rounds):
+            e_lo = chain(lo)
+            e_hi = chain(hi)
+            slopes.append(max((e_hi - e_lo) / (hi - lo), 1e-9))
+        slopes.sort()
+        out = run(1.0, jnp.float32(0.0))
+        DeviceTimer.force(probe(out))
+        return slopes[len(slopes) // 2], out
 
 
 def ab_table(rows):

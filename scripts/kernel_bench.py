@@ -493,6 +493,93 @@ def check_kernels() -> int:
     return len(failures)
 
 
+def check_batch_parity() -> int:
+    """On-chip batched-vs-solo decision parity gate (ADVICE r2 #3).
+
+    The lockstep-batched planned prefill computes per-sequence compression
+    decisions with (B, S, D) batched matmuls whose fp32/bf16 reductions may
+    reassociate differently from the solo (S, D) programs on TPU — exactly
+    the tie sensitivity documented for budget0 in _pre_event_program. The
+    CPU/einsum suite pins exact parity; this gate checks the COMPILED TPU
+    programs agree on real-geometry prompts (7B heads/hidden, 8 layers,
+    16 frames, three coherence levels) before serving telemetry relies on
+    batched==solo events. Decode greedy-token divergence is reported as
+    info, not gated (bf16 argmax ties are legitimate).
+    """
+    from bench import build_video_prompt  # repo root on sys.path via common
+    from framefusion_tpu.config import FrameFusionConfig, qwen2_7b_config
+    from framefusion_tpu.models import qwen2
+    from framefusion_tpu.runtime.engine import CompressionEngine, PlanHistory
+
+    cfg = qwen2_7b_config(vocab_size=8192, num_layers=8)
+    ff = FrameFusionConfig(cost=0.3, similarity_lower_bound=0.6,
+                           ratio_lower_bound=0.1, schedule_num_layers=8)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    engine = CompressionEngine(params, cfg, ff, attn_impl="pallas")
+
+    rng = np.random.default_rng(7)
+    patch_num, n_frames = 182, 16
+    prompts = []
+    for c in (0.35, 0.45, 0.55):
+        h, pt, img_start, n_img = build_video_prompt(
+            rng, cfg.hidden_size, n_frames=n_frames, patch_num=patch_num,
+            coherent=c)
+        pos = np.arange(len(pt), dtype=np.int32)
+        prompts.append((h, pt, pos, img_start, n_img))
+
+    failures = []
+
+    def ev(res):
+        return [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+
+    # Solo adaptive runs: ground truth decisions + seed PlanHistory.
+    solo_fused = [
+        engine.prefill(h, pt, pos, patch_num, i0, il)
+        for (h, pt, pos, i0, il) in prompts
+    ]
+    key = PlanHistory.key(patch_num, n_frames, ff)
+    pre_plan, plan = engine.plan_history.suggest(key, ff.bucket)
+    print(f"  history buckets: pre_plan={pre_plan} plan={plan}")
+
+    # Solo planned with the shared buckets must reproduce the fused decisions.
+    solo_planned = [
+        engine.prefill_planned(h, pt, pos, patch_num, i0, il,
+                               plan_len=plan, pre_plan_len=pre_plan)
+        for (h, pt, pos, i0, il) in prompts
+    ]
+    for i, (f_res, p_res) in enumerate(zip(solo_fused, solo_planned)):
+        ok = (ev(f_res) == ev(p_res) and f_res.valid_len == p_res.valid_len
+              and p_res.mode == "planned")
+        print(f"  {'PASS' if ok else 'FAIL'}  solo planned==fused   seq{i} "
+              f"events={ev(p_res)} n={p_res.valid_len} mode={p_res.mode}")
+        if not ok:
+            failures.append(f"solo-planned-seq{i}")
+
+    # Batched lockstep planned with the SAME buckets vs the solo runs.
+    batched = engine.prefill_planned_batch(prompts, patch_num=patch_num,
+                                           plan_len=plan, pre_plan_len=pre_plan)
+    for i, (s_res, b_res) in enumerate(zip(solo_planned, batched)):
+        ok = ev(s_res) == ev(b_res) and s_res.valid_len == b_res.valid_len
+        print(f"  {'PASS' if ok else 'FAIL'}  batch==solo decisions seq{i} "
+              f"events={ev(b_res)} n={b_res.valid_len} mode={b_res.mode}")
+        if not ok:
+            failures.append(f"batch-decisions-seq{i}")
+
+    # Info only: batched decode vs solo decode greedy agreement.
+    n_new = 8
+    batch_toks = engine.generate_batch(batched, max_new_tokens=n_new)
+    for i, (h, pt, pos, i0, il) in enumerate(prompts):
+        r = engine.prefill_planned(h, pt, pos, patch_num, i0, il,
+                                   plan_len=plan, pre_plan_len=pre_plan)
+        solo_toks = engine.generate_greedy(r, max_new_tokens=n_new)
+        m = next((j for j, (a, b) in enumerate(zip(solo_toks, batch_toks[i]))
+                  if a != b), n_new)
+        print(f"  INFO  batched-decode greedy match seq{i}: {m}/{n_new}")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return len(failures)
+
+
 def bench_quant():
     """Is the int8 MXU path reachable from XLA on this chip? v5e quotes
     ~394 TOPS int8 vs ~197 TFLOPS bf16; if int8 x int8 -> int32 matmuls run
@@ -543,7 +630,10 @@ def main():
     args = ap.parse_args()
     print("backend:", jax.default_backend())
     if args.check:
-        raise SystemExit(check_kernels())
+        n = check_kernels()
+        print("\nbatched-vs-solo decision parity (engine level):")
+        n += check_batch_parity()
+        raise SystemExit(n)
     if args.what in ("attn", "all"):
         bench_attention()
     if args.what in ("quant", "all"):

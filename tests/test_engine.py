@@ -219,6 +219,19 @@ class TestSampling:
         trunc = engine.generate_greedy(res2, max_new_tokens=6, eos_token_id=full[2])
         assert trunc == full[: full.index(full[2]) + 1]
 
+    def test_generate_device_matches_generate(self, setup):
+        """generate_device is generate minus the host sync: same tokens, on
+        device (int dtype, length max_new_tokens), no eos truncation."""
+        cfg, params, ff = setup
+        h, pt, pos, img_start, n_img = build_inputs(seed=0)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        host = engine.generate_greedy(res, max_new_tokens=6)
+        res2 = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        dev = engine.generate_device(res2, max_new_tokens=6)
+        assert jnp.issubdtype(dev.dtype, jnp.integer) and dev.shape == (6,)
+        assert [int(t) for t in np.asarray(dev)] == host
+
 
 class TestPlannedMode:
     def test_planned_matches_fused(self, setup):
