@@ -115,6 +115,21 @@ def mm(x: jnp.ndarray, w, w8a8: bool = False) -> jnp.ndarray:
     return x @ w
 
 
+def mv_stacked(x: jnp.ndarray, w_stack, l) -> jnp.ndarray:
+    """Decode matvec straight from the (L, K, N) layer stack (int8 pair or
+    bf16) via the pallas streaming kernel — see ops/kernels/matvec_q8.py for
+    why the stack + scalar-prefetched layer index (and not a sliced weight)
+    is the right operand shape. Per-channel scales factor out exactly, as in
+    ``mm``."""
+    from ..ops.kernels.matvec_q8 import matvec_stacked
+
+    if isinstance(w_stack, dict):
+        y = matvec_stacked(x, w_stack["q8"], l)
+        s = jax.lax.dynamic_index_in_dim(w_stack["scale"], l, 0, keepdims=False)
+        return (y * s).astype(x.dtype)
+    return matvec_stacked(x, w_stack, l).astype(x.dtype)
+
+
 def _project_qkv(lp: dict, x: jnp.ndarray, cfg: LLMConfig, w8a8: bool = False):
     s = x.shape[0]
     hd = cfg.head_dim_
@@ -307,12 +322,29 @@ def decode_step(
     pos = position_id.reshape(3, 1) if position_id.size == 3 else position_id.reshape(1)
     cos, sin = positions_cos_sin(pos, cfg)
     h = token_embed[None, :]  # (1, D)
+    # The pallas path streams each weight matvec straight from the layer
+    # stack (matvec_q8.matvec_stacked): XLA's own matvec rides HBM bandwidth
+    # on the big MLP weights but caps at ~185G elements/s on the small
+    # projections (wq/wk/wv/wo) — measured, kernel_bench --what decode.
+    use_mv = attn_impl == "pallas"
+    layers = params["layers"]
+    hd = cfg.head_dim_
 
     def body(l, carry):
         h, k_pool, v_pool = carry
-        lp = layer_slice(params["layers"], l)
+        lp = layer_slice(layers, l)
         x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
-        q, k, v = _project_qkv(lp, x, cfg)
+        if use_mv:
+            q = mv_stacked(x, layers["wq"], l)
+            k = mv_stacked(x, layers["wk"], l)
+            v = mv_stacked(x, layers["wv"], l)
+            if cfg.qkv_bias:
+                q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+            q = q.reshape(1, cfg.num_heads, hd)
+            k = k.reshape(1, cfg.num_kv_heads, hd)
+            v = v.reshape(1, cfg.num_kv_heads, hd)
+        else:
+            q, k, v = _project_qkv(lp, x, cfg)
         q, k = apply_rope(q, k, cos, sin)
         length = cache_lens[l]
         k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
@@ -323,8 +355,15 @@ def decode_step(
             attn = ragged_decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
         else:
             attn = decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
-        h = h + mm(attn.reshape(1, -1), lp["wo"])
-        h = layer_mlp(lp, h, cfg)
+        if use_mv:
+            h = h + mv_stacked(attn.reshape(1, -1), layers["wo"], l)
+            x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
+            gated = jax.nn.silu(mv_stacked(x2, layers["w_gate"], l)) * mv_stacked(
+                x2, layers["w_up"], l)
+            h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
+        else:
+            h = h + mm(attn.reshape(1, -1), lp["wo"])
+            h = layer_mlp(lp, h, cfg)
         return h, k_pool, v_pool
 
     h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, body, (h, k_pool, v_pool))
@@ -342,6 +381,7 @@ def decode_step_batch(
     write_pos,
     step,
     cfg: LLMConfig,
+    attn_impl: str = "jax",
 ):
     """One decode step for a BATCH of sequences — scatter-free by design.
 
@@ -382,14 +422,29 @@ def decode_step_batch(
     # slice (the single-sequence loop's measured behavior) but materialized
     # full dequantized weights for scan's auto-sliced xs (measured 110 ms/
     # step at B=4 vs ~24 at B=1). Pools stay read-only closures either way.
+    # attn_impl=="pallas" streams the matvecs from the layer stacks, exactly
+    # as in decode_step (the weight stream is shared across the B rows).
+    use_mv = attn_impl == "pallas"
+    layers = params["layers"]
+
     def body(l, carry):
         h, k_new, v_new = carry
-        lp = layer_slice(params["layers"], l)
+        lp = layer_slice(layers, l)
         k_l = jax.lax.dynamic_index_in_dim(k_pool, l, 0, keepdims=False)  # (B, S, Hk, hd)
         v_l = jax.lax.dynamic_index_in_dim(v_pool, l, 0, keepdims=False)
         len_l = cache_lens[l]  # (B,)
         x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
-        q, k, v = _project_qkv(lp, x, cfg)  # (B, H, hd)
+        if use_mv:
+            q = mv_stacked(x, layers["wq"], l)
+            k = mv_stacked(x, layers["wk"], l)
+            v = mv_stacked(x, layers["wv"], l)
+            if cfg.qkv_bias:
+                q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+            q = q.reshape(b, cfg.num_heads, hd)
+            k = k.reshape(b, cfg.num_kv_heads, hd)
+            v = v.reshape(b, cfg.num_kv_heads, hd)
+        else:
+            q, k, v = _project_qkv(lp, x, cfg)  # (B, H, hd)
         q, k = apply_rope(q, k, cos, sin)
         qf = q.reshape(b, hk, g, hd).astype(jnp.float32)
         scores = jnp.einsum("bhgd,bshd->bhgs", qf, k_l.astype(jnp.float32)) * scale
@@ -403,8 +458,15 @@ def decode_step_batch(
         denom = jnp.sum(p, axis=-1, keepdims=True) + p_cur
         out = jnp.einsum("bhgs,bshd->bhgd", p, v_l.astype(jnp.float32))
         out = (out + p_cur * v.astype(jnp.float32).reshape(b, hk, 1, hd)) / denom
-        h = h + mm(out.reshape(b, -1).astype(h.dtype), lp["wo"])
-        h = layer_mlp(lp, h, cfg)
+        if use_mv:
+            h = h + mv_stacked(out.reshape(b, -1).astype(h.dtype), layers["wo"], l)
+            x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
+            gated = jax.nn.silu(mv_stacked(x2, layers["w_gate"], l)) * mv_stacked(
+                x2, layers["w_up"], l)
+            h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
+        else:
+            h = h + mm(out.reshape(b, -1).astype(h.dtype), lp["wo"])
+            h = layer_mlp(lp, h, cfg)
         k_new = jax.lax.dynamic_update_index_in_dim(k_new, k.astype(cfg.dtype), l, 0)
         v_new = jax.lax.dynamic_update_index_in_dim(v_new, v.astype(cfg.dtype), l, 0)
         return h, k_new, v_new

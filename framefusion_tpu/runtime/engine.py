@@ -301,12 +301,12 @@ def _decode_loop(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "pos_dims", "sampler"),
+    jax.jit, static_argnames=("cfg", "n_steps", "pos_dims", "sampler", "attn_impl"),
     donate_argnums=(2, 3),
 )
 def _decode_loop_batch(
     params, first_logits, k_pools, v_pools, cache_lens, pos_bases, write_pos, rng_key,
-    *, cfg: LLMConfig, n_steps: int, pos_dims: int, sampler,
+    *, cfg: LLMConfig, n_steps: int, pos_dims: int, sampler, attn_impl: str = "jax",
 ):
     """Batched decode: one ``lax.scan`` over ``decode_step_batch``. Decode is
     weight-bandwidth-bound (every step streams the full decoder weights from
@@ -331,7 +331,8 @@ def _decode_loop_batch(
         pos = pos_bases + step
         pos_id = jnp.tile(pos[None], (3, 1)) if pos_dims == 3 else pos
         logits, k_pools, v_pools = qwen2.decode_step_batch(
-            params, te, pos_id, k_pools, v_pools, cache_lens, write_pos, step, cfg
+            params, te, pos_id, k_pools, v_pools, cache_lens, write_pos, step, cfg,
+            attn_impl=attn_impl,
         )
         new_toks = sample_b(logits, keys)
         return (new_toks, k_pools, v_pools), new_toks
@@ -1962,6 +1963,7 @@ class CompressionEngine:
             jnp.int32(write_pos), rng_key,
             cfg=cfg, n_steps=max_new_tokens - 1,
             pos_dims=pos_dims, sampler=sampler,
+            attn_impl="pallas" if self.attn_impl == "pallas" else "jax",
         )
         rows = np.asarray(toks)
         out = []

@@ -489,6 +489,75 @@ def check_kernels() -> int:
         lambda: ragged_decode_attention(qd, kp, vp, jnp.int32(1700)),
         lambda: decode_attention(qd, kp, vp, jnp.int32(1700)))
 
+    # decode matvec kernel (int8 pair / bf16 / stacked+scalar-prefetch)
+    from framefusion_tpu.ops.kernels.matvec_q8 import (
+        matvec_bf16,
+        matvec_q8,
+        matvec_stacked,
+    )
+
+    kdim, n = 3584, 4608
+    xv = jnp.asarray(rng.standard_normal((1, kdim)) * 0.1, jnp.bfloat16)
+    w8 = jnp.asarray(rng.integers(-127, 128, (kdim, n)), jnp.int8)
+    sc = jnp.asarray(rng.random(n).astype(np.float32) * 0.01 + 0.005)
+    run("matvec q8", lambda: matvec_q8(xv, w8, sc),
+        lambda: jnp.dot(xv, w8.astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32) * sc,
+        atol=1e-3)
+    wbf = (w8.astype(jnp.bfloat16) * sc).astype(jnp.bfloat16)
+    run("matvec bf16", lambda: matvec_bf16(xv, wbf),
+        lambda: jnp.dot(xv, wbf, preferred_element_type=jnp.float32), atol=1e-3)
+    ws = jnp.stack([w8, (-w8).astype(jnp.int8)])
+    run("matvec stacked l=1", lambda: matvec_stacked(xv, ws, 1),
+        lambda: jnp.dot(xv, ws[1].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32), atol=1e-3)
+    xb = jnp.asarray(rng.standard_normal((4, kdim)) * 0.1, jnp.bfloat16)
+    run("matvec stacked rows=4", lambda: matvec_stacked(xb, ws, 0),
+        lambda: jnp.dot(xb, ws[0].astype(jnp.bfloat16),
+                        preferred_element_type=jnp.float32), atol=1e-3)
+
+    # full decode_step: pallas path (matvec kernel + ragged attention) vs
+    # the jax path, compiled, at a 7B-geometry 2-layer stack
+    from framefusion_tpu.config import qwen2_7b_config
+    from framefusion_tpu.models import qwen2 as q2
+    from framefusion_tpu.ops.quant import quantize_params_int8
+
+    dcfg = qwen2_7b_config(vocab_size=8192, num_layers=2)
+    dparams = q2.init_params(dcfg, jax.random.PRNGKey(3))
+    # quantize only AFTER the bf16 run: quantize_params_int8 CONSUMES its
+    # input (donation — the leaves alias dparams even through a tree.map
+    # container copy), so building it up front deletes the bf16 arrays.
+    for tag in ("bf16", "int8"):
+        prm = dparams if tag == "bf16" else quantize_params_int8(dparams)
+        emb = jnp.asarray(rng.standard_normal(dcfg.hidden_size) * 0.1, jnp.bfloat16)
+        kpool = jnp.asarray(rng.standard_normal((2, 512, dcfg.num_kv_heads, 128)) * 0.1,
+                            jnp.bfloat16)
+        vpool = jnp.asarray(rng.standard_normal((2, 512, dcfg.num_kv_heads, 128)) * 0.1,
+                            jnp.bfloat16)
+        lens = jnp.asarray([400, 380], jnp.int32)
+        step = jax.jit(functools.partial(q2.decode_step, cfg=dcfg), static_argnames="attn_impl")
+        run(f"decode_step pallas=={tag}-jax [logits]",
+            lambda prm=prm: step(prm, emb, jnp.int32(400), kpool, vpool, lens,
+                                 attn_impl="pallas")[0],
+            lambda prm=prm: step(prm, emb, jnp.int32(400), kpool, vpool, lens,
+                                 attn_impl="jax")[0],
+            atol=5e-2)
+        embs = jnp.asarray(rng.standard_normal((3, dcfg.hidden_size)) * 0.1, jnp.bfloat16)
+        kpb = jnp.asarray(rng.standard_normal((2, 3, 512, dcfg.num_kv_heads, 128)) * 0.1,
+                          jnp.bfloat16)
+        vpb = jnp.asarray(rng.standard_normal((2, 3, 512, dcfg.num_kv_heads, 128)) * 0.1,
+                          jnp.bfloat16)
+        lensb = jnp.asarray([[300, 260, 200], [280, 240, 190]], jnp.int32)
+        posb = jnp.asarray([300, 260, 200], jnp.int32)
+        stepb = jax.jit(functools.partial(q2.decode_step_batch, cfg=dcfg),
+                        static_argnames="attn_impl")
+        run(f"decode_step_batch pallas=={tag}-jax [logits]",
+            lambda prm=prm: stepb(prm, embs, posb, kpb, vpb, lensb, jnp.int32(440),
+                                  jnp.int32(2), attn_impl="pallas")[0],
+            lambda prm=prm: stepb(prm, embs, posb, kpb, vpb, lensb, jnp.int32(440),
+                                  jnp.int32(2), attn_impl="jax")[0],
+            atol=5e-2)
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return len(failures)
 
@@ -580,6 +649,164 @@ def check_batch_parity() -> int:
     return len(failures)
 
 
+def bench_decode():
+    """Where does decode's gap over the weight-stream floor live?
+
+    Decode at 7B is weight-bandwidth-bound (one full read of the weights per
+    token): floor = bytes / 819 GB/s = ~16.4 ms bf16 / ~8.2 ms int8, but the
+    e2e scan measures 24 / ~13.7 ms (DEVNOTES). This isolates the candidate
+    costs with decode-shaped (1, K) x (K, N) matvecs at Qwen2-7B shapes:
+      - per-shape dequant matvec effective GB/s (int8 + per-channel descale,
+        exactly models/qwen2.mm's weight-only path)
+      - bf16 matvec effective GB/s (dense path)
+      - the layer-stacked fori + dynamic_index pattern the decode loop uses
+        (gate/up/down MLP chain over L layers — does slicing from a stacked
+        (L, K, N) array lose streaming efficiency?)
+      - a pure int8 stream reduce as the read-rate ceiling check
+    Each measurement repeats the op R times INSIDE one jitted fori chain
+    (R sized so one dispatch ~ 0.4 s of floor-model work), then slope-times
+    dispatches with bf16-visibly distinct inputs (relay artifacts, DEVNOTES).
+    """
+    from common import DeviceTimer
+
+    rng = np.random.default_rng(0)
+    hbm = 819e9  # measured stream rate, DEVNOTES
+
+    def rep_count(bytes_per_op, target_s=0.4):
+        return max(int(target_s / (bytes_per_op / hbm)), 4)
+
+    def slope(jitted, x0, bytes_per_dispatch):
+        run = lambda scale, eps: jitted(x0 * jnp.bfloat16(scale)
+                                        + eps.astype(jnp.bfloat16))
+        t, _ = DeviceTimer.timeit_slope(run, lambda o: o, max_chain=16)
+        return t, bytes_per_dispatch / t / 1e9
+
+    def dev_int8(key, shape):
+        # generate ON DEVICE: host->device of GB-scale numpy arrays crawls
+        # through the relay tunnel
+        return jax.random.randint(key, shape, -127, 128, jnp.int8)
+
+    keys = iter(jax.random.split(jax.random.PRNGKey(0), 64))
+
+    shapes = [("wqkv 3584x4608", 3584, 4608), ("wo   3584x3584", 3584, 3584),
+              ("wup  3584x18944", 3584, 18944), ("wdn  18944x3584", 18944, 3584)]
+    print("--- single-shape matvec chains (R in-program reps per dispatch)")
+    for name, kdim, n in shapes:
+        w8 = dev_int8(next(keys), (kdim, n))
+        sc = jnp.asarray(rng.random(n).astype(np.float32) * 0.01 + 0.005)
+        wb = (w8.astype(jnp.bfloat16) * sc).astype(jnp.bfloat16)
+        x0 = jnp.asarray(rng.standard_normal((1, kdim)) * 0.1, jnp.bfloat16)
+
+        r_i8 = rep_count(kdim * n)
+
+        @jax.jit
+        def f_i8(x, w8=w8, sc=sc, r=r_i8):
+            def body(i, x):
+                y = jnp.dot(x, w8.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) * sc
+                return x + (jnp.sum(y) * 1e-30).astype(jnp.bfloat16)
+            return jax.lax.fori_loop(0, r, body, x)
+
+        t, rate = slope(f_i8, x0, r_i8 * kdim * n)
+        print(f"  int8 dequant {name}: {t/r_i8*1e6:7.1f} us/op  {rate:6.0f} GB/s")
+
+        r_bf = rep_count(2 * kdim * n)
+
+        @jax.jit
+        def f_bf(x, wb=wb, r=r_bf):
+            def body(i, x):
+                y = jnp.dot(x, wb, preferred_element_type=jnp.float32)
+                return x + (jnp.sum(y) * 1e-30).astype(jnp.bfloat16)
+            return jax.lax.fori_loop(0, r, body, x)
+
+        t, rate = slope(f_bf, x0, r_bf * 2 * kdim * n)
+        print(f"  bf16         {name}: {t/r_bf*1e6:7.1f} us/op  {rate:6.0f} GB/s")
+        del w8, wb
+
+    # --- pallas matvec kernel vs XLA's dequant matvec, per shape + blocks.
+    # XLA already rides HBM bandwidth on the big MLP weights; the small
+    # projections (wq/wk/wv/wo) are the gap the kernel must close.
+    from framefusion_tpu.ops.kernels.matvec_q8 import matvec_bf16, matvec_q8
+
+    print("--- pallas matvec kernel (int8 unless noted)")
+    pshapes = shapes + [("wkv  3584x512", 3584, 512)]
+    for name, kdim, n in pshapes:
+        w8 = dev_int8(next(keys), (kdim, n))
+        sc = jnp.asarray(rng.random(n).astype(np.float32) * 0.01 + 0.005)
+        wb = (w8.astype(jnp.bfloat16) * sc).astype(jnp.bfloat16)
+        x0 = jnp.asarray(rng.standard_normal((1, kdim)) * 0.1, jnp.bfloat16)
+        r = rep_count(kdim * n)
+
+        def bench_one(tag, y_fn, bytes_per_rep, reps):
+            @jax.jit
+            def f(x):
+                def body(i, x):
+                    y = y_fn(x)
+                    return x + (jnp.sum(y) * 1e-30).astype(jnp.bfloat16)
+                return jax.lax.fori_loop(0, reps, body, x)
+
+            try:
+                t, rate = slope(f, x0, reps * bytes_per_rep)
+                print(f"  {tag:34s}: {t/reps*1e6:7.1f} us/op  {rate:6.0f} GB/s")
+            except Exception as e:  # noqa: BLE001
+                print(f"  {tag:34s}: FAIL {type(e).__name__} {str(e)[:70]}")
+
+        for bk in (None, 896, 1792):
+            for bn in (None, 1024, 2048):
+                if bk is not None and kdim % bk:
+                    continue
+                if bn is not None and n % bn:
+                    continue
+                tag = f"pallas {name} bk={bk or 'auto'} bn={bn or 'auto'}"
+                bench_one(tag, functools.partial(matvec_q8, w8=w8, scale=sc,
+                                                 block_k=bk, block_n=bn),
+                          kdim * n, r)
+        bench_one(f"pallas {name} bf16", functools.partial(matvec_bf16, w=wb),
+                  2 * kdim * n, rep_count(2 * kdim * n))
+        del w8, wb
+
+    # --- layer-stacked MLP chain: the decode loop's access pattern
+    # (dynamic_index_in_dim into (L, K, N) int8 stacks inside fori).
+    L, kdim, n = 28, 3584, 18944
+    wg = dev_int8(next(keys), (L, kdim, n))
+    wd = dev_int8(next(keys), (L, n, kdim))
+    sg = jnp.asarray(rng.random(n).astype(np.float32) * 0.01 + 0.005)
+    sd = jnp.asarray(rng.random(kdim).astype(np.float32) * 0.01 + 0.005)
+    x0 = jnp.asarray(rng.standard_normal((1, kdim)) * 0.1, jnp.bfloat16)
+    sweep_bytes = 2 * L * kdim * n
+    r_st = rep_count(sweep_bytes)
+
+    @jax.jit
+    def f_stack(x):
+        def sweep(j, x):
+            def layer(l, h):
+                g = jax.lax.dynamic_index_in_dim(wg, l, 0, keepdims=False)
+                d = jax.lax.dynamic_index_in_dim(wd, l, 0, keepdims=False)
+                u = jnp.dot(h, g.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) * sg
+                u = (u * jax.nn.sigmoid(u)).astype(jnp.bfloat16)
+                y = jnp.dot(u, d.astype(jnp.bfloat16),
+                            preferred_element_type=jnp.float32) * sd
+                return h + (y * 1e-30).astype(jnp.bfloat16)
+            return jax.lax.fori_loop(0, L, layer, x)
+        return jax.lax.fori_loop(0, r_st, sweep, x)
+
+    t, rate = slope(f_stack, x0, r_st * sweep_bytes)
+    print(f"--- stacked fori MLP (L={L}): {t/r_st*1e3:7.2f} ms/sweep  "
+          f"{rate:6.0f} GB/s  (floor {sweep_bytes/hbm*1e3:.2f} ms)")
+
+    # --- pure int8 stream reduce over the same stack (read-rate ceiling;
+    # int8->i32 convert + reduce runs on the VPU, so this can under-read
+    # the true DMA rate a little).
+    @jax.jit
+    def f_stream(x):
+        s = jnp.sum(wg.astype(jnp.int32)) + jnp.sum(wd.astype(jnp.int32))
+        return x + (s.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
+
+    t, rate = slope(f_stream, x0, sweep_bytes)
+    print(f"--- int8 stream reduce      : {t*1e3:7.2f} ms        {rate:6.0f} GB/s")
+
+
 def bench_quant():
     """Is the int8 MXU path reachable from XLA on this chip? v5e quotes
     ~394 TOPS int8 vs ~197 TFLOPS bf16; if int8 x int8 -> int32 matmuls run
@@ -623,7 +850,8 @@ def bench_quant():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--what", default="all", choices=["attn", "engine", "quant", "all"])
+    ap.add_argument("--what", default="all",
+                    choices=["attn", "engine", "quant", "decode", "all"])
     ap.add_argument("--check", action="store_true",
                     help="compile-and-verify every kernel dispatch regime; "
                          "non-zero exit on mismatch or compile failure")
@@ -638,6 +866,8 @@ def main():
         bench_attention()
     if args.what in ("quant", "all"):
         bench_quant()
+    if args.what == "decode":
+        bench_decode()
     if args.what in ("engine", "all"):
         bench_engine()
 

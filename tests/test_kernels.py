@@ -335,3 +335,66 @@ class TestMidRegimeDispatch:
         np.testing.assert_allclose(np.asarray(out)[live], np.asarray(ref_out)[live],
                                    rtol=2e-3, atol=2e-3)
         np.testing.assert_allclose(np.asarray(imp), np.asarray(ref_imp), rtol=1e-5, atol=1e-6)
+
+
+class TestMatvecQ8:
+    """Decode matvec kernel (ops/kernels/matvec_q8.py) vs the XLA dequant
+    matmul it replaces (models/qwen2.mm weight-only path)."""
+
+    @pytest.mark.parametrize("k,n", [(512, 768), (896, 512), (4736, 384)])
+    def test_q8_matches_xla(self, k, n):
+        from framefusion_tpu.ops.kernels.matvec_q8 import matvec_q8
+
+        rng = np.random.default_rng(30)
+        x = jnp.asarray(rng.standard_normal((1, k)) * 0.1, jnp.bfloat16)
+        w8 = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        sc = jnp.asarray(rng.random(n).astype(np.float32) * 0.01 + 0.005)
+        ref = jnp.dot(x, w8.astype(jnp.bfloat16), preferred_element_type=jnp.float32) * sc
+        got = matvec_q8(x, w8, sc, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    def test_bf16_matches_xla(self):
+        from framefusion_tpu.ops.kernels.matvec_q8 import matvec_bf16
+
+        rng = np.random.default_rng(31)
+        k, n = 768, 640
+        x = jnp.asarray(rng.standard_normal((1, k)) * 0.1, jnp.bfloat16)
+        w = jnp.asarray(rng.standard_normal((k, n)) * 0.1, jnp.bfloat16)
+        ref = jnp.dot(x, w, preferred_element_type=jnp.float32)
+        got = matvec_bf16(x, w, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("rows", [2, 4])
+    def test_multirow_matches_xla(self, rows):
+        """Serving decode batch: (B, K) rows share one weight stream."""
+        from framefusion_tpu.ops.kernels.matvec_q8 import matvec_q8, matvec_stacked
+
+        rng = np.random.default_rng(33)
+        k, n = 512, 640
+        x = jnp.asarray(rng.standard_normal((rows, k)) * 0.1, jnp.bfloat16)
+        w8 = jnp.asarray(rng.integers(-127, 128, (k, n)), jnp.int8)
+        sc = jnp.asarray(rng.random(n).astype(np.float32) * 0.01 + 0.005)
+        ref = jnp.dot(x, w8.astype(jnp.bfloat16), preferred_element_type=jnp.float32) * sc
+        got = matvec_q8(x, w8, sc, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+        ws = jnp.stack([w8, (-w8).astype(jnp.int8), w8])
+        ref_s = jnp.dot(x, ws[1].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+        got_s = matvec_stacked(x, ws, 1, interpret=True)
+        np.testing.assert_allclose(np.asarray(got_s), np.asarray(ref_s), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16])
+    def test_stacked_picks_the_layer(self, dtype):
+        from framefusion_tpu.ops.kernels.matvec_q8 import matvec_stacked
+
+        rng = np.random.default_rng(32)
+        L, k, n = 5, 512, 768
+        if dtype == jnp.int8:
+            ws = jnp.asarray(rng.integers(-127, 128, (L, k, n)), jnp.int8)
+        else:
+            ws = jnp.asarray(rng.standard_normal((L, k, n)) * 0.1, jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((1, k)) * 0.1, jnp.bfloat16)
+        for l in (0, 2, L - 1):
+            ref = jnp.dot(x, ws[l].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
+            got = matvec_stacked(x, ws, l, interpret=True)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
