@@ -766,8 +766,11 @@ def bench_decode():
         del w8, wb
 
     # --- layer-stacked MLP chain: the decode loop's access pattern
-    # (dynamic_index_in_dim into (L, K, N) int8 stacks inside fori).
-    L, kdim, n = 28, 3584, 18944
+    # (dynamic_index_in_dim into (L, K, N) int8 stacks inside fori). Weights
+    # are jit ARGUMENTS — closure capture lowers them as multi-GB constants,
+    # which crawls through the relay (a full --what decode run timed out on
+    # exactly that).
+    L, kdim, n = 8, 3584, 18944
     wg = dev_int8(next(keys), (L, kdim, n))
     wd = dev_int8(next(keys), (L, n, kdim))
     sg = jnp.asarray(rng.random(n).astype(np.float32) * 0.01 + 0.005)
@@ -777,7 +780,7 @@ def bench_decode():
     r_st = rep_count(sweep_bytes)
 
     @jax.jit
-    def f_stack(x):
+    def f_stack(x, wg, wd):
         def sweep(j, x):
             def layer(l, h):
                 g = jax.lax.dynamic_index_in_dim(wg, l, 0, keepdims=False)
@@ -791,7 +794,7 @@ def bench_decode():
             return jax.lax.fori_loop(0, L, layer, x)
         return jax.lax.fori_loop(0, r_st, sweep, x)
 
-    t, rate = slope(f_stack, x0, r_st * sweep_bytes)
+    t, rate = slope(functools.partial(f_stack, wg=wg, wd=wd), x0, r_st * sweep_bytes)
     print(f"--- stacked fori MLP (L={L}): {t/r_st*1e3:7.2f} ms/sweep  "
           f"{rate:6.0f} GB/s  (floor {sweep_bytes/hbm*1e3:.2f} ms)")
 
@@ -799,11 +802,11 @@ def bench_decode():
     # int8->i32 convert + reduce runs on the VPU, so this can under-read
     # the true DMA rate a little).
     @jax.jit
-    def f_stream(x):
+    def f_stream(x, wg, wd):
         s = jnp.sum(wg.astype(jnp.int32)) + jnp.sum(wd.astype(jnp.int32))
         return x + (s.astype(jnp.float32) * 1e-30).astype(jnp.bfloat16)
 
-    t, rate = slope(f_stream, x0, sweep_bytes)
+    t, rate = slope(functools.partial(f_stream, wg=wg, wd=wd), x0, sweep_bytes)
     print(f"--- int8 stream reduce      : {t*1e3:7.2f} ms        {rate:6.0f} GB/s")
 
 
