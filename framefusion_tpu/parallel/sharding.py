@@ -12,9 +12,10 @@ Axes:
     inner dimension. KV heads bound the useful tensor size for GQA models
     (Qwen2-7B: 4).
 
-Layer-sharded "pipeline placement" (the reference's accelerate device_map) is
-intentionally *not* replicated: on a TPU slice, TP over ICI strictly
-dominates for these model sizes.
+The reference's accelerate device_map (layer placement across GPUs) maps to
+``parallel.pipeline``: a real GPipe schedule over a ``stage`` mesh axis,
+composable with the axes here. For 7B-class models TP over ICI dominates;
+the pipeline axis exists for depth-heavy stretch configs.
 """
 
 from __future__ import annotations
