@@ -324,6 +324,12 @@ class BaselineEngine(CompressionEngine):
     StreamingLLM ``sink_cache_decode`` variant below)."""
 
     def __init__(self, params, cfg, mode: str, kwargs: dict, *, attn_impl: str = "chunked", bucket: int = 128):
+        if cfg.is_moe:
+            # The baseline programs are mask-only throughout (dead rows stay
+            # physically present without a live mask on the MLP), which would
+            # let dropped tokens claim MoE expert-capacity slots. Gate until
+            # live-threading lands here like it did in the main executors.
+            raise NotImplementedError("baseline methods do not support MoE stacks yet")
         super().__init__(params, cfg, FrameFusionConfig(), attn_impl=attn_impl)
         self.mode = mode
         self.kwargs = kwargs

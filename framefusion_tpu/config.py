@@ -59,6 +59,21 @@ class LLMConfig:
     dtype: jnp.dtype = jnp.bfloat16
     # mRoPE section sizes for Qwen2-VL (None => standard 1D RoPE).
     mrope_section: Optional[tuple[int, ...]] = None
+    # Qwen2-MoE sparse-MLP geometry (num_experts == 0 => dense SwiGLU MLP).
+    # Matches HF Qwen2MoeConfig: softmax router -> top-k (optionally
+    # re-normalised) experts + shared expert with sigmoid gate.
+    num_experts: int = 0
+    num_experts_per_tok: int = 2
+    moe_intermediate_size: int = 0
+    shared_expert_intermediate_size: int = 0
+    norm_topk_prob: bool = False
+    # Per-expert token budget = ceil(S * top_k / E) * factor during prefill
+    # (decode gathers the chosen experts' weights directly — no capacity).
+    moe_capacity_factor: float = 1.25
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_experts > 0
 
     @property
     def head_dim_(self) -> int:
@@ -147,6 +162,47 @@ def internlm2_8b_config(**kw) -> LLMConfig:
         num_kv_heads=8,
         rope_theta=1e6,
         qkv_bias=False,
+    )
+    base.update(kw)
+    return LLMConfig(**base)
+
+
+def tiny_moe_llm_config(**kw) -> LLMConfig:
+    """Tiny Qwen2-MoE-shaped stack for tests: 4 experts, top-2, shared expert."""
+    base = dict(
+        vocab_size=512,
+        hidden_size=128,
+        intermediate_size=0,
+        num_layers=4,
+        num_heads=4,
+        num_kv_heads=2,
+        rope_theta=1e4,
+        dtype=jnp.float32,
+        num_experts=4,
+        num_experts_per_tok=2,
+        moe_intermediate_size=96,
+        shared_expert_intermediate_size=160,
+    )
+    base.update(kw)
+    return LLMConfig(**base)
+
+
+def qwen2_moe_a14b_config(**kw) -> LLMConfig:
+    """Qwen2-57B-A14B geometry (the Qwen2 family's MoE variant): 64 experts,
+    top-8 softmax routing + 20k-wide shared expert, GQA 28/4 like Qwen2-7B."""
+    base = dict(
+        vocab_size=151936,
+        hidden_size=3584,
+        intermediate_size=0,
+        num_layers=28,
+        num_heads=28,
+        num_kv_heads=4,
+        rope_theta=1e6,
+        num_experts=64,
+        num_experts_per_tok=8,
+        moe_intermediate_size=2560,
+        shared_expert_intermediate_size=20480,
+        norm_topk_prob=False,
     )
     base.update(kw)
     return LLMConfig(**base)

@@ -131,28 +131,43 @@ def router_probs(mp: dict, x: jnp.ndarray, cfg: MoeConfig):
     return weights.astype(x.dtype), idx, probs
 
 
-def moe_mlp(
+def sparse_mlp(
     mp: dict,
     x: jnp.ndarray,
-    cfg: MoeConfig,
     *,
+    num_experts: int,
+    top_k: int,
+    norm_topk_prob: bool,
     capacity: int | None = None,
+    live: jnp.ndarray | None = None,
     ep: bool = False,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """(S, D) -> (S, D) sparse MLP + router probs (for the aux loss).
 
     ``capacity`` is the per-expert token budget C; ``None`` means lossless
-    (C = S, exact HF semantics). ``ep=True`` adds ``expert``-axis sharding
-    constraints on the per-expert buffers (requires an active mesh)."""
+    (C = S, exact HF semantics). ``live`` (bool (S,)) excludes dead rows
+    from routing entirely — they claim no expert slots, so mask-only
+    executors (dead rows still physically present) route live tokens
+    identically to compacted executors. ``ep=True`` adds ``expert``-axis
+    sharding constraints on the per-expert buffers (requires an active
+    mesh). ``mp`` needs keys router/w_gate/w_up/w_down/sw_*/shared_gate
+    with the expert stacks' leading axis = E."""
     s, d = x.shape
-    e, k = cfg.num_experts, cfg.top_k
+    e, k = num_experts, top_k
     c = s if capacity is None else min(capacity, s)
 
-    weights, idx, probs = router_probs(mp, x, cfg)
+    logits = (x @ mp["router"]).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    weights, idx = jax.lax.top_k(probs, k)
+    if norm_topk_prob:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    weights = weights.astype(x.dtype)
 
     # GShard dispatch: rank-major priority — token t's rank-r choice beats
     # token t's rank-(r+1) everywhere (flatten (k, S) so low ranks first).
     oh = jax.nn.one_hot(idx, e, dtype=jnp.int32)  # (S, k, E)
+    if live is not None:
+        oh = oh * live.astype(jnp.int32)[:, None, None]
     flat = oh.transpose(1, 0, 2).reshape(k * s, e)  # rank-major
     pos_flat = jnp.cumsum(flat, axis=0) - 1  # position within expert
     pos = pos_flat.reshape(k, s, e).transpose(1, 0, 2)  # (S, k, E)
@@ -160,7 +175,7 @@ def moe_mlp(
 
     pos_oh = jax.nn.one_hot(jnp.where(keep, pos, -1), c, dtype=x.dtype)  # (S,k,E,C)
     dispatch = jnp.einsum("ske,skec->sec", oh.astype(x.dtype), pos_oh)
-    combine = jnp.einsum("sk,skec->sec", weights, pos_oh * oh[..., None].astype(x.dtype))
+    combine = jnp.einsum("sk,skec->sec", weights, pos_oh)
 
     xe = jnp.einsum("sec,sd->ecd", dispatch, x)
     if ep:
@@ -175,6 +190,40 @@ def moe_mlp(
     shared = jax.nn.silu(x @ mp["sw_gate"]) * (x @ mp["sw_up"]) @ mp["sw_down"]
     y = y + jax.nn.sigmoid(x @ mp["shared_gate"]) * shared
     return y.astype(x.dtype), probs
+
+
+def moe_prefill_capacity(s: int, cfg) -> int:
+    """Per-expert token budget for an (S,)-row prefill call: the balanced
+    share ``S * top_k / E`` times ``moe_capacity_factor``, rounded up to a
+    lane-friendly multiple of 8 and clamped to lossless (C = S).
+
+    Computed from the PHYSICAL row count at trace time. Cross-executor
+    decision parity: dead rows are live-masked out of routing, so for the
+    same live set the cumsum positions agree between mask-only and
+    compacted layouts; executors can only diverge if a more-compact bucket
+    lowers C below an expert's live load (capacity_factor is the headroom
+    against that — raise it if telemetry shows drops at your routing
+    skew)."""
+    import math
+
+    c = math.ceil(s * cfg.num_experts_per_tok / cfg.num_experts * cfg.moe_capacity_factor)
+    return min(s, max(8, -(-c // 8) * 8))
+
+
+def moe_mlp(
+    mp: dict,
+    x: jnp.ndarray,
+    cfg: MoeConfig,
+    *,
+    capacity: int | None = None,
+    ep: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Standalone-block entry point (see ``sparse_mlp`` for semantics)."""
+    return sparse_mlp(
+        mp, x,
+        num_experts=cfg.num_experts, top_k=cfg.top_k,
+        norm_topk_prob=cfg.norm_topk_prob, capacity=capacity, ep=ep,
+    )
 
 
 def load_balancing_loss(probs: jnp.ndarray, idx: jnp.ndarray, cfg: MoeConfig) -> jnp.ndarray:

@@ -31,7 +31,7 @@ from ..ops.rope import apply_rope, mrope_cos_sin, rope_cos_sin
 def init_params(cfg: LLMConfig, key: jax.Array) -> dict:
     """Random-normal initialisation (inference framework: used for tests/bench)."""
     hd = cfg.head_dim_
-    keys = iter(jax.random.split(key, 16))
+    keys = iter(jax.random.split(key, 24))
 
     def norm(*shape, scale=0.02):
         # Generate directly in the target dtype: a 7B init must not allocate
@@ -47,10 +47,28 @@ def init_params(cfg: LLMConfig, key: jax.Array) -> dict:
         "wk": norm(n_l, d, hk * hd),
         "wv": norm(n_l, d, hk * hd),
         "wo": norm(n_l, hq * hd, d),
-        "w_gate": norm(n_l, d, i),
-        "w_up": norm(n_l, d, i),
-        "w_down": norm(n_l, i, d),
     }
+    if cfg.is_moe:
+        # Qwen2-MoE: per-layer router + expert stacks (layer axis first, then
+        # expert axis — the expert axis is the ep sharding axis) + shared
+        # expert with its sigmoid gate (HF Qwen2MoeSparseMoeBlock).
+        e, mi, si = cfg.num_experts, cfg.moe_intermediate_size, cfg.shared_expert_intermediate_size
+        layers.update({
+            "router": norm(n_l, d, e),
+            "w_gate": norm(n_l, e, d, mi),
+            "w_up": norm(n_l, e, d, mi),
+            "w_down": norm(n_l, e, mi, d),
+            "sw_gate": norm(n_l, d, si),
+            "sw_up": norm(n_l, d, si),
+            "sw_down": norm(n_l, si, d),
+            "shared_gate": norm(n_l, d, 1),
+        })
+    else:
+        layers.update({
+            "w_gate": norm(n_l, d, i),
+            "w_up": norm(n_l, d, i),
+            "w_down": norm(n_l, i, d),
+        })
     if cfg.qkv_bias:
         layers["bq"] = jnp.zeros((n_l, hq * hd), cfg.dtype)
         layers["bk"] = jnp.zeros((n_l, hk * hd), cfg.dtype)
@@ -209,10 +227,72 @@ def attention_kernel_dispatch(q, k, v, attn_impl, capture_num, valid_len, key_va
     return attn, importance
 
 
-def layer_mlp(lp: dict, h: jnp.ndarray, cfg: LLMConfig, w8a8: bool = False) -> jnp.ndarray:
+def layer_mlp(
+    lp: dict,
+    h: jnp.ndarray,
+    cfg: LLMConfig,
+    w8a8: bool = False,
+    live: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Pre-norm MLP block with residual; dispatches to the Qwen2-MoE sparse
+    block when the layer slice carries router params (cfg.is_moe stacks).
+
+    ``live`` (bool (S,), mask-only executors) excludes dead rows from expert
+    routing so they cannot claim capacity slots — live tokens then route
+    identically whether dead rows are physically present (fused phase) or
+    compacted away (planned/tail), keeping cross-executor decision parity.
+    Dense MLP is per-token, so ``live`` is irrelevant there."""
+    if "router" in lp:
+        if w8a8:
+            raise NotImplementedError("w8a8 tail is not supported on MoE stacks")
+        from .moe import moe_prefill_capacity, sparse_mlp
+
+        if h.ndim == 3:  # batched executors: route each sequence independently
+            if live is None:
+                return jax.vmap(lambda hs: layer_mlp(lp, hs, cfg))(h)
+            return jax.vmap(lambda hs, lv: layer_mlp(lp, hs, cfg, live=lv))(h, live)
+        x = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
+        y, _ = sparse_mlp(
+            lp, x,
+            num_experts=cfg.num_experts,
+            top_k=cfg.num_experts_per_tok,
+            norm_topk_prob=cfg.norm_topk_prob,
+            capacity=moe_prefill_capacity(x.shape[0], cfg),
+            live=live,
+        )
+        return h + y
     x = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
     gated = jax.nn.silu(mm(x, lp["w_gate"], w8a8)) * mm(x, lp["w_up"], w8a8)
     return h + mm(gated, lp["w_down"], w8a8)
+
+
+def moe_decode_mlp(lp: dict, h: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
+    """Single-row MoE MLP for decode: gather the top-k experts' WEIGHTS by
+    index instead of dispatching the token — exact (no capacity), and the
+    HBM traffic is k experts + the shared expert instead of all E. This is
+    the activated-parameter decode win (A14B reads ~14B of 57B params/step).
+    ``h``: (1, D) or (D,)."""
+    x1 = h.reshape(-1)[None, :]  # (1, D)
+    x = rmsnorm(x1, lp["ln2"], cfg.rms_norm_eps)
+    logits = (x @ lp["router"]).astype(jnp.float32)
+    probs = jax.nn.softmax(logits, axis=-1)
+    weights, idx = jax.lax.top_k(probs[0], cfg.num_experts_per_tok)
+    if cfg.norm_topk_prob:
+        weights = weights / jnp.sum(weights)
+    weights = weights.astype(x.dtype)
+
+    def one_expert(e):
+        wg = jax.lax.dynamic_index_in_dim(lp["w_gate"], e, 0, keepdims=False)
+        wu = jax.lax.dynamic_index_in_dim(lp["w_up"], e, 0, keepdims=False)
+        wd = jax.lax.dynamic_index_in_dim(lp["w_down"], e, 0, keepdims=False)
+        return (jax.nn.silu(x @ wg) * (x @ wu)) @ wd  # (1, D)
+
+    ye = jax.vmap(one_expert)(idx)  # (k, 1, D)
+    y = jnp.sum(ye[:, 0] * weights[:, None], axis=0, keepdims=True)
+
+    shared = jax.nn.silu(x @ lp["sw_gate"]) * (x @ lp["sw_up"]) @ lp["sw_down"]
+    y = y + jax.nn.sigmoid(x @ lp["shared_gate"]) * shared
+    return (h.reshape(1, -1) + y).reshape(h.shape)
 
 
 def embed(params: dict, input_ids: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
@@ -242,8 +322,12 @@ def run_layers(
     attn_impl: str = "chunked",
     want_caches: bool = True,
     w8a8: bool = False,
+    valid_len=None,
 ):
     """Run layers [start_layer, stop_layer) over ``h``; returns (h, k_all, v_all).
+
+    ``valid_len`` marks trailing PAD rows (compacted-bucket callers); only
+    MoE stacks consume it — pad rows must not claim expert capacity slots.
 
     ``start_layer``/``stop_layer`` may be traced: a ``fori_loop`` with dynamic
     bounds lets the compressed prefill resume mid-stack at the
@@ -258,12 +342,15 @@ def run_layers(
     s = h.shape[0]
     hd = cfg.head_dim_
     stop_layer = cfg.num_layers if stop_layer is None else stop_layer
+    live = None
+    if cfg.is_moe and valid_len is not None:
+        live = jnp.arange(s, dtype=jnp.int32) < valid_len
 
     if not want_caches:
         def body_h(l, h):
             lp = layer_slice(params["layers"], l)
             h, _, _, _ = layer_attention(lp, h, cos, sin, cfg, attn_impl=attn_impl, w8a8=w8a8)
-            return layer_mlp(lp, h, cfg, w8a8)
+            return layer_mlp(lp, h, cfg, w8a8, live=live)
 
         h = jax.lax.fori_loop(start_layer, stop_layer, body_h, h)
         return h, None, None
@@ -275,7 +362,7 @@ def run_layers(
         h, k_all, v_all = carry
         lp = layer_slice(params["layers"], l)
         h, k, v, _ = layer_attention(lp, h, cos, sin, cfg, attn_impl=attn_impl, w8a8=w8a8)
-        h = layer_mlp(lp, h, cfg, w8a8)
+        h = layer_mlp(lp, h, cfg, w8a8, live=live)
         k_all = jax.lax.dynamic_update_index_in_dim(k_all, k.astype(cfg.dtype), l, 0)
         v_all = jax.lax.dynamic_update_index_in_dim(v_all, v.astype(cfg.dtype), l, 0)
         return h, k_all, v_all
@@ -357,12 +444,18 @@ def decode_step(
             attn = decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
         if use_mv:
             h = h + mv_stacked(attn.reshape(1, -1), layers["wo"], l)
+        else:
+            h = h + mm(attn.reshape(1, -1), lp["wo"])
+        if cfg.is_moe:
+            # Weight-gather decode: HBM reads only the k routed experts +
+            # shared expert — the activated-parameter bandwidth win.
+            h = moe_decode_mlp(lp, h, cfg)
+        elif use_mv:
             x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
             gated = jax.nn.silu(mv_stacked(x2, layers["w_gate"], l)) * mv_stacked(
                 x2, layers["w_up"], l)
             h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
         else:
-            h = h + mm(attn.reshape(1, -1), lp["wo"])
             h = layer_mlp(lp, h, cfg)
         return h, k_pool, v_pool
 
@@ -460,12 +553,16 @@ def decode_step_batch(
         out = (out + p_cur * v.astype(jnp.float32).reshape(b, hk, 1, hd)) / denom
         if use_mv:
             h = h + mv_stacked(out.reshape(b, -1).astype(h.dtype), layers["wo"], l)
+        else:
+            h = h + mm(out.reshape(b, -1).astype(h.dtype), lp["wo"])
+        if cfg.is_moe:
+            h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(h)  # (B, D)
+        elif use_mv:
             x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
             gated = jax.nn.silu(mv_stacked(x2, layers["w_gate"], l)) * mv_stacked(
                 x2, layers["w_up"], l)
             h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
         else:
-            h = h + mm(out.reshape(b, -1).astype(h.dtype), lp["wo"])
             h = layer_mlp(lp, h, cfg)
         k_new = jax.lax.dynamic_update_index_in_dim(k_new, k.astype(cfg.dtype), l, 0)
         v_new = jax.lax.dynamic_update_index_in_dim(v_new, v.astype(cfg.dtype), l, 0)

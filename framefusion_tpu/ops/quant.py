@@ -71,6 +71,12 @@ def quantize_params_int8(params: dict, quantize_lm_head: bool = False) -> dict:
     it is small).
     """
     layers = params["layers"]  # mutated in place — entries are consumed
+    if "router" in layers:
+        raise NotImplementedError(
+            "int8 weight-only quant does not support MoE expert stacks yet; "
+            "run MoE stacks in bf16 (the weight-gather decode already reads "
+            "only the activated experts)"
+        )
     for name in QUANTIZED_LAYER_WEIGHTS:
         w = layers.get(name)
         if w is not None and not isinstance(w, dict):

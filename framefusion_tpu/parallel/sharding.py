@@ -71,6 +71,20 @@ def param_pspecs(cfg: LLMConfig) -> dict:
     if not cfg.qkv_bias:
         for k in ("bq", "bk", "bv"):
             layers.pop(k)
+    if cfg.is_moe:
+        # MoE stacks: the EXPERT axis takes the tensor slot (expert
+        # parallelism — each device holds E/tensor experts; the combine
+        # einsum contracts over E so GSPMD inserts the psum). The shared
+        # expert shards its inner dim like a dense MLP; router replicated.
+        for k in ("w_gate", "w_up", "w_down"):
+            layers[k] = P(None, "tensor", None, None)
+        layers.update({
+            "router": P(None, None, None),
+            "sw_gate": P(None, None, "tensor"),
+            "sw_up": P(None, None, "tensor"),
+            "sw_down": P(None, "tensor", None),
+            "shared_gate": P(None, None, None),
+        })
     if cfg.tie_word_embeddings:
         specs.pop("lm_head")
     return specs

@@ -220,7 +220,8 @@ def _merge_compact_program(
     h_new = out["h"]
     if do_mlp:
         lp = qwen2.layer_slice(params["layers"], layer_idx)
-        h_new = qwen2.layer_mlp(lp, h_new, cfg)
+        live = jnp.arange(new_len, dtype=jnp.int32) < new_valid
+        h_new = qwen2.layer_mlp(lp, h_new, cfg, live=live)
     return h_new, out["pos"], out["patch_type"]
 
 
@@ -236,21 +237,17 @@ def _prune_compact_program(
         keep, new_len, new_valid, {"h": h, "pos": pos_tok, "patch_type": patch_type}
     )
     lp = qwen2.layer_slice(params["layers"], layer_idx)
-    h_new = qwen2.layer_mlp(lp, out["h"], cfg)
+    live_new = jnp.arange(new_len, dtype=jnp.int32) < new_valid
+    h_new = qwen2.layer_mlp(lp, out["h"], cfg, live=live_new)
     return h_new, out["pos"], out["patch_type"]
-
-
-@functools.partial(jax.jit, static_argnames=("cfg",))
-def _mlp_program(params, layer_idx, h, *, cfg: LLMConfig):
-    lp = qwen2.layer_slice(params["layers"], layer_idx)
-    return qwen2.layer_mlp(lp, h, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "w8a8"))
 def _tail_program(params, start_layer, h, pos_tok, valid_len, *, cfg: LLMConfig, attn_impl: str, w8a8: bool = False):
     cos, sin = qwen2.positions_cos_sin(_pos_axes(pos_tok), cfg)
     h, k_all, v_all = qwen2.run_layers(
-        params, h, cos, sin, cfg, start_layer=start_layer, attn_impl=attn_impl, w8a8=w8a8
+        params, h, cos, sin, cfg, start_layer=start_layer, attn_impl=attn_impl,
+        w8a8=w8a8, valid_len=valid_len,
     )
     last = jax.lax.dynamic_slice_in_dim(h, valid_len - 1, 1, axis=0)
     logits = qwen2.final_logits(params, last, cfg)[0]
@@ -577,7 +574,7 @@ def _phase_program(
             lambda s_: prune_event(s_, h_mid, importance, l),
             st,
         )
-        st["h"] = qwen2.layer_mlp(lp, st["h"], cfg)
+        st["h"] = qwen2.layer_mlp(lp, st["h"], cfg, live=st["live"])
         st["layer"] = l + 1
         return st
 
@@ -816,7 +813,7 @@ def _phase_program_batch(
             seq_st, h_mid, importance, patch_type, valid0, image_start, image_len, l
         )
         st.update(new_seq)
-        st["h"] = qwen2.layer_mlp(lp, st["h"], cfg)
+        st["h"] = qwen2.layer_mlp(lp, st["h"], cfg, live=st["live"])
         return l + 1, st
 
     layer, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
@@ -839,11 +836,13 @@ def _tail_program_batch(params, start_layer, h, pos_tok, valid_len, *, cfg: LLMC
     no_capture = jnp.zeros((b,), jnp.int32)
     all_live = jnp.ones((b, sp), bool)
 
+    live_rows = jnp.arange(sp, dtype=jnp.int32)[None, :] < valid_len[:, None]  # (B, S)
+
     def body(l, carry):
         h, k_all, v_all = carry
         lp = qwen2.layer_slice(params["layers"], l)
         h, k, v, _ = _attn_core_batch(lp, h, cos, sin, cfg, attn_impl, 0, no_capture, all_live)
-        h = qwen2.layer_mlp(lp, h, cfg)
+        h = qwen2.layer_mlp(lp, h, cfg, live=live_rows)
         k_all = jax.lax.dynamic_update_index_in_dim(k_all, k.astype(cfg.dtype), l, 0)
         v_all = jax.lax.dynamic_update_index_in_dim(v_all, v.astype(cfg.dtype), l, 0)
         return h, k_all, v_all

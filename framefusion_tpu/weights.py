@@ -38,6 +38,20 @@ _QWEN2_LAYER_KEYS = {
     "mlp.down_proj.weight": ("w_down", True),
 }
 
+# Qwen2-MoE (Qwen2MoeForCausalLM) per-layer sparse-MLP names; expert stacks
+# are collected by _QWEN2_MOE_EXPERT_RE into (E, in, out) per layer.
+_QWEN2_MOE_LAYER_KEYS = {
+    "mlp.gate.weight": ("router", True),
+    "mlp.shared_expert.gate_proj.weight": ("sw_gate", True),
+    "mlp.shared_expert.up_proj.weight": ("sw_up", True),
+    "mlp.shared_expert.down_proj.weight": ("sw_down", True),
+    "mlp.shared_expert_gate.weight": ("shared_gate", True),
+}
+_QWEN2_MOE_EXPERT_RE = re.compile(
+    r"mlp\.experts\.(\d+)\.(gate_proj|up_proj|down_proj)\.weight"
+)
+_EXPERT_NAME = {"gate_proj": "w_gate", "up_proj": "w_up", "down_proj": "w_down"}
+
 
 def to_numpy(t) -> np.ndarray:
     if isinstance(t, np.ndarray):
@@ -64,14 +78,26 @@ def params_from_state_dict(state_dict, cfg: LLMConfig, prefix: str = "model.") -
     layer_re = re.compile(re.escape(prefix) + r"layers\.(\d+)\.(.+)")
 
     per_layer: dict[str, dict[int, np.ndarray]] = {}
+    per_expert: dict[str, dict[tuple[int, int], np.ndarray]] = {}
+    key_table = dict(_QWEN2_LAYER_KEYS)
+    if cfg.is_moe:
+        key_table.update(_QWEN2_MOE_LAYER_KEYS)
+        for k in ("mlp.gate_proj.weight", "mlp.up_proj.weight", "mlp.down_proj.weight"):
+            key_table.pop(k)
     for name, tensor in sd.items():
         m = layer_re.match(name)
         if not m:
             continue
         idx, sub = int(m.group(1)), m.group(2)
-        if sub not in _QWEN2_LAYER_KEYS:
+        if cfg.is_moe:
+            em = _QWEN2_MOE_EXPERT_RE.fullmatch(sub)
+            if em:
+                ours = _EXPERT_NAME[em.group(2)]
+                per_expert.setdefault(ours, {})[(idx, int(em.group(1)))] = to_numpy(tensor).T
+                continue
+        if sub not in key_table:
             continue
-        ours, transpose = _QWEN2_LAYER_KEYS[sub]
+        ours, transpose = key_table[sub]
         arr = to_numpy(tensor)
         per_layer.setdefault(ours, {})[idx] = arr.T if transpose else arr
 
@@ -80,6 +106,18 @@ def params_from_state_dict(state_dict, cfg: LLMConfig, prefix: str = "model.") -
         assert len(by_idx) == cfg.num_layers, f"{ours}: got {len(by_idx)} layers, want {cfg.num_layers}"
         layers[ours] = jnp.asarray(
             np.stack([by_idx[i] for i in range(cfg.num_layers)]), dtype=cfg.dtype
+        )
+    for ours, by_le in per_expert.items():
+        assert len(by_le) == cfg.num_layers * cfg.num_experts, (
+            f"{ours}: got {len(by_le)} expert tensors, want "
+            f"{cfg.num_layers}x{cfg.num_experts}"
+        )
+        layers[ours] = jnp.asarray(
+            np.stack([
+                np.stack([by_le[(l, e)] for e in range(cfg.num_experts)])
+                for l in range(cfg.num_layers)
+            ]),
+            dtype=cfg.dtype,
         )
 
     params = {
@@ -184,6 +222,10 @@ _ARCH_TO_FAMILY = {
     "Qwen2VLForConditionalGeneration": "qwen2_vl",
     "Qwen2_5_VLForConditionalGeneration": "qwen2_vl",
     "InternVLChatModel": "internvl",
+    # MoE backbone (Qwen1.5-MoE / Qwen2-57B-A14B): text-only stack usable by
+    # any family that adopts it; routed through the llava_video-style
+    # interface defaults.
+    "Qwen2MoeForCausalLM": "llava_video",
 }
 
 
@@ -217,6 +259,18 @@ def llm_config_from_hf(cfg_dict: dict, dtype=jnp.bfloat16):
     if "bias" in text:  # InternLM2 configs carry an explicit flag
         qkv_bias = bool(text["bias"])
 
+    moe_kw = {}
+    if text.get("num_experts"):
+        moe_kw = dict(
+            num_experts=int(text["num_experts"]),
+            num_experts_per_tok=int(text.get("num_experts_per_tok", 2)),
+            moe_intermediate_size=int(text["moe_intermediate_size"]),
+            shared_expert_intermediate_size=int(
+                text.get("shared_expert_intermediate_size", 0)
+            ),
+            norm_topk_prob=bool(text.get("norm_topk_prob", False)),
+        )
+
     llm = LLMConfig(
         vocab_size=text["vocab_size"],
         hidden_size=text["hidden_size"],
@@ -230,6 +284,7 @@ def llm_config_from_hf(cfg_dict: dict, dtype=jnp.bfloat16):
         qkv_bias=qkv_bias,
         mrope_section=mrope_section,
         dtype=dtype,
+        **moe_kw,
     )
     return family, llm
 
