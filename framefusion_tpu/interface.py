@@ -124,13 +124,27 @@ class FrameFusionModel:
         eos_token_id: Optional[int] = None,
         sampler=None,
         rng_key=None,
+        speculative: bool = False,
+        draft_len: int = 4,
+        prompt_ids=None,
     ):
         """Prefill + decode (greedy, or an ``ops.sampling.SamplerConfig``).
-        Returns (token_ids, PrefillResult)."""
+        Returns (token_ids, PrefillResult).
+
+        ``speculative=True`` (greedy only) decodes via prompt-lookup
+        draft-and-verify — same tokens, fewer weight passes when the output
+        echoes ``prompt_ids`` or itself (runtime/spec_decode.py)."""
         result = self.prefill(inputs)
-        tokens = self.engine().generate(
-            result, max_new_tokens, eos_token_id=eos_token_id, sampler=sampler, rng_key=rng_key
-        )
+        if speculative:
+            assert sampler is None, "speculative decoding is greedy-only"
+            tokens = self.engine().generate_spec(
+                result, max_new_tokens, draft_len=draft_len,
+                prompt_ids=prompt_ids, eos_token_id=eos_token_id,
+            )
+        else:
+            tokens = self.engine().generate(
+                result, max_new_tokens, eos_token_id=eos_token_id, sampler=sampler, rng_key=rng_key
+            )
         return tokens, result
 
     def generate_batch(

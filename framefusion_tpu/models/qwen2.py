@@ -20,7 +20,12 @@ import jax
 import jax.numpy as jnp
 
 from ..config import LLMConfig
-from ..ops.attention import causal_attention, decode_attention, last_rows_importance
+from ..ops.attention import (
+    causal_attention,
+    decode_attention,
+    last_rows_importance,
+    verify_attention,
+)
 from ..ops.rope import apply_rope, mrope_cos_sin, rope_cos_sin
 
 
@@ -266,12 +271,23 @@ def layer_mlp(
     return h + mm(gated, lp["w_down"], w8a8)
 
 
+def _gather_expert(w, e):
+    """Index one expert's weight out of an (E, K, O) stack — or out of both
+    members of an int8 weight-only pair (q8 (E, K, O), scale (E, O))."""
+    if isinstance(w, dict):
+        return {
+            "q8": jax.lax.dynamic_index_in_dim(w["q8"], e, 0, keepdims=False),
+            "scale": jax.lax.dynamic_index_in_dim(w["scale"], e, 0, keepdims=False),
+        }
+    return jax.lax.dynamic_index_in_dim(w, e, 0, keepdims=False)
+
+
 def moe_decode_mlp(lp: dict, h: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
     """Single-row MoE MLP for decode: gather the top-k experts' WEIGHTS by
     index instead of dispatching the token — exact (no capacity), and the
     HBM traffic is k experts + the shared expert instead of all E. This is
-    the activated-parameter decode win (A14B reads ~14B of 57B params/step).
-    ``h``: (1, D) or (D,)."""
+    the activated-parameter decode win (A14B reads ~14B of 57B params/step);
+    int8 weight pairs (ops/quant.py) halve it again. ``h``: (1, D) or (D,)."""
     x1 = h.reshape(-1)[None, :]  # (1, D)
     x = rmsnorm(x1, lp["ln2"], cfg.rms_norm_eps)
     logits = (x @ lp["router"]).astype(jnp.float32)
@@ -282,15 +298,15 @@ def moe_decode_mlp(lp: dict, h: jnp.ndarray, cfg: LLMConfig) -> jnp.ndarray:
     weights = weights.astype(x.dtype)
 
     def one_expert(e):
-        wg = jax.lax.dynamic_index_in_dim(lp["w_gate"], e, 0, keepdims=False)
-        wu = jax.lax.dynamic_index_in_dim(lp["w_up"], e, 0, keepdims=False)
-        wd = jax.lax.dynamic_index_in_dim(lp["w_down"], e, 0, keepdims=False)
-        return (jax.nn.silu(x @ wg) * (x @ wu)) @ wd  # (1, D)
+        wg = _gather_expert(lp["w_gate"], e)
+        wu = _gather_expert(lp["w_up"], e)
+        wd = _gather_expert(lp["w_down"], e)
+        return mm(jax.nn.silu(mm(x, wg)) * mm(x, wu), wd)  # (1, D)
 
     ye = jax.vmap(one_expert)(idx)  # (k, 1, D)
     y = jnp.sum(ye[:, 0] * weights[:, None], axis=0, keepdims=True)
 
-    shared = jax.nn.silu(x @ lp["sw_gate"]) * (x @ lp["sw_up"]) @ lp["sw_down"]
+    shared = mm(jax.nn.silu(mm(x, lp["sw_gate"])) * mm(x, lp["sw_up"]), lp["sw_down"])
     y = y + jax.nn.sigmoid(x @ lp["shared_gate"]) * shared
     return (h.reshape(1, -1) + y).reshape(h.shape)
 
@@ -462,6 +478,67 @@ def decode_step(
     h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, body, (h, k_pool, v_pool))
     logits = final_logits(params, h, cfg)[0]
     return logits, k_pool, v_pool, cache_lens + 1
+
+
+def verify_step(
+    params: dict,
+    token_embeds: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    cache_lens: jnp.ndarray,
+    cfg: LLMConfig,
+):
+    """Speculative-verify step: K candidate rows through the stack in ONE
+    weight pass.
+
+    Decode is HBM-bandwidth-bound on the weights, so verifying K drafted
+    tokens costs nearly the same wall-clock as one :func:`decode_step` —
+    that asymmetry is the entire speculative-decoding win. Row 0 is the last
+    committed token; rows 1..K-1 are draft continuations. All K rows' K/V
+    are written to the pool at each layer's own ragged offset (the caller
+    rolls ``cache_lens`` forward by ``accepted+1`` only, so rejected rows'
+    entries are dead padding that the next verify overwrites in place).
+
+    Args:
+        token_embeds: (K, D) candidate-row embeddings.
+        position_ids: (K,) int32 (or (3, K) for mRoPE) rotary positions.
+        k_pool, v_pool: (L, S_pad, Hk, hd); the caller must leave >= K rows
+            of headroom past every layer's ``cache_lens`` entry.
+        cache_lens: (L,) valid entries per layer excluding these rows.
+
+    Returns:
+        (logits (K, V), k_pool, v_pool) — logits[i] scores the token AFTER
+        row i, exactly what plain greedy decode would produce given rows
+        0..i committed.
+    """
+    kq = token_embeds.shape[0]
+    pos = position_ids.reshape(3, kq) if position_ids.size == 3 * kq else position_ids.reshape(kq)
+    cos, sin = positions_cos_sin(pos, cfg)
+    h = token_embeds  # (K, D)
+
+    def body(l, carry):
+        h, k_pool, v_pool = carry
+        lp = layer_slice(params["layers"], l)
+        x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(lp, x, cfg)
+        q, k = apply_rope(q, k, cos, sin)
+        length = cache_lens[l]
+        k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
+        v_pool = jax.lax.dynamic_update_slice(v_pool, v.astype(cfg.dtype)[None], (l, length, 0, 0))
+        attn = verify_attention(q, k_pool[l], v_pool[l], length)
+        h = h + mm(attn.reshape(kq, -1), lp["wo"])
+        if cfg.is_moe:
+            # Row-wise exact expert gather — same math as decode's
+            # moe_decode_mlp, so accepted rows match plain decode.
+            h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(h)
+        else:
+            h = layer_mlp(lp, h, cfg)
+        return h, k_pool, v_pool
+
+    h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, body, (h, k_pool, v_pool))
+    logits = final_logits(params, h, cfg)  # (K, V)
+    return logits, k_pool, v_pool
 
 
 def decode_step_batch(

@@ -213,6 +213,36 @@ def decode_attention(q, k_cache, v_cache, cache_len):
     return out.reshape(hq, d).astype(q.dtype)
 
 
+def verify_attention(q, k_cache, v_cache, base_len):
+    """Multi-row decode attention for speculative verification.
+
+    The caller has appended the K rows' keys/values to the cache at
+    positions ``base_len .. base_len+K``; row ``i`` attends the prefix plus
+    rows ``0..i`` (standard causal continuation). Row 0's computation is the
+    same masked fp32 softmax/einsum as :func:`decode_attention`, so a
+    verify step with zero accepted drafts reproduces the plain decode step.
+
+    Args:
+        q: (K, Hq, D) query rows; k_cache, v_cache: (S_pad, Hk, D);
+        base_len: scalar int32 — valid entries *before* these K rows.
+    Returns:
+        (K, Hq, D) in q.dtype.
+    """
+    s_pad, hk, d = k_cache.shape
+    kq, hq = q.shape[0], q.shape[1]
+    g = hq // hk
+    qf = q.reshape(kq, hk, g, d).astype(jnp.float32)
+    kf = k_cache.transpose(1, 0, 2).astype(jnp.float32)
+    vf = v_cache.transpose(1, 0, 2).astype(jnp.float32)
+    scores = jnp.einsum("nhgd,hkd->nhgk", qf, kf) / jnp.sqrt(d).astype(jnp.float32)
+    horizon = base_len + 1 + jnp.arange(kq, dtype=jnp.int32)  # (K,)
+    mask = jnp.arange(s_pad)[None, :] < horizon[:, None]
+    scores = jnp.where(mask[:, None, None], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("nhgk,hkd->nhgd", probs, vf)
+    return out.reshape(kq, hq, d).astype(q.dtype)
+
+
 def causal_attention(q, k, v, impl: str = "chunked", key_valid=None):
     if impl == "einsum":
         return causal_attention_einsum(q, k, v, key_valid=key_valid)

@@ -1899,6 +1899,28 @@ class CompressionEngine:
     def generate_greedy(self, result: PrefillResult, max_new_tokens: int, eos_token_id: Optional[int] = None):
         return self.generate(result, max_new_tokens, eos_token_id=eos_token_id)
 
+    def generate_spec(
+        self,
+        result: PrefillResult,
+        max_new_tokens: int,
+        draft_len: int = 4,
+        prompt_ids=None,
+        eos_token_id: Optional[int] = None,
+        return_stats: bool = False,
+    ):
+        """Greedy decode via speculative draft-and-verify (one jitted
+        while_loop; prompt-lookup drafts, exact greedy output — see
+        runtime/spec_decode.py). ``prompt_ids`` optionally seeds the lookup
+        history with the prompt's text token ids; ``return_stats`` adds a
+        dict with macro_steps / acceptance counters."""
+        from .spec_decode import generate_spec
+
+        return generate_spec(
+            self, result, max_new_tokens, draft_len=draft_len,
+            prompt_ids=prompt_ids, eos_token_id=eos_token_id,
+            return_stats=return_stats,
+        )
+
     # -- batched serving ------------------------------------------------------
 
     def generate_batch(
