@@ -120,6 +120,26 @@ def shard_moe_params(params: dict, mesh: Mesh) -> dict:
     return jax.tree.map(jax.device_put, params, shardings)
 
 
+def _mm(x: jnp.ndarray, w) -> jnp.ndarray:
+    """Dense matmul accepting int8 weight-only pairs (ops/quant.py layout;
+    same semantics as qwen2.mm — the per-output-channel scale factors out of
+    the contraction exactly, int8->dtype convert fuses into the tiles)."""
+    if isinstance(w, dict):
+        y = jnp.dot(x, w["q8"].astype(x.dtype), preferred_element_type=jnp.float32)
+        return (y * w["scale"]).astype(x.dtype)
+    return x @ w
+
+
+def _expert_einsum(spec: str, a: jnp.ndarray, w) -> jnp.ndarray:
+    """Batched-over-experts einsum ``(E, C, in) x (E, in, out) -> (E, C, out)``
+    accepting int8 pairs: q8 (E, in, out) int8 + scale (E, out) f32."""
+    if isinstance(w, dict):
+        y = jnp.einsum(spec, a, w["q8"].astype(a.dtype),
+                       preferred_element_type=jnp.float32)
+        return (y * w["scale"][:, None, :]).astype(a.dtype)
+    return jnp.einsum(spec, a, w)
+
+
 def router_probs(mp: dict, x: jnp.ndarray, cfg: MoeConfig):
     """fp32 softmax over experts + top-k (HF lines: softmax -> topk ->
     optional renorm). Returns (weights (S,k) in x.dtype, idx (S,k), probs)."""
@@ -180,14 +200,14 @@ def sparse_mlp(
     xe = jnp.einsum("sec,sd->ecd", dispatch, x)
     if ep:
         xe = jax.lax.with_sharding_constraint(xe, P("expert", None, None))
-    gated = jax.nn.silu(jnp.einsum("ecd,edi->eci", xe, mp["w_gate"]))
-    up = jnp.einsum("ecd,edi->eci", xe, mp["w_up"])
-    ye = jnp.einsum("eci,eid->ecd", gated * up, mp["w_down"])
+    gated = jax.nn.silu(_expert_einsum("ecd,edi->eci", xe, mp["w_gate"]))
+    up = _expert_einsum("ecd,edi->eci", xe, mp["w_up"])
+    ye = _expert_einsum("eci,eid->ecd", gated * up, mp["w_down"])
     if ep:
         ye = jax.lax.with_sharding_constraint(ye, P("expert", None, None))
     y = jnp.einsum("sec,ecd->sd", combine, ye)
 
-    shared = jax.nn.silu(x @ mp["sw_gate"]) * (x @ mp["sw_up"]) @ mp["sw_down"]
+    shared = _mm(jax.nn.silu(_mm(x, mp["sw_gate"])) * _mm(x, mp["sw_up"]), mp["sw_down"])
     y = y + jax.nn.sigmoid(x @ mp["shared_gate"]) * shared
     return y.astype(x.dtype), probs
 

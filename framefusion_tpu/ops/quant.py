@@ -25,7 +25,14 @@ import functools
 import jax
 import jax.numpy as jnp
 
-QUANTIZED_LAYER_WEIGHTS = ("wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down")
+# w_gate/w_up/w_down are the dense MLP stacks (L, K, O) on dense models and
+# the expert stacks (L, E, K, O) on MoE models; sw_* are the MoE shared
+# expert (dense-shaped). The router and shared_gate stay bf16 (tiny, and the
+# router's fp32 softmax decides expert assignment — not worth perturbing).
+QUANTIZED_LAYER_WEIGHTS = (
+    "wq", "wk", "wv", "wo", "w_gate", "w_up", "w_down",
+    "sw_gate", "sw_up", "sw_down",
+)
 
 
 @functools.partial(jax.jit, donate_argnums=0)
@@ -45,7 +52,12 @@ def quantize_weight(w: jnp.ndarray) -> dict:
         q8 = jnp.clip(jnp.round(wl.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
         return q8, scale.squeeze(-2)
 
-    if w.ndim == 3:
+    if w.ndim == 4:  # MoE expert stacks (L, E, K, O): per-(layer, expert) map
+        l, e = w.shape[:2]
+        q8, scale = jax.lax.map(one, w.reshape(l * e, *w.shape[2:]))
+        q8 = q8.reshape(l, e, *q8.shape[1:])
+        scale = scale.reshape(l, e, *scale.shape[1:])
+    elif w.ndim == 3:
         q8, scale = jax.lax.map(one, w)
     else:
         q8, scale = one(w)
@@ -71,12 +83,6 @@ def quantize_params_int8(params: dict, quantize_lm_head: bool = False) -> dict:
     it is small).
     """
     layers = params["layers"]  # mutated in place — entries are consumed
-    if "router" in layers:
-        raise NotImplementedError(
-            "int8 weight-only quant does not support MoE expert stacks yet; "
-            "run MoE stacks in bf16 (the weight-gather decode already reads "
-            "only the activated experts)"
-        )
     for name in QUANTIZED_LAYER_WEIGHTS:
         w = layers.get(name)
         if w is not None and not isinstance(w, dict):

@@ -220,6 +220,71 @@ class TestShardedMoEInference:
         }
 
 
+class TestMoeInt8:
+    """int8 weight-only quant on MoE stacks: the expert stacks quantize
+    per-(layer, expert, out-channel); decode gathers int8 experts (half the
+    activated-parameter HBM traffic again)."""
+
+    def test_expert_stack_quantizes_4d(self):
+        from framefusion_tpu.ops.quant import dequantize_weight, quantize_weight
+
+        rng = np.random.default_rng(0)
+        w = jnp.asarray(rng.standard_normal((3, 4, 16, 8)), jnp.float32)
+        wq = quantize_weight(w.copy())
+        assert wq["q8"].shape == (3, 4, 16, 8) and wq["scale"].shape == (3, 4, 8)
+        err = np.abs(np.asarray(dequantize_weight(wq)) - np.asarray(w))
+        halfstep = np.asarray(wq["scale"])[:, :, None, :] / 2 + 1e-7
+        assert (err <= halfstep).all()
+
+    def test_moe_engine_int8_decisions_and_decode(self):
+        from framefusion_tpu.ops.quant import quantize_params_int8
+
+        cfg = tiny_moe_llm_config(num_layers=4)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+        ff = FrameFusionConfig(cost=0.5, similarity_lower_bound=0.8, ratio_lower_bound=0.05,
+                               schedule_num_layers=4, bucket=32)
+        h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.8)
+
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        res = engine.prefill(h, pt, pos, 6, img_start, n_img)
+
+        qparams = quantize_params_int8(jax.tree.map(jnp.copy, params))
+        assert isinstance(qparams["layers"]["w_gate"], dict)  # expert stack went int8
+        assert isinstance(qparams["layers"]["sw_up"], dict)   # shared expert too
+        assert not isinstance(qparams["layers"]["router"], dict)  # router stays bf16
+        engine_q = CompressionEngine(qparams, cfg, ff, attn_impl="einsum")
+        res_q = engine_q.prefill(h, pt, pos, 6, img_start, n_img)
+
+        assert res_q.valid_len == res.valid_len
+        got = [(e.layer, e.kind, e.tokens_removed) for e in res_q.telemetry.events]
+        want = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+        assert got == want
+        a, b = np.asarray(res_q.logits), np.asarray(res.logits)
+        cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert cos > 0.99
+
+        toks = engine_q.generate_greedy(res_q, max_new_tokens=4)
+        assert len(toks) == 4
+        # spec decode rides the same gathered-int8 weights
+        res_q2 = engine_q.prefill(h, pt, pos, 6, img_start, n_img)
+        assert engine_q.generate_spec(res_q2, 4, draft_len=2) == toks
+
+    def test_int8_expert_gather_matches_dequantized(self):
+        """mm on a gathered int8 expert == matmul against the dequantized
+        expert (the scale factors out exactly; only w rounding differs)."""
+        from framefusion_tpu.ops.quant import dequantize_weight, quantize_weight
+
+        rng = np.random.default_rng(1)
+        w = jnp.asarray(rng.standard_normal((4, 16, 8)), jnp.float32)
+        wq = quantize_weight(w.copy())
+        e = jnp.int32(2)
+        g = qwen2._gather_expert(wq, e)
+        x = jnp.asarray(rng.standard_normal((1, 16)), jnp.float32)
+        got = qwen2.mm(x, g)
+        want = x @ dequantize_weight(wq)[2]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-6)
+
+
 class TestCapacityDropSemantics:
     def test_tight_capacity_changes_only_overflow_tokens(self):
         """Documented semantics: with factor-limited capacity, overflow
