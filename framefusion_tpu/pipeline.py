@@ -89,14 +89,34 @@ class TextPipeline:
         return fallback
 
     def _embed_ids(self, ids) -> np.ndarray:
+        ids = np.asarray(ids, np.int32)
+        if getattr(self, "_prompt_ids_acc", None) is not None:
+            self._prompt_ids_acc.extend(int(i) for i in ids)
         return np.asarray(
-            qwen2.embed(self.model.params, jnp.asarray(np.asarray(ids, np.int32)), self.model.cfg),
+            qwen2.embed(self.model.params, jnp.asarray(ids), self.model.cfg),
             np.float32,
         )
 
     def build_inputs(self, question: str, frames=None, video_features=None,
                      video_grid_thw=None, second_per_grid_ts=None):
-        """Tokenize the family's chat prompt and splice the video features."""
+        """Tokenize the family's chat prompt and splice the video features.
+
+        Also records ``last_prompt_ids`` — the prompt's text token ids
+        (placeholder rows dropped) — which ``ask(speculative=True)`` feeds to
+        the prompt-lookup drafter (runtime/spec_decode.py)."""
+        self._prompt_ids_acc = []
+        try:
+            inputs = self._build_inputs_dispatch(
+                question, frames=frames, video_features=video_features,
+                video_grid_thw=video_grid_thw,
+                second_per_grid_ts=second_per_grid_ts)
+        finally:
+            self.last_prompt_ids = [i for i in self._prompt_ids_acc if i != 0]
+            self._prompt_ids_acc = None
+        return inputs
+
+    def _build_inputs_dispatch(self, question: str, frames=None, video_features=None,
+                               video_grid_thw=None, second_per_grid_ts=None):
         if self.model.family == "qwen2_vl":
             return self._build_inputs_qwen2_vl(question, video_features, video_grid_thw,
                                                frames=frames,
@@ -313,14 +333,19 @@ class TextPipeline:
 
     def ask(self, question: str, frames=None, video_features=None,
             max_new_tokens: int = 64, eos_token_id: Optional[int] = None,
-            video_grid_thw=None, second_per_grid_ts=None) -> str:
+            video_grid_thw=None, second_per_grid_ts=None,
+            speculative: bool = False, draft_len: int = 4) -> str:
         inputs = self.build_inputs(question, frames=frames, video_features=video_features,
                                    video_grid_thw=video_grid_thw,
                                    second_per_grid_ts=second_per_grid_ts)
         eos = eos_token_id
         if eos is None:
             eos = getattr(self.tokenizer, "eos_token_id", None)
-        tokens, result = self.model.generate(inputs, max_new_tokens, eos_token_id=eos)
+        tokens, result = self.model.generate(
+            inputs, max_new_tokens, eos_token_id=eos,
+            speculative=speculative, draft_len=draft_len,
+            prompt_ids=self.last_prompt_ids if speculative else None,
+        )
         text = self.tokenizer.decode(tokens)
         self.last_result = result
         return text

@@ -46,6 +46,25 @@ def test_ask_end_to_end():
     assert pipe.last_result.telemetry.vision_token_reduction > 0
 
 
+def test_ask_speculative_matches_plain():
+    """ask(speculative=True) auto-seeds the lookup history from the prompt's
+    text ids (last_prompt_ids, placeholders dropped) and returns the same
+    text as the plain greedy path."""
+    cfg = tiny_llm_config(num_layers=2)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(3))
+    model = FrameFusionModel(family="llava_video", cfg=cfg, params=params, attn_impl="einsum")
+    vit_cfg = siglip.tiny_vit_config()
+    pipe = TextPipeline(model=model, tokenizer=StubTokenizer(), vit_cfg=vit_cfg)
+    rng = np.random.default_rng(2)
+    feats = (rng.standard_normal((6 * 3, cfg.hidden_size)) * 0.05).astype(np.float32)
+    plain = pipe.ask("What is shown?", video_features=feats, max_new_tokens=8)
+    ids = pipe.last_prompt_ids
+    assert ids and 0 not in ids and max(ids) < cfg.vocab_size
+    spec = pipe.ask("What is shown?", video_features=feats, max_new_tokens=8,
+                    speculative=True)
+    assert spec == plain
+
+
 def test_precomputed_features_path():
     cfg = tiny_llm_config(num_layers=2)
     params = qwen2.init_params(cfg, jax.random.PRNGKey(3))
