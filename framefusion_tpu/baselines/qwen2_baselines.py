@@ -377,6 +377,24 @@ class BaselineEngine(CompressionEngine):
             sampler=sampler, rng_key=rng_key,
         )
 
+    def _guard_spec_sink(self):
+        if self.mode == "streamingllm" and self.kwargs.get("sink_cache_decode"):
+            # The verify pass attends the FULL cache; this variant's decode
+            # semantics are windowed sink attention, so speculation would
+            # silently produce the full-attention tokens instead.
+            raise NotImplementedError(
+                "speculative decoding not supported for the sink_cache_decode "
+                "StreamingLLM variant (windowed decode attention)"
+            )
+
+    def generate_spec(self, *args, **kwargs):
+        self._guard_spec_sink()
+        return super().generate_spec(*args, **kwargs)
+
+    def generate_spec_batch(self, *args, **kwargs):
+        self._guard_spec_sink()
+        return super().generate_spec_batch(*args, **kwargs)
+
     def prefill(self, input_embeds, patch_type, position_ids, patch_num, image_token_start, image_token_length, mode=None):
         cfg = self.cfg
         h, pt, pos_tok, orig_len = self._prep_inputs(input_embeds, patch_type, position_ids)

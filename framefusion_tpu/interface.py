@@ -155,6 +155,9 @@ class FrameFusionModel:
         sampler=None,
         rng_key=None,
         mode: str = "fused",
+        speculative: bool = False,
+        draft_len: int = 4,
+        prompt_ids=None,
     ):
         """Batched serving: compressed prefills + ONE batched decode scan
         (decode is weight-bandwidth-bound, so B sequences cost ~one
@@ -166,6 +169,13 @@ class FrameFusionModel:
         other mode prefills per request (prefill is MXU-compute-bound, so
         sequential prefills cost the same FLOPs — batching them mainly
         saves dispatches).
+
+        ``speculative=True`` (greedy only) decodes the batch by prompt-
+        lookup draft-and-verify — each macro step verifies all B sequences'
+        K candidate rows in one weight pass, same tokens as the plain
+        batched greedy scan (runtime/spec_decode.py). ``prompt_ids``:
+        optional list of per-request text token id lists seeding the lookup
+        histories.
 
         Returns (list of per-request token lists, list of PrefillResults).
         """
@@ -184,9 +194,17 @@ class FrameFusionModel:
             # prefill pipeline — prefill() per request keeps their dispatch.
             per_request_mode = "fused" if mode == "planned_batch" else mode
             results = [self.prefill(inp, mode=per_request_mode) for inp in inputs_list]
-        tokens = self.engine().generate_batch(
-            results, max_new_tokens, eos_token_id=eos_token_id, sampler=sampler, rng_key=rng_key
-        )
+        if speculative:
+            assert sampler is None, "speculative decoding is greedy-only"
+            tokens = self.engine().generate_spec_batch(
+                results, max_new_tokens, draft_len=draft_len,
+                prompt_ids=prompt_ids, eos_token_id=eos_token_id,
+            )
+        else:
+            tokens = self.engine().generate_batch(
+                results, max_new_tokens, eos_token_id=eos_token_id,
+                sampler=sampler, rng_key=rng_key
+            )
         return tokens, results
 
 

@@ -658,3 +658,115 @@ def decode_step_batch(
     )
     logits = final_logits(params, h, cfg)
     return logits, k_pool, v_pool
+
+
+def verify_step_batch(
+    params: dict,
+    token_embeds: jnp.ndarray,
+    position_ids: jnp.ndarray,
+    k_pool: jnp.ndarray,
+    v_pool: jnp.ndarray,
+    cache_lens: jnp.ndarray,
+    decode_mask: jnp.ndarray,
+    write_pos,
+    step,
+    cfg: LLMConfig,
+):
+    """Speculative-verify for a BATCH: (B, K) candidate rows through the
+    stack in ONE weight pass — :func:`verify_step` with
+    :func:`decode_step_batch`'s scatter-free cache discipline.
+
+    Each macro step writes every sequence's K rows at the COMMON offset
+    ``write_pos + step*K`` (one ``(L, B, K, Hk, hd)`` pool update per step;
+    per-sequence ragged offsets would lower to row scatters, which serialize
+    on TPU). Rows a sequence later rejects are left in place as dead padding
+    — ``decode_mask`` marks only COMMITTED decode-region rows, so they are
+    invisible to attention, exactly like the solo path's overwritten rows.
+
+    Args:
+        token_embeds: (B, K, D) candidate-row embeddings (row 0 = each
+            sequence's last committed token).
+        position_ids: (B, K) int32, or (3, B, K) for mRoPE.
+        k_pool, v_pool: (L, B, S_pool, Hk, hd) — READ-ONLY through the layer
+            loop (the K current rows ride explicit attention columns).
+        cache_lens: (L, B) ragged prefix lengths (constant across decode).
+        decode_mask: (B, S_pool) bool — committed decode-region rows from
+            earlier macro steps.
+        write_pos: scalar int32 — start of the decode region.
+        step: scalar int32 — 0-based macro-step index.
+
+    Returns:
+        (logits (B, K, V), k_pool, v_pool); ``logits[b, i]`` scores the
+        token after row i given rows 0..i committed, per sequence.
+    """
+    b, kq, _ = token_embeds.shape
+    flat_pos = (
+        position_ids.reshape(3, b * kq)
+        if position_ids.ndim == 3
+        else position_ids.reshape(b * kq)
+    )
+    cos, sin = positions_cos_sin(flat_pos, cfg)  # (B*K, hd)
+    cos = cos.reshape(b, kq, -1)
+    sin = sin.reshape(b, kq, -1)
+    s_pool = k_pool.shape[2]
+    hk = cfg.num_kv_heads
+    g = cfg.num_heads // hk
+    hd = cfg.head_dim_
+    pos_iota = jnp.arange(s_pool, dtype=jnp.int32)
+    scale = jnp.float32(1.0 / (hd ** 0.5))
+    # tril[i, j] = row i may attend current-block row j (causal within K)
+    tril = jnp.tril(jnp.ones((kq, kq), bool))
+    rope_b = jax.vmap(apply_rope)  # over B: (K,H,hd) x (K,hd)
+    layers = params["layers"]
+
+    def body(l, carry):
+        h, k_new, v_new = carry  # h (B,K,D)
+        lp = layer_slice(layers, l)
+        k_l = jax.lax.dynamic_index_in_dim(k_pool, l, 0, keepdims=False)  # (B,S,Hk,hd)
+        v_l = jax.lax.dynamic_index_in_dim(v_pool, l, 0, keepdims=False)
+        len_l = cache_lens[l]  # (B,)
+        x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+        q, k, v = _project_qkv(lp, x.reshape(b * kq, -1), cfg)
+        q = q.reshape(b, kq, cfg.num_heads, hd)
+        k = k.reshape(b, kq, hk, hd)
+        v = v.reshape(b, kq, hk, hd)
+        q, k = rope_b(q, k, cos, sin)
+        qf = q.reshape(b, kq, hk, g, hd).astype(jnp.float32)
+        scores = jnp.einsum("bnhgd,bshd->bhgns", qf, k_l.astype(jnp.float32)) * scale
+        valid = (pos_iota[None, :] < len_l[:, None]) | decode_mask  # (B,S)
+        scores = jnp.where(valid[:, None, None, None, :], scores, jnp.float32(-1e30))
+        kf_cur = k.astype(jnp.float32)
+        s_cur = jnp.einsum("bnhgd,bmhd->bhgnm", qf, kf_cur) * scale  # (B,Hk,g,K,K)
+        s_cur = jnp.where(tril[None, None, None], s_cur, jnp.float32(-1e30))
+        m = jnp.maximum(
+            jnp.max(scores, axis=-1, keepdims=True),
+            jnp.max(s_cur, axis=-1, keepdims=True),
+        )
+        p = jnp.exp(scores - m)
+        p_cur = jnp.exp(s_cur - m)
+        denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.sum(p_cur, axis=-1, keepdims=True)
+        out = jnp.einsum("bhgns,bshd->bhgnd", p, v_l.astype(jnp.float32))
+        out = out + jnp.einsum("bhgnm,bmhd->bhgnd", p_cur, v.astype(jnp.float32))
+        out = out / denom
+        out = out.transpose(0, 3, 1, 2, 4).reshape(b, kq, hk * g * hd)
+        h = h + mm(out.astype(h.dtype), lp["wo"])
+        if cfg.is_moe:
+            # Row-exact expert gather, flattened over (B, K) — accepted rows
+            # match plain decode (see verify_step).
+            h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(
+                h.reshape(b * kq, -1)
+            ).reshape(b, kq, -1)
+        else:
+            h = layer_mlp(lp, h, cfg)
+        k_new = jax.lax.dynamic_update_index_in_dim(k_new, k.astype(cfg.dtype), l, 0)
+        v_new = jax.lax.dynamic_update_index_in_dim(v_new, v.astype(cfg.dtype), l, 0)
+        return h, k_new, v_new
+
+    nl = k_pool.shape[0]
+    acc = jnp.zeros((nl, b, kq, hk, hd), cfg.dtype)
+    h, k_new, v_new = jax.lax.fori_loop(0, nl, body, (token_embeds, acc, jnp.zeros_like(acc)))
+    base = write_pos + step * kq
+    k_pool = jax.lax.dynamic_update_slice(k_pool, k_new, (0, 0, base, 0, 0))
+    v_pool = jax.lax.dynamic_update_slice(v_pool, v_new, (0, 0, base, 0, 0))
+    logits = final_logits(params, h.reshape(b * kq, -1), cfg).reshape(b, kq, -1)
+    return logits, k_pool, v_pool

@@ -1921,6 +1921,28 @@ class CompressionEngine:
             return_stats=return_stats,
         )
 
+    def generate_spec_batch(
+        self,
+        results: list,
+        max_new_tokens: int,
+        draft_len: int = 4,
+        prompt_ids=None,
+        eos_token_id: Optional[int] = None,
+        return_stats: bool = False,
+    ):
+        """Batched speculative greedy decode: per-sequence prompt-lookup
+        drafts, all B sequences' K candidate rows verified in ONE weight
+        pass per macro step (qwen2.verify_step_batch) — same tokens as
+        ``generate_batch`` greedy, fewer weight passes. ``prompt_ids``: list
+        of per-sequence text id lists seeding each lookup history."""
+        from .spec_decode import generate_spec_batch
+
+        return generate_spec_batch(
+            self, results, max_new_tokens, draft_len=draft_len,
+            prompt_ids=prompt_ids, eos_token_id=eos_token_id,
+            return_stats=return_stats,
+        )
+
     # -- batched serving ------------------------------------------------------
 
     def generate_batch(

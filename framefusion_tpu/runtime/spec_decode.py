@@ -38,9 +38,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import LLMConfig
+from ..core.compact import bucket_length
 from ..models import qwen2
 
-__all__ = ["spec_decode_loop", "draft_lookup"]
+__all__ = ["spec_decode_loop", "spec_decode_loop_batch", "draft_lookup"]
 
 
 def draft_lookup(hist: jnp.ndarray, hist_len: jnp.ndarray, draft_len: int):
@@ -164,6 +165,216 @@ def spec_decode_loop(
 
     st = jax.lax.while_loop(cond, body, state)
     return st[2][:max_new], st[8], st[9], st[10], st[5], st[6], st[7]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "max_new", "pos_dims", "draft_len"),
+    donate_argnums=(1, 2),
+)
+def spec_decode_loop_batch(
+    params,
+    k_pool,
+    v_pool,
+    cache_lens,
+    first_logits,
+    pos_bases,
+    write_pos,
+    hist0,
+    hist_len0,
+    *,
+    cfg: LLMConfig,
+    max_new: int,
+    pos_dims: int,
+    draft_len: int,
+):
+    """Batched speculative greedy decode: every macro step drafts per
+    sequence (vmapped prompt-lookup) and verifies all B sequences' K rows in
+    ONE weight pass (qwen2.verify_step_batch) — the weight stream is shared
+    across both the batch AND the candidate rows, compounding the two
+    bandwidth wins (batched decode shares it across B; speculation shares it
+    across K).
+
+    Per-sequence acceptance diverges, so each sequence commits its own
+    ``a_b + 1`` tokens per macro step; a sequence that reaches ``max_new``
+    keeps riding the loop with ``n_new = 0`` (its writes land in dead
+    padding) until the slowest sequence finishes — the loop is bounded by
+    ``max_new - 1`` macro steps because every unfinished sequence commits at
+    least one token per step.
+
+    Args:
+        k_pool, v_pool: (L, B, S_pool, Hk, hd) batched pools (donated). The
+            decode region needs ``K*(max_new-1)`` rows past ``write_pos``:
+            the common-offset discipline burns K rows per macro step whether
+            or not drafts are accepted (memory traded for scatter-free
+            writes; acceptance compresses wall-clock, not the region).
+        cache_lens: (L, B) ragged prefix lengths.
+        first_logits: (B, V) prefill logits.
+        pos_bases: (B,) rotary position of each sequence's first new token.
+        write_pos: scalar int32 — decode-region start (common across B).
+        hist0: (B, H) per-sequence token-history seeds, zero-padded;
+            H >= max(hist_len0) + max_new + draft_len + 1.
+        hist_len0: (B,) valid history prefixes.
+
+    Returns:
+        (tokens (B, max_new), macro_steps, drafted (B,), accepted (B,),
+        k_pool, v_pool) — per-sequence tokens are EXACTLY the plain batched
+        greedy sequences (same fp caveat as the solo loop).
+    """
+    kq = draft_len + 1
+    b = first_logits.shape[0]
+    s_pool = k_pool.shape[2]
+    tok0 = jnp.argmax(first_logits, axis=-1).astype(jnp.int32)  # (B,)
+    out = jnp.zeros((b, max_new + kq), jnp.int32)
+    out = out.at[:, 0].set(tok0)
+    upd_row = jax.vmap(lambda buf, val, at: jax.lax.dynamic_update_slice(buf, val, (at,)))
+    hist = upd_row(hist0, tok0[:, None], hist_len0)
+    draft_b = jax.vmap(draft_lookup, in_axes=(0, 0, None))
+    pos_iota = jnp.arange(s_pool, dtype=jnp.int32)
+
+    state = (
+        jnp.full((b,), 1, jnp.int32),  # emitted
+        tok0,  # last committed token
+        out,
+        hist,
+        hist_len0 + 1,
+        k_pool,
+        v_pool,
+        jnp.zeros((b, s_pool), bool),  # committed decode-region rows
+        jnp.int32(0),  # macro steps
+        jnp.zeros((b,), jnp.int32),  # drafted
+        jnp.zeros((b,), jnp.int32),  # accepted
+    )
+
+    def cond(st):
+        return jnp.min(st[0]) < max_new
+
+    def body(st):
+        (emitted, last, out, hist, hl, k_pool, v_pool, dmask,
+         steps, drafted, accepted) = st
+        drafts, found = draft_b(hist, hl, draft_len)  # (B, K-1), (B,)
+        rows = jnp.concatenate([last[:, None], drafts], axis=1)  # (B, K)
+        te = qwen2.embed(params, rows, cfg)  # (B, K, D)
+        pos = pos_bases[:, None] + (emitted[:, None] - 1) + jnp.arange(kq, dtype=jnp.int32)[None]
+        pos_ids = jnp.tile(pos[None], (3, 1, 1)) if pos_dims == 3 else pos
+        logits, k_pool, v_pool = qwen2.verify_step_batch(
+            params, te, pos_ids, k_pool, v_pool, cache_lens, dmask,
+            write_pos, steps, cfg,
+        )
+        t = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K)
+        ok = drafts == t[:, :-1]
+        a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)  # (B,)
+        active = emitted < max_new
+        n_new = jnp.where(active, a + 1, 0)
+        # Finished sequences re-write their padding slots in place — harmless.
+        out = upd_row(out, t, emitted)
+        hist = upd_row(hist, t, hl)
+        base = write_pos + steps * kq
+        dmask = dmask | (
+            (pos_iota[None, :] >= base) & (pos_iota[None, :] < base + n_new[:, None])
+        )
+        return (
+            emitted + n_new,
+            jnp.where(active, jnp.take_along_axis(t, a[:, None], axis=1)[:, 0], last),
+            out,
+            hist,
+            hl + n_new,
+            k_pool,
+            v_pool,
+            dmask,
+            steps + 1,
+            drafted + jnp.where(active & found, draft_len, 0),
+            accepted + jnp.where(active, a, 0),
+        )
+
+    st = jax.lax.while_loop(cond, body, state)
+    return st[2][:, :max_new], st[8], st[9], st[10], st[5], st[6]
+
+
+def generate_spec_batch(
+    engine,
+    results,
+    max_new_tokens: int,
+    draft_len: int = 4,
+    prompt_ids=None,
+    eos_token_id=None,
+    return_stats: bool = False,
+):
+    """Engine-facing wrapper for :func:`spec_decode_loop_batch` — the
+    speculative sibling of ``CompressionEngine.generate_batch``. Pools are
+    assembled exactly like the plain batched decode, with a
+    ``draft_len+1``-rows-per-macro-step decode region (see the loop's
+    docstring for the memory tradeoff). ``prompt_ids``: optional list of
+    per-sequence text token id lists seeding each prompt-lookup history.
+    Output is exactly the plain batched greedy tokens.
+    """
+    cfg = engine.cfg
+    kq = draft_len + 1
+    b = len(results)
+    region = kq * max(max_new_tokens - 1, 1) + 1
+    max_prefix = max(max(c[2] for c in r.layer_caches) for r in results)
+    s_pool = bucket_length(max_prefix + region, engine.ff.bucket)
+    write_pos = s_pool - region
+    shape = (cfg.num_layers, b, s_pool, cfg.num_kv_heads, cfg.head_dim_)
+    k_pools = jnp.zeros(shape, cfg.dtype)
+    v_pools = jnp.zeros_like(k_pools)
+    lens_cols = []
+    for bi, r in enumerate(results):
+        k_one, v_one, lens_one = engine.make_decode_state(r, region, s_pool=s_pool)
+        k_pools = jax.lax.dynamic_update_slice(k_pools, k_one[:, None], (0, bi, 0, 0, 0))
+        v_pools = jax.lax.dynamic_update_slice(v_pools, v_one[:, None], (0, bi, 0, 0, 0))
+        lens_cols.append(lens_one)
+        del k_one, v_one
+    cache_lens = jnp.stack(lens_cols, axis=1)  # (L, B)
+    first_logits = jnp.stack([r.logits for r in results])
+    pos_bases = jnp.asarray([r.decode_pos_base for r in results], jnp.int32)
+    pos_dims = results[0].pos_dims
+    assert all(r.pos_dims == pos_dims for r in results), "mixed rope layouts in one batch"
+
+    seqs = [
+        np.asarray(p, np.int32).reshape(-1) if p is not None else np.zeros((0,), np.int32)
+        for p in (prompt_ids if prompt_ids is not None else [None] * b)
+    ]
+    assert len(seqs) == b, "prompt_ids must have one entry per sequence"
+    longest = max((len(s) for s in seqs), default=0)
+    seed_cap = max(64, int(2 ** np.ceil(np.log2(max(1, longest)))))
+    hist_cap = seed_cap + max_new_tokens + draft_len + 1
+    hist0 = np.zeros((b, hist_cap), np.int32)
+    for bi, s in enumerate(seqs):
+        hist0[bi, : len(s)] = s
+    hist_len0 = np.asarray([len(s) for s in seqs], np.int32)
+
+    toks, steps, drafted, accepted, _, _ = spec_decode_loop_batch(
+        engine.params,
+        k_pools,
+        v_pools,
+        cache_lens,
+        first_logits,
+        pos_bases,
+        jnp.int32(write_pos),
+        jnp.asarray(hist0),
+        jnp.asarray(hist_len0),
+        cfg=cfg,
+        max_new=max_new_tokens,
+        pos_dims=pos_dims,
+        draft_len=draft_len,
+    )
+    rows = np.asarray(toks)
+    out = []
+    for row in rows:
+        ids = [int(x) for x in row]
+        if eos_token_id is not None and eos_token_id in ids:
+            ids = ids[: ids.index(eos_token_id) + 1]
+        out.append(ids)
+    if return_stats:
+        stats = {
+            "macro_steps": int(steps),
+            "drafted": [int(x) for x in np.asarray(drafted)],
+            "accepted": [int(x) for x in np.asarray(accepted)],
+            "tokens_per_pass": (max_new_tokens - 1) / max(int(steps), 1),
+        }
+        return out, stats
+    return out
 
 
 def generate_spec(

@@ -165,3 +165,132 @@ class TestSpecOnVariantStacks:
         plain = engine.generate_greedy(_prefill(engine), 12)
         spec = engine.generate_spec(_prefill(engine), 12, draft_len=3)
         assert spec == plain
+
+
+class TestBatchedSpec:
+    """Batched speculative decode (spec_decode_loop_batch): per-sequence
+    tokens must be EXACTLY the plain greedy sequences — per-sequence
+    acceptance diverges, finished sequences idle in the loop, and rejected
+    rows stay invisible dead padding in the common-offset decode region."""
+
+    def _prefill_batch(self, engine, seeds=(0, 1, 2), coherent=(0.3, 0.45, 0.8)):
+        out = []
+        for s, c in zip(seeds, coherent):
+            h, pt, pos, img_start, n_img = build_inputs(seed=s, coherent=c)
+            out.append(engine.prefill(h, pt, pos, 6, img_start, n_img))
+        return out
+
+    def test_matches_solo_plain_greedy(self, engine_setup):
+        cfg, params, ff = engine_setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        results = self._prefill_batch(engine)
+        plain = [engine.generate_greedy(r, 16) for r in self._prefill_batch(engine)]
+        spec, stats = engine.generate_spec_batch(results, 16, draft_len=4,
+                                                 return_stats=True)
+        assert spec == plain
+        assert stats["macro_steps"] <= 15
+
+    def test_matches_plain_batched_greedy(self, engine_setup):
+        cfg, params, ff = engine_setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        plain = engine.generate_batch(self._prefill_batch(engine), 20)
+        spec = engine.generate_spec_batch(self._prefill_batch(engine), 20, draft_len=3)
+        assert spec == plain
+
+    def test_oracle_hints_accelerate(self, engine_setup):
+        """Per-sequence oracle histories -> near-perfect drafts for every
+        sequence; the batch finishes in far fewer macro steps, same tokens."""
+        cfg, params, ff = engine_setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        plain = [engine.generate_greedy(r, 24) for r in self._prefill_batch(engine)]
+        spec, stats = engine.generate_spec_batch(
+            self._prefill_batch(engine), 24, draft_len=4,
+            prompt_ids=[np.asarray(p, np.int32) for p in plain],
+            return_stats=True,
+        )
+        assert spec == plain
+        assert stats["tokens_per_pass"] > 1.5, stats
+        assert len(stats["accepted"]) == 3
+
+    def test_eos_truncation(self, engine_setup):
+        cfg, params, ff = engine_setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        plain = [engine.generate_greedy(r, 16) for r in self._prefill_batch(engine)]
+        eos = plain[1][4]
+        spec = engine.generate_spec_batch(self._prefill_batch(engine), 16,
+                                          draft_len=4, eos_token_id=eos)
+        for got, want in zip(spec, plain):
+            if eos in want:
+                want = want[: want.index(eos) + 1]
+            assert got == want
+
+    def test_mrope_batch(self, engine_setup):
+        cfg1, params, _ = engine_setup
+        cfg = cfg1.replace(mrope_section=(4, 6, 6))
+        ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75, ratio_lower_bound=0.05,
+                               schedule_num_layers=6, bucket=32, num_importance_queries=4)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+
+        def prefills():
+            out = []
+            for seed in (0, 2):
+                h, pt, pos, img_start, n_img = build_inputs(seed=seed, coherent=0.35)
+                out.append(engine.prefill(h, pt, np.tile(pos, (3, 1)), 6, img_start, n_img))
+            return out
+
+        plain = [engine.generate_greedy(r, 12) for r in prefills()]
+        spec = engine.generate_spec_batch(prefills(), 12, draft_len=4)
+        assert spec == plain
+
+    def test_moe_batch(self):
+        cfg = tiny_moe_llm_config(num_layers=4)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(1))
+        ff = FrameFusionConfig(cost=0.5, similarity_lower_bound=0.8, ratio_lower_bound=0.05,
+                               schedule_num_layers=4, bucket=32)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+
+        def prefills():
+            return [_prefill(engine, seed=s) for s in (0, 3)]
+
+        plain = [engine.generate_greedy(r, 10) for r in prefills()]
+        spec = engine.generate_spec_batch(prefills(), 10, draft_len=3)
+        assert spec == plain
+
+    def test_interface_generate_batch_speculative(self, engine_setup):
+        from framefusion_tpu.interface import FrameFusionModel, apply_framefusion
+        from framefusion_tpu.models.adapters.common import PrefillInputs
+
+        cfg, params, ff = engine_setup
+        model = apply_framefusion(
+            FrameFusionModel(family="llava_video", cfg=cfg, params=params,
+                             attn_impl="einsum"),
+            cost=ff.cost, similarity_lower_bound=ff.similarity_lower_bound,
+            ratio_lower_bound=ff.ratio_lower_bound,
+        )
+
+        def inputs():
+            out = []
+            for seed in (0, 1):
+                h, pt, pos, img_start, n_img = build_inputs(seed=seed, coherent=0.4)
+                out.append(PrefillInputs(input_embeds=h, patch_type=pt,
+                                         position_ids=pos, patch_num=6,
+                                         image_token_start=img_start,
+                                         image_token_length=n_img))
+            return out
+
+        plain, _ = model.generate_batch(inputs(), max_new_tokens=12)
+        spec, _ = model.generate_batch(inputs(), max_new_tokens=12, speculative=True)
+        assert spec == plain
+
+    def test_sink_cache_baseline_guarded(self, engine_setup):
+        from framefusion_tpu.baselines.qwen2_baselines import BaselineEngine
+
+        cfg, params, _ = engine_setup
+        eng = BaselineEngine(params, cfg, "streamingllm",
+                             {"length_rate": 0.4, "sink_cache_decode": True},
+                             attn_impl="einsum", bucket=32)
+        res = _prefill(eng)
+        with pytest.raises(NotImplementedError):
+            eng.generate_spec(res, 8)
+        with pytest.raises(NotImplementedError):
+            eng.generate_spec_batch([res], 8)
