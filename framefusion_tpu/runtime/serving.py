@@ -1,0 +1,405 @@
+"""Continuous-batching serving loop: slot-based scheduling over ONE static
+decode program.
+
+The reference serves one request end to end (bsz==1 asserted at
+/root/reference/framefusion/main.py:203; its demo runs two fixed replicas,
+script/demo/llava_video_compare.py). A production serving runtime needs
+continuous batching — new requests join the running batch as others finish —
+which on TPU must be expressed with STATIC shapes: XLA compiles one program
+per (B, S_pool) geometry, so the batch is a fixed set of SLOTS and request
+churn is state, not shape.
+
+Design:
+
+- **Slots.** ``max_slots`` fixed rows in batched KV pools
+  ``(L, B, S_pool, Hk, hd)``. Per-slot state (emitted counts, budgets, eos
+  ids, rotary bases, lookup histories) rides small device arrays; an
+  ``active`` mask gates dead slots (their lanes compute garbage that is
+  masked out — lockstep lanes are the TPU idiom, branching is not).
+- **Chunked decode.** The loop decodes ``chunk_steps`` macro steps per
+  dispatch (one jitted ``lax.while_loop``), then syncs ONCE to retire
+  finished slots and admit queued requests. Admission cost (a compressed
+  prefill) amortizes over the chunk; the chunk length trades scheduling
+  latency against host-sync overhead.
+- **Per-slot committed-row bitmaps.** Slots admitted mid-stream cannot share
+  the plain batched loop's global ``write_pos + step`` validity rule
+  (qwen2.decode_step_batch) — a fresh slot must not see earlier slots'
+  decode rows. Each chunk step writes every slot's K rows at a COMMON
+  offset (scatter-free, qwen2.verify_step_batch) and marks only the
+  COMMITTED rows in a ``(B, S_pool)`` bitmap; rejected/dead rows stay
+  invisible padding.
+- **Region recycling.** Common-offset writes consume pool rows
+  monotonically. When the scratch region runs low, ``_compact_pools`` packs
+  every slot's live rows (ragged per-layer prefix + committed decode rows,
+  order preserved) back into the prefix region with one argsort gather —
+  rotary phases are baked into K at write time, so row motion is free — and
+  resets the bitmap. The pool is sized so a compacted slot ALWAYS fits:
+  ``S_pool = prefix_cap + max_new_cap + chunk region``.
+- **Speculative serving.** ``draft_len > 0`` turns each chunk step into a
+  prompt-lookup draft-and-verify macro step (runtime/spec_decode.py): all B
+  slots' K candidate rows share one weight pass. Greedy parity is exact per
+  request either way.
+
+Every request's tokens are EXACTLY its solo ``generate_greedy`` output
+(same fp caveat as the batched loops: (B,·) matmul reassociation can flip
+argmax ties on-chip; parity is pinned on the CPU suite).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import LLMConfig
+from ..core.compact import bucket_length
+from ..models import qwen2
+from .spec_decode import draft_lookup
+
+__all__ = ["ServeRequest", "ServingLoop"]
+
+
+@dataclasses.dataclass
+class ServeRequest:
+    """One serving request: prefill inputs + decode contract."""
+
+    inputs: object  # models.adapters.common.PrefillInputs
+    max_new_tokens: int = 64
+    eos_token_id: Optional[int] = None
+    prompt_ids: Optional[object] = None  # text ids seeding the lookup drafter
+
+
+@dataclasses.dataclass
+class ServeResult:
+    request_id: int
+    tokens: list
+    prefill_mode: str
+    admitted_step: int  # chunk index at admission (scheduling introspection)
+
+
+def _first_eos_clamp(t, n_new, eos_ids, kq):
+    """Clamp per-slot commit counts at the first eos among the committed
+    rows; returns (n_new, hit)."""
+    row = jnp.arange(kq, dtype=jnp.int32)[None]
+    hit_rows = (t == eos_ids[:, None]) & (row < n_new[:, None]) & (eos_ids[:, None] >= 0)
+    any_hit = jnp.any(hit_rows, axis=1)
+    first = jnp.argmax(hit_rows, axis=1).astype(jnp.int32)
+    n_new = jnp.where(any_hit, first + 1, n_new)
+    return n_new, any_hit
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "chunk", "pos_dims", "draft_len"),
+    donate_argnums=(1, 2),
+)
+def _serve_chunk(
+    params,
+    k_pool,
+    v_pool,
+    cache_lens,
+    dmask,
+    out,
+    last_tok,
+    emitted,
+    active,
+    budgets,
+    eos_ids,
+    pos_bases,
+    hist,
+    hist_len,
+    cursor,
+    *,
+    cfg: LLMConfig,
+    chunk: int,
+    pos_dims: int,
+    draft_len: int,
+):
+    """``chunk`` macro steps over all slots as ONE program (single dispatch,
+    zero host syncs). Each step verifies every slot's K = draft_len+1
+    candidate rows in one weight pass (K=1 degrades to plain batched greedy
+    decode with per-slot validity bitmaps); per-slot budget and eos clamp
+    the committed count in-graph so a slot never runs past its contract.
+    Stops early when no slot is active. Returns the advanced state."""
+    kq = draft_len + 1
+    b = last_tok.shape[0]
+    s_pool = k_pool.shape[2]
+    pos_iota = jnp.arange(s_pool, dtype=jnp.int32)
+    upd_row = jax.vmap(lambda buf, val, at: jax.lax.dynamic_update_slice(buf, val, (at,)))
+    draft_b = jax.vmap(draft_lookup, in_axes=(0, 0, None))
+
+    state = (jnp.int32(0), out, last_tok, emitted, active, hist, hist_len,
+             k_pool, v_pool, dmask, cursor)
+
+    def cond(st):
+        return (st[0] < chunk) & jnp.any(st[4])
+
+    def body(st):
+        (s, out, last, emitted, active, hist, hl, k_pool, v_pool, dmask,
+         cursor) = st
+        if draft_len > 0:
+            drafts, found = draft_b(hist, hl, draft_len)
+            rows = jnp.concatenate([last[:, None], drafts], axis=1)  # (B,K)
+        else:
+            rows = last[:, None]
+        te = qwen2.embed(params, rows, cfg)
+        pos = pos_bases[:, None] + (emitted[:, None] - 1) + jnp.arange(kq, dtype=jnp.int32)[None]
+        pos_ids = jnp.tile(pos[None], (3, 1, 1)) if pos_dims == 3 else pos
+        logits, k_pool, v_pool = qwen2.verify_step_batch(
+            params, te, pos_ids, k_pool, v_pool, cache_lens, dmask,
+            cursor, jnp.int32(0), cfg,
+        )
+        t = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,K)
+        if draft_len > 0:
+            ok = drafts == t[:, :-1]
+            a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+        else:
+            a = jnp.zeros((b,), jnp.int32)
+        n_new = jnp.minimum(a + 1, budgets - emitted)  # budget clamp
+        n_new, eos_hit = _first_eos_clamp(t, n_new, eos_ids, kq)
+        n_new = jnp.where(active, n_new, 0)
+        out = upd_row(out, t, emitted)
+        hist = upd_row(hist, t, hl)
+        dmask = dmask | (
+            (pos_iota[None, :] >= cursor) & (pos_iota[None, :] < cursor + n_new[:, None])
+        )
+        emitted = emitted + n_new
+        active = active & ~eos_hit & (emitted < budgets)
+        last = jnp.where(
+            n_new > 0,
+            jnp.take_along_axis(t, jnp.maximum(n_new - 1, 0)[:, None], axis=1)[:, 0],
+            last,
+        )
+        return (s + 1, out, last, emitted, active, hist, hl + n_new,
+                k_pool, v_pool, dmask, cursor + kq)
+
+    st = jax.lax.while_loop(cond, body, state)
+    (_, out, last, emitted, active, hist, hl, k_pool, v_pool, dmask, cursor) = st
+    return out, last, emitted, active, hist, hl, k_pool, v_pool, dmask, cursor
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _compact_pools(k_pool, v_pool, cache_lens, dmask, region_start):
+    """Pack each slot's live rows back into the prefix region.
+
+    Live = the ragged per-layer prefix ``[0, cache_lens[l, b])`` plus the
+    slot's COMMITTED decode rows (``dmask``); both keep their order, dead
+    rows sink to the tail. Rotary phases are already applied to the stored
+    K rows, so attention is invariant to row position — compaction is pure
+    data movement (one argsort + gather per pool). Returns
+    (k_pool, v_pool, new cache_lens, cleared dmask).
+    """
+    l, b, s = k_pool.shape[:3]
+    pos = jnp.arange(s, dtype=jnp.int32)
+    prefix = pos[None, None, :] < cache_lens[:, :, None]  # (L,B,S)
+    committed = (dmask & (pos[None, :] >= region_start))[None, :, :]  # (1,B,S)
+    committed = jnp.broadcast_to(committed, (l, b, s))
+    keys = jnp.where(prefix, pos[None, None], jnp.where(committed, s + pos[None, None], 2 * s + pos[None, None]))
+    order = jnp.argsort(keys, axis=-1)
+    k_pool = jnp.take_along_axis(k_pool, order[..., None, None], axis=2)
+    v_pool = jnp.take_along_axis(v_pool, order[..., None, None], axis=2)
+    n_committed = jnp.sum(dmask & (pos[None, :] >= region_start), axis=1).astype(jnp.int32)  # (B,)
+    return k_pool, v_pool, cache_lens + n_committed[None, :], jnp.zeros_like(dmask)
+
+
+class ServingLoop:
+    """Continuous-batching scheduler over one CompressionEngine.
+
+    Usage::
+
+        loop = ServingLoop(engine, max_slots=4, max_new_cap=64)
+        ids = [loop.submit(ServeRequest(inputs, max_new_tokens=32)) for ...]
+        results = loop.run()          # drain queue + slots
+        results[ids[0]].tokens
+
+    ``submit`` only queues; all device work happens in ``run`` (or
+    ``step()``, one chunk at a time). Requests are admitted FIFO into free
+    slots, each via the engine's own solo prefill (``prefill_mode``, e.g.
+    "auto" rides PlanHistory); their tokens are exactly the solo
+    ``generate_greedy`` output.
+
+    ``draft_len > 0`` serves speculatively: same tokens, fewer weight
+    passes per request when outputs echo the prompt/history.
+    """
+
+    def __init__(
+        self,
+        engine,
+        max_slots: int = 4,
+        max_new_cap: int = 64,
+        chunk_steps: int = 8,
+        draft_len: int = 0,
+        prefix_cap: Optional[int] = None,
+        prefill_mode: str = "fused",
+        seed_cap: int = 256,
+    ):
+        self.engine = engine
+        cfg = engine.cfg
+        self.cfg = cfg
+        self.b = max_slots
+        self.chunk = chunk_steps
+        self.draft_len = draft_len
+        self.kq = draft_len + 1
+        self.max_new_cap = max_new_cap
+        self.prefill_mode = prefill_mode
+        self.seed_cap = seed_cap
+        self.pos_dims = 3 if cfg.mrope_section is not None else 1
+        # Region layout: [prefix_cap + max_new_cap) holds compacted live
+        # rows (worst case: longest prefix + full budget all committed);
+        # the scratch tail holds one chunk of common-offset writes.
+        self.prefix_cap = prefix_cap or 2048
+        self.region_start = bucket_length(self.prefix_cap + max_new_cap, engine.ff.bucket)
+        self.scratch = self.chunk * self.kq
+        self.s_pool = self.region_start + bucket_length(self.scratch, engine.ff.bucket)
+
+        shape = (cfg.num_layers, self.b, self.s_pool, cfg.num_kv_heads, cfg.head_dim_)
+        self.k_pool = jnp.zeros(shape, cfg.dtype)
+        self.v_pool = jnp.zeros_like(self.k_pool)
+        self.cache_lens = jnp.zeros((cfg.num_layers, self.b), jnp.int32)
+        self.dmask = jnp.zeros((self.b, self.s_pool), bool)
+        self.cursor = jnp.int32(self.region_start)
+        hist_cap = seed_cap + max_new_cap + self.kq + 1
+        self.hist = jnp.zeros((self.b, hist_cap), jnp.int32)
+        self.hist_len = jnp.zeros((self.b,), jnp.int32)
+        self.out = jnp.zeros((self.b, max_new_cap + self.kq), jnp.int32)
+        self.last_tok = jnp.zeros((self.b,), jnp.int32)
+        self.emitted = np.zeros((self.b,), np.int32)
+        self.active = np.zeros((self.b,), bool)
+        self.budgets = np.zeros((self.b,), np.int32)
+        self.eos_ids = np.full((self.b,), -1, np.int32)
+        self.pos_bases = np.zeros((self.b,), np.int32)
+
+        self._queue: list = []
+        self._slot_req = [None] * self.b  # request id occupying each slot
+        self._slot_mode = ["fused"] * self.b  # executor that served the prefill
+        self._admitted_at = [0] * self.b
+        self._results: dict = {}
+        self._next_id = 0
+        self._chunk_idx = 0
+        self.compactions = 0  # introspection: times the scratch region recycled
+
+    # -- request lifecycle --------------------------------------------------
+
+    def submit(self, request: ServeRequest) -> int:
+        assert request.max_new_tokens <= self.max_new_cap, (
+            f"max_new_tokens {request.max_new_tokens} exceeds the loop's "
+            f"max_new_cap {self.max_new_cap}")
+        rid = self._next_id
+        self._next_id += 1
+        self._queue.append((rid, request))
+        return rid
+
+    def _admit(self, slot: int, rid: int, request: ServeRequest):
+        eng = self.engine
+        inp = request.inputs
+        result = eng.prefill(
+            inp.input_embeds, inp.patch_type, inp.position_ids,
+            patch_num=inp.patch_num, image_token_start=inp.image_token_start,
+            image_token_length=inp.image_token_length, mode=self.prefill_mode,
+        )
+        assert result.pos_dims == self.pos_dims, "rope layout mismatch"
+        max_prefix = max(c[2] for c in result.layer_caches)
+        assert max_prefix <= self.region_start, (
+            f"prefix {max_prefix} exceeds the compaction region "
+            f"{self.region_start}; raise prefix_cap")
+        k_one, v_one, lens_one = eng.make_decode_state(result, 0, s_pool=self.s_pool)
+        self.k_pool = jax.lax.dynamic_update_slice(self.k_pool, k_one[:, None], (0, slot, 0, 0, 0))
+        self.v_pool = jax.lax.dynamic_update_slice(self.v_pool, v_one[:, None], (0, slot, 0, 0, 0))
+        self.cache_lens = self.cache_lens.at[:, slot].set(lens_one)
+        self.dmask = self.dmask.at[slot].set(False)
+        tok0 = int(jnp.argmax(result.logits))
+        self.out = self.out.at[slot].set(0).at[slot, 0].set(tok0)
+        self.last_tok = self.last_tok.at[slot].set(tok0)
+        pids = np.asarray(request.prompt_ids, np.int32).reshape(-1) if request.prompt_ids is not None else np.zeros((0,), np.int32)
+        pids = pids[-self.seed_cap:]
+        seed = np.zeros((self.hist.shape[1],), np.int32)
+        seed[: len(pids)] = pids
+        seed[len(pids)] = tok0
+        self.hist = self.hist.at[slot].set(jnp.asarray(seed))
+        self.hist_len = self.hist_len.at[slot].set(len(pids) + 1)
+        self.emitted[slot] = 1
+        self.active[slot] = request.max_new_tokens > 1 and (
+            request.eos_token_id is None or tok0 != request.eos_token_id)
+        self.budgets[slot] = request.max_new_tokens
+        self.eos_ids[slot] = -1 if request.eos_token_id is None else request.eos_token_id
+        self.pos_bases[slot] = result.decode_pos_base
+        self._slot_req[slot] = rid
+        self._slot_mode[slot] = result.mode
+        self._admitted_at[slot] = self._chunk_idx
+
+    def _retire(self, slot: int, emitted_row: np.ndarray, out_rows: np.ndarray):
+        rid = self._slot_req[slot]
+        n = int(emitted_row)
+        toks = [int(x) for x in out_rows[:n]]
+        eos = int(self.eos_ids[slot])
+        if eos >= 0 and eos in toks:
+            toks = toks[: toks.index(eos) + 1]
+        self._results[rid] = ServeResult(
+            request_id=rid, tokens=toks, prefill_mode=self._slot_mode[slot],
+            admitted_step=self._admitted_at[slot],
+        )
+        self._slot_req[slot] = None
+        self.active[slot] = False
+
+    # -- scheduling ----------------------------------------------------------
+
+    def _fill_slots(self):
+        for slot in range(self.b):
+            if self._slot_req[slot] is None and self._queue:
+                rid, req = self._queue.pop(0)
+                self._admit(slot, rid, req)
+                # Single-token request: retire immediately, free the slot.
+                if not self.active[slot] and self._slot_req[slot] is not None:
+                    self._retire(slot, self.emitted[slot], np.asarray(self.out[slot]))
+
+    def step(self):
+        """Admit + one decode chunk + retire. Returns True if work remains."""
+        self._fill_slots()
+        if not self.active.any():
+            return bool(self._queue)
+        # Recycle the scratch region when the next chunk wouldn't fit.
+        if int(self.cursor) + self.scratch > self.s_pool:
+            self.k_pool, self.v_pool, self.cache_lens, self.dmask = _compact_pools(
+                self.k_pool, self.v_pool, self.cache_lens, self.dmask,
+                jnp.int32(self.region_start),
+            )
+            self.cursor = jnp.int32(self.region_start)
+            self.compactions += 1
+        (self.out, self.last_tok, emitted, active, self.hist, self.hist_len,
+         self.k_pool, self.v_pool, self.dmask, self.cursor) = _serve_chunk(
+            self.engine.params, self.k_pool, self.v_pool, self.cache_lens,
+            self.dmask, self.out, self.last_tok,
+            jnp.asarray(self.emitted), jnp.asarray(self.active),
+            jnp.asarray(self.budgets), jnp.asarray(self.eos_ids),
+            jnp.asarray(self.pos_bases), self.hist, self.hist_len, self.cursor,
+            cfg=self.cfg, chunk=self.chunk, pos_dims=self.pos_dims,
+            draft_len=self.draft_len,
+        )
+        self._chunk_idx += 1
+        # ONE host sync per chunk: emitted/active (+ out rows for retirees).
+        emitted = np.asarray(emitted)
+        active_now = np.asarray(active)
+        out_host = None
+        for slot in range(self.b):
+            if self._slot_req[slot] is not None and self.active[slot] and not active_now[slot]:
+                if out_host is None:
+                    out_host = np.asarray(self.out)
+                self.emitted[slot] = emitted[slot]
+                self._retire(slot, emitted[slot], out_host[slot])
+        self.emitted = emitted.copy()
+        self.active = np.asarray([
+            bool(active_now[s]) and self._slot_req[s] is not None for s in range(self.b)
+        ])
+        return bool(self._queue) or self.active.any()
+
+    def run(self, max_chunks: int = 10_000) -> dict:
+        """Drain the queue and all slots; returns {request_id: ServeResult}."""
+        for _ in range(max_chunks):
+            if not self.step():
+                break
+        assert not self._queue and not self.active.any(), "serving loop did not drain"
+        return self._results

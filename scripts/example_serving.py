@@ -1,0 +1,117 @@
+"""Continuous-batching serving example: a stream of video-QA requests served
+through a fixed set of slots (runtime/serving.py).
+
+Requests queue in FIFO order; each is admitted into a freed slot via its own
+compressed prefill, then decodes lockstep with whatever else is in flight —
+one chunked device program per scheduling quantum. The reference serves one
+request at a time end to end (bsz==1, /root/reference/framefusion/main.py:203);
+this is the production form of the same engine.
+
+Usage:
+  python scripts/example_serving.py [--requests 8] [--slots 4] [--chunk 8]
+      [--new-tokens 32] [--frames 16] [--speculative] [--int8] [--tiny]
+"""
+
+import argparse
+import time
+
+import common  # noqa: F401  (sys.path + compile cache)
+import numpy as np
+
+import jax
+
+from framefusion_tpu.config import FrameFusionConfig, qwen2_7b_config, tiny_llm_config
+from framefusion_tpu.models import qwen2
+from framefusion_tpu.models.adapters.common import PrefillInputs
+from framefusion_tpu.runtime.engine import CompressionEngine
+from framefusion_tpu.runtime.serving import ServeRequest, ServingLoop
+
+
+def build_prompt(rng, hidden, n_frames, patch_num, coherent):
+    from bench import build_video_prompt
+
+    return build_video_prompt(rng, hidden, n_frames=n_frames, patch_num=patch_num,
+                              coherent=coherent)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--requests", type=int, default=8)
+    ap.add_argument("--slots", type=int, default=4)
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--new-tokens", type=int, default=32)
+    ap.add_argument("--frames", type=int, default=16)
+    ap.add_argument("--speculative", action="store_true",
+                    help="draft_len=4 prompt-lookup speculation per slot")
+    ap.add_argument("--int8", action="store_true", help="weight-only int8 decode")
+    ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke test)")
+    args = ap.parse_args()
+
+    on_tpu = jax.default_backend() == "tpu"
+    if args.tiny or not on_tpu:
+        cfg = tiny_llm_config(num_layers=4)
+        patch_num, frames, prefix_cap = 6, 8, 256
+        attn_impl = "chunked"
+    else:
+        cfg = qwen2_7b_config(vocab_size=8192)
+        patch_num, frames, prefix_cap = 182, args.frames, 4096
+        attn_impl = "pallas"
+
+    ff = FrameFusionConfig(cost=0.3, similarity_lower_bound=0.6, ratio_lower_bound=0.1)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    if args.int8:
+        from framefusion_tpu.ops.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
+    engine = CompressionEngine(params, cfg, ff, attn_impl=attn_impl)
+
+    rng = np.random.default_rng(0)
+    reqs = []
+    for i in range(args.requests):
+        h, pt, img_start, n_img = build_prompt(rng, cfg.hidden_size, frames, patch_num,
+                                               coherent=0.35 + 0.1 * (i % 3))
+        pos = np.arange(len(pt), dtype=np.int32)
+        inp = PrefillInputs(input_embeds=h, patch_type=pt, position_ids=pos,
+                            patch_num=patch_num, image_token_start=img_start,
+                            image_token_length=n_img)
+        budget = int(rng.integers(args.new_tokens // 2, args.new_tokens + 1))
+        reqs.append(ServeRequest(inp, max_new_tokens=budget))
+
+    draft = 4 if args.speculative else 0
+    # Warmup loop: compile the chunk program + prefill executors once.
+    warm = ServingLoop(engine, max_slots=args.slots, max_new_cap=args.new_tokens,
+                       chunk_steps=args.chunk, draft_len=draft, prefix_cap=prefix_cap)
+    warm.submit(ServeRequest(reqs[0].inputs, max_new_tokens=4))
+    warm.run()
+
+    loop = ServingLoop(engine, max_slots=args.slots, max_new_cap=args.new_tokens,
+                       chunk_steps=args.chunk, draft_len=draft, prefix_cap=prefix_cap)
+    ids = [loop.submit(r) for r in reqs]
+    t0 = time.perf_counter()
+    results = loop.run()
+    dt = time.perf_counter() - t0
+
+    total_toks = sum(len(results[i].tokens) for i in ids)
+    print(f"served {args.requests} requests through {args.slots} slots in "
+          f"{dt*1e3:.0f} ms — {total_toks} tokens, {total_toks/dt:.1f} tok/s, "
+          f"{loop._chunk_idx} chunks, {loop.compactions} compactions"
+          f"{', speculative' if args.speculative else ''}")
+    for i in ids[: min(4, len(ids))]:
+        r = results[i]
+        print(f"  req {i}: admitted@chunk {r.admitted_step}, "
+              f"{len(r.tokens)} tokens, prefill={r.prefill_mode}, "
+              f"first: {r.tokens[:6]}")
+
+    # Spot-check: request 0 must match its solo greedy run exactly.
+    inp = reqs[0].inputs
+    res = engine.prefill(inp.input_embeds, inp.patch_type, inp.position_ids,
+                         patch_num=inp.patch_num,
+                         image_token_start=inp.image_token_start,
+                         image_token_length=inp.image_token_length)
+    solo = engine.generate_greedy(res, reqs[0].max_new_tokens)
+    assert results[ids[0]].tokens == solo, "serving output diverged from solo greedy"
+    print("parity: request 0 == solo greedy decode")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,151 @@
+"""Continuous-batching serving loop (runtime/serving.py).
+
+Oracle: every request's tokens must be EXACTLY its solo ``generate_greedy``
+output, no matter when the request was admitted, which slot it rode, whether
+the scratch region was compacted under it, or whether speculation was on.
+(The reference serves bsz==1 end to end — main.py:203 — so the oracle is our
+own solo loop.)
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from framefusion_tpu.config import FrameFusionConfig, tiny_llm_config
+from framefusion_tpu.models import qwen2
+from framefusion_tpu.models.adapters.common import PrefillInputs
+from framefusion_tpu.runtime.engine import CompressionEngine
+from framefusion_tpu.runtime.serving import ServeRequest, ServingLoop
+
+from test_engine import build_inputs
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_llm_config(num_layers=4)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75, ratio_lower_bound=0.05,
+                           schedule_num_layers=4, bucket=32)
+    return cfg, params, ff
+
+
+def _inputs(seed, coherent=0.35):
+    h, pt, pos, img_start, n_img = build_inputs(seed=seed, coherent=coherent)
+    return PrefillInputs(input_embeds=h, patch_type=pt, position_ids=pos,
+                         patch_num=6, image_token_start=img_start,
+                         image_token_length=n_img)
+
+
+def _solo(engine, inp, max_new, eos=None):
+    res = engine.prefill(inp.input_embeds, inp.patch_type, inp.position_ids,
+                         patch_num=inp.patch_num,
+                         image_token_start=inp.image_token_start,
+                         image_token_length=inp.image_token_length)
+    return engine.generate_greedy(res, max_new, eos_token_id=eos)
+
+
+class TestServingParity:
+    def test_staggered_fifo_matches_solo(self, setup):
+        """5 requests with different lengths through 2 slots: later requests
+        are admitted mid-stream into retired slots; every output matches the
+        solo run."""
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        loop = ServingLoop(engine, max_slots=2, max_new_cap=24, chunk_steps=4,
+                           prefix_cap=256)
+        reqs = [(seed, new) for seed, new in
+                [(0, 16), (1, 9), (2, 24), (3, 5), (4, 13)]]
+        ids = [loop.submit(ServeRequest(_inputs(s), max_new_tokens=n))
+               for s, n in reqs]
+        results = loop.run()
+        assert set(results) == set(ids)
+        for rid, (seed, n) in zip(ids, reqs):
+            want = _solo(engine, _inputs(seed), n)
+            assert results[rid].tokens == want, (rid, seed)
+        # the later requests really were admitted mid-stream
+        assert max(r.admitted_step for r in results.values()) > 0
+
+    def test_compaction_preserves_tokens(self, setup):
+        """A scratch region smaller than the total decode length forces
+        mid-request compaction; tokens must be unchanged."""
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        loop = ServingLoop(engine, max_slots=2, max_new_cap=48, chunk_steps=2,
+                           prefix_cap=256)
+        ids = [loop.submit(ServeRequest(_inputs(s), max_new_tokens=48))
+               for s in (0, 1)]
+        results = loop.run()
+        assert loop.compactions >= 1, "test did not exercise compaction"
+        for rid, seed in zip(ids, (0, 1)):
+            assert results[rid].tokens == _solo(engine, _inputs(seed), 48)
+
+    def test_eos_mid_chunk(self, setup):
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        solo = _solo(engine, _inputs(0), 16)
+        eos = solo[6]  # cut mid-sequence, mid-chunk
+        loop = ServingLoop(engine, max_slots=2, max_new_cap=16, chunk_steps=4,
+                           prefix_cap=256)
+        rid = loop.submit(ServeRequest(_inputs(0), max_new_tokens=16,
+                                       eos_token_id=eos))
+        results = loop.run()
+        assert results[rid].tokens == solo[: solo.index(eos) + 1]
+
+    def test_speculative_serving(self, setup):
+        """draft_len>0: same tokens; with oracle histories the loop finishes
+        in fewer chunks than plain serving needs."""
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        solos = [_solo(engine, _inputs(s), 24) for s in (0, 1)]
+        loop = ServingLoop(engine, max_slots=2, max_new_cap=24, chunk_steps=4,
+                           prefix_cap=256, draft_len=4)
+        ids = [loop.submit(ServeRequest(_inputs(s), max_new_tokens=24,
+                                        prompt_ids=np.asarray(solos[i], np.int32)))
+               for i, s in enumerate((0, 1))]
+        results = loop.run()
+        for rid, want in zip(ids, solos):
+            assert results[rid].tokens == want
+        # 23 decode steps at ~5 tokens/pass -> well under the plain 6 chunks
+        assert loop._chunk_idx <= 3, loop._chunk_idx
+
+    def test_mrope_serving(self, setup):
+        cfg1, params, _ = setup
+        cfg = cfg1.replace(mrope_section=(4, 6, 6))
+        ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75,
+                               ratio_lower_bound=0.05, schedule_num_layers=4,
+                               bucket=32, num_importance_queries=4)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+
+        def inp(seed):
+            h, pt, pos, img_start, n_img = build_inputs(seed=seed, coherent=0.35)
+            return PrefillInputs(input_embeds=h, patch_type=pt,
+                                 position_ids=np.tile(pos, (3, 1)), patch_num=6,
+                                 image_token_start=img_start,
+                                 image_token_length=n_img)
+
+        loop = ServingLoop(engine, max_slots=2, max_new_cap=12, chunk_steps=3,
+                           prefix_cap=256)
+        ids = [loop.submit(ServeRequest(inp(s), max_new_tokens=12)) for s in (0, 2)]
+        results = loop.run()
+        for rid, seed in zip(ids, (0, 2)):
+            assert results[rid].tokens == _solo(engine, inp(seed), 12)
+
+    def test_single_token_request(self, setup):
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        loop = ServingLoop(engine, max_slots=2, max_new_cap=16, chunk_steps=4,
+                           prefix_cap=256)
+        rid1 = loop.submit(ServeRequest(_inputs(0), max_new_tokens=1))
+        rid2 = loop.submit(ServeRequest(_inputs(1), max_new_tokens=8))
+        results = loop.run()
+        assert results[rid1].tokens == _solo(engine, _inputs(0), 1)
+        assert results[rid2].tokens == _solo(engine, _inputs(1), 8)
+
+    def test_budget_cap_enforced(self, setup):
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        loop = ServingLoop(engine, max_slots=1, max_new_cap=8, chunk_steps=4)
+        with pytest.raises(AssertionError):
+            loop.submit(ServeRequest(_inputs(0), max_new_tokens=9))
