@@ -103,17 +103,47 @@ class TextPipeline:
 
         Also records ``last_prompt_ids`` — the prompt's text token ids
         (placeholder rows dropped) — which ``ask(speculative=True)`` feeds to
-        the prompt-lookup drafter (runtime/spec_decode.py)."""
+        the prompt-lookup drafter (runtime/spec_decode.py).
+
+        ``frames`` may be raw uint8 (T, H, W, C) video frames: they are
+        resized/normalized to the family's processor geometry in-repo
+        (preprocess.py — the reference leans on each model's HF processor
+        for this); float frames are taken as already preprocessed."""
         self._prompt_ids_acc = []
         try:
             inputs = self._build_inputs_dispatch(
-                question, frames=frames, video_features=video_features,
+                question, frames=self._prepare_frames(frames),
+                video_features=video_features,
                 video_grid_thw=video_grid_thw,
                 second_per_grid_ts=second_per_grid_ts)
         finally:
             self.last_prompt_ids = [i for i in self._prompt_ids_acc if i != 0]
             self._prompt_ids_acc = None
         return inputs
+
+    def _prepare_frames(self, frames):
+        """Raw uint8 frames -> the family's normalized model pixels.
+
+        Resize target comes from the attached tower: Qwen2-VL towers ride
+        ``smart_resize`` with factor = patch_size * spatial_merge_size (the
+        HF processor's rule); fixed-size towers (SigLIP, InternViT) use
+        their ``image_size``. Float inputs pass through untouched."""
+        if frames is None:
+            return None
+        frames = np.asarray(frames)
+        if frames.dtype != np.uint8:
+            return frames
+        from . import preprocess as pp
+
+        fam = self.model.family
+        if fam == "qwen2_vl":
+            assert self.vit_cfg is not None, "uint8 frames need a vision tower"
+            factor = self.vit_cfg.patch_size * self.vit_cfg.spatial_merge_size
+            return pp.preprocess_frames(frames, fam, factor=factor)
+        assert self.vit_cfg is not None and hasattr(self.vit_cfg, "image_size"), \
+            "uint8 frames need a fixed-size vision tower (image_size)"
+        size = self.vit_cfg.image_size
+        return pp.preprocess_frames(frames, fam, target=(size, size))
 
     def _build_inputs_dispatch(self, question: str, frames=None, video_features=None,
                                video_grid_thw=None, second_per_grid_ts=None):

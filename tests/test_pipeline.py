@@ -46,6 +46,33 @@ def test_ask_end_to_end():
     assert pipe.last_result.telemetry.vision_token_reduction > 0
 
 
+def test_ask_raw_uint8_frames():
+    """uint8 frames of an arbitrary camera size ride the in-repo
+    preprocessing (resize to the tower's image_size + family normalize,
+    preprocess.py) — no HF processor needed."""
+    cfg = tiny_llm_config(num_layers=4)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    vit_cfg = siglip.tiny_vit_config()
+    vit = siglip.init_params(vit_cfg, jax.random.PRNGKey(1))
+    proj = init_projector(jax.random.PRNGKey(2), vit_cfg.hidden_size, cfg.hidden_size)
+    model = FrameFusionModel(family="llava_video", cfg=cfg, params=params, attn_impl="einsum")
+    model = apply_framefusion(model, 0.5, 0.8, 0.05)
+    model.ff = model.ff.replace(schedule_num_layers=cfg.num_layers)
+    pipe = TextPipeline(model=model, tokenizer=StubTokenizer(),
+                        vit_params=vit, vit_cfg=vit_cfg, projector=proj)
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (6, 45, 61, 3)).astype(np.uint8)  # camera-sized
+    answer = pipe.ask("What happens?", frames=frames, max_new_tokens=4)
+    assert isinstance(answer, str) and len(answer) > 0
+    # the explicit-preprocess path must agree exactly
+    from framefusion_tpu import preprocess as pp
+
+    pre = pp.preprocess_frames(frames, "llava_video",
+                               target=(vit_cfg.image_size, vit_cfg.image_size))
+    answer2 = pipe.ask("What happens?", frames=pre, max_new_tokens=4)
+    assert answer2 == answer
+
+
 def test_ask_speculative_matches_plain():
     """ask(speculative=True) auto-seeds the lookup history from the prompt's
     text ids (last_prompt_ids, placeholders dropped) and returns the same
