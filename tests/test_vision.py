@@ -159,6 +159,13 @@ class TestQwen2VLViTVsHF:
         text = pipe.ask("what happens?", frames=frames, max_new_tokens=3)
         assert isinstance(text, str) and len(text) > 0
 
+        # raw uint8 camera frames: the pipeline smart_resizes to a
+        # factor-of-(patch*merge) geometry and applies the CLIP stats
+        # in-repo (preprocess.py) before the tower
+        raw = rng.integers(0, 256, (4, 45, 61, 3)).astype(np.uint8)
+        text2 = pipe.ask("what happens?", frames=raw, max_new_tokens=3)
+        assert isinstance(text2, str) and len(text2) > 0
+
 
 def make_hf_qwen25vl_tower():
     from transformers import Qwen2_5_VLConfig
