@@ -102,6 +102,71 @@ class TestShardedInference:
             toks_tp = engine_tp.generate_greedy(engine_tp.dense_prefill(h, pos), max_new_tokens=4)
         assert toks_tp == toks_ref
 
+    def test_spec_decode_sharded(self):
+        """Speculative decode under tensor parallelism: the verify pass is
+        the same einsum stack, so GSPMD partitions it like decode — tokens
+        must match the unsharded plain greedy run."""
+        cfg = tiny_llm_config(num_layers=4)
+        ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75,
+                               ratio_lower_bound=0.05, schedule_num_layers=4, bucket=32)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+        rng = np.random.default_rng(0)
+        h, pt, img_start, n_img = make_sequence(rng, 4, 6, 10, 3, hidden=cfg.hidden_size, coherent=0.5)
+        h = (h * 0.05).astype(np.float32)
+        pos = np.arange(len(pt), dtype=np.int32)
+
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        want = engine.generate_greedy(engine.prefill(h, pt, pos, 6, img_start, n_img), 12)
+
+        mesh = make_mesh(jax.devices()[:8], tensor=2)
+        with mesh:
+            sharded = shard_params(params, cfg, mesh)
+            engine_tp = CompressionEngine(sharded, cfg, ff, attn_impl="einsum")
+            res = engine_tp.prefill(h, pt, pos, 6, img_start, n_img)
+            got = engine_tp.generate_spec(res, 12, draft_len=4)
+        assert got == want
+
+    def test_serving_loop_sharded(self):
+        """The continuous-batching chunk program partitions under TP too:
+        requests served on a sharded engine match the unsharded solo runs."""
+        from framefusion_tpu.models.adapters.common import PrefillInputs
+        from framefusion_tpu.runtime.serving import ServeRequest, ServingLoop
+
+        cfg = tiny_llm_config(num_layers=4)
+        ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75,
+                               ratio_lower_bound=0.05, schedule_num_layers=4, bucket=32)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+
+        def inputs(seed):
+            rng = np.random.default_rng(seed)
+            h, pt, img_start, n_img = make_sequence(rng, 4, 6, 10, 3,
+                                                    hidden=cfg.hidden_size, coherent=0.5)
+            h = (h * 0.05).astype(np.float32)
+            return PrefillInputs(input_embeds=h, patch_type=pt,
+                                 position_ids=np.arange(len(pt), dtype=np.int32),
+                                 patch_num=6, image_token_start=img_start,
+                                 image_token_length=n_img)
+
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        want = []
+        for seed in (0, 1, 2):
+            inp = inputs(seed)
+            res = engine.prefill(inp.input_embeds, inp.patch_type, inp.position_ids,
+                                 patch_num=6, image_token_start=inp.image_token_start,
+                                 image_token_length=inp.image_token_length)
+            want.append(engine.generate_greedy(res, 10))
+
+        mesh = make_mesh(jax.devices()[:8], tensor=2)
+        with mesh:
+            sharded = shard_params(params, cfg, mesh)
+            engine_tp = CompressionEngine(sharded, cfg, ff, attn_impl="einsum")
+            loop = ServingLoop(engine_tp, max_slots=2, max_new_cap=10,
+                               chunk_steps=3, prefix_cap=128)
+            ids = [loop.submit(ServeRequest(inputs(s), max_new_tokens=10))
+                   for s in (0, 1, 2)]
+            results = loop.run()
+        assert [results[i].tokens for i in ids] == want
+
 
 class TestSeqShardedCompression:
     """Sequence-sharded compressed prefill (the 72B/256-frame stretch path,
