@@ -474,6 +474,31 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
 
 
 def main():
+    import threading
+
+    # Hang watchdog: the relay's device claim can wedge indefinitely (a
+    # 2026-08-18 outage held every claim >20 min; normal is ~2.5 min,
+    # DEVNOTES), and a silent hang starves the driver of the one JSON line
+    # this script must always print. If no result lands in time, emit the
+    # error record and hard-exit (the claim blocks in C, so only os._exit
+    # reliably ends the process).
+    done = threading.Event()
+    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "1500"))
+
+    def _watchdog():
+        if not done.wait(watchdog_s):
+            print(json.dumps({
+                "metric": "llm_prefill_speedup_64frames",
+                "value": None,
+                "unit": "x_vs_dense",
+                "vs_baseline": None,
+                "detail": {"errors": [f"watchdog: no result within {watchdog_s:.0f}s "
+                                       "(device claim hang?)"]},
+            }), flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
 
     backend = jax.default_backend()
@@ -512,6 +537,7 @@ def main():
         }
     elif errors:
         record["detail"]["degraded_from"] = errors
+    done.set()
     print(json.dumps(record))
 
 
