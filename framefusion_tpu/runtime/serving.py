@@ -49,6 +49,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import time
 from typing import Optional
 
 import jax
@@ -79,6 +80,11 @@ class ServeResult:
     tokens: list
     prefill_mode: str
     admitted_step: int  # chunk index at admission (scheduling introspection)
+    # wall-clock telemetry (host perf_counter seconds); queue_s = submit ->
+    # admission, serve_s = admission -> retirement. Chunked scheduling makes
+    # both quantized to the chunk cadence — that's the real serving latency.
+    queue_s: float = 0.0
+    serve_s: float = 0.0
 
 
 def _first_eos_clamp(t, n_new, eos_ids, kq):
@@ -277,6 +283,7 @@ class ServingLoop:
         self._slot_req = [None] * self.b  # request id occupying each slot
         self._slot_mode = ["fused"] * self.b  # executor that served the prefill
         self._admitted_at = [0] * self.b
+        self._slot_times = [(0.0, 0.0)] * self.b  # (queue_s, admitted perf_counter)
         self._results: dict = {}
         self._next_id = 0
         self._chunk_idx = 0
@@ -290,10 +297,11 @@ class ServingLoop:
             f"max_new_cap {self.max_new_cap}")
         rid = self._next_id
         self._next_id += 1
-        self._queue.append((rid, request))
+        self._queue.append((rid, request, time.perf_counter()))
         return rid
 
-    def _admit(self, slot: int, rid: int, request: ServeRequest):
+    def _admit(self, slot: int, rid: int, request: ServeRequest,
+               submitted_at: float):
         eng = self.engine
         inp = request.inputs
         result = eng.prefill(
@@ -330,6 +338,8 @@ class ServingLoop:
         self._slot_req[slot] = rid
         self._slot_mode[slot] = result.mode
         self._admitted_at[slot] = self._chunk_idx
+        now = time.perf_counter()
+        self._slot_times[slot] = (now - submitted_at, now)
 
     def _retire(self, slot: int, emitted_row: np.ndarray, out_rows: np.ndarray):
         rid = self._slot_req[slot]
@@ -338,9 +348,11 @@ class ServingLoop:
         eos = int(self.eos_ids[slot])
         if eos >= 0 and eos in toks:
             toks = toks[: toks.index(eos) + 1]
+        queue_s, admitted_at = self._slot_times[slot]
         self._results[rid] = ServeResult(
             request_id=rid, tokens=toks, prefill_mode=self._slot_mode[slot],
             admitted_step=self._admitted_at[slot],
+            queue_s=queue_s, serve_s=time.perf_counter() - admitted_at,
         )
         self._slot_req[slot] = None
         self.active[slot] = False
@@ -350,8 +362,8 @@ class ServingLoop:
     def _fill_slots(self):
         for slot in range(self.b):
             if self._slot_req[slot] is None and self._queue:
-                rid, req = self._queue.pop(0)
-                self._admit(slot, rid, req)
+                rid, req, submitted_at = self._queue.pop(0)
+                self._admit(slot, rid, req, submitted_at)
                 # Single-token request: retire immediately, free the slot.
                 if not self.active[slot] and self._slot_req[slot] is not None:
                     self._retire(slot, self.emitted[slot], np.asarray(self.out[slot]))

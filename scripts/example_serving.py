@@ -96,6 +96,11 @@ def main():
           f"{dt*1e3:.0f} ms — {total_toks} tokens, {total_toks/dt:.1f} tok/s, "
           f"{loop._chunk_idx} chunks, {loop.compactions} compactions"
           f"{', speculative' if args.speculative else ''}")
+    qs = sorted(results[i].queue_s for i in ids)
+    ss = sorted(results[i].serve_s for i in ids)
+    mid = len(ids) // 2
+    print(f"  latency: queue p50 {qs[mid]*1e3:.0f} ms / max {qs[-1]*1e3:.0f} ms; "
+          f"serve p50 {ss[mid]*1e3:.0f} ms / max {ss[-1]*1e3:.0f} ms")
     for i in ids[: min(4, len(ids))]:
         r = results[i]
         print(f"  req {i}: admitted@chunk {r.admitted_step}, "
