@@ -483,19 +483,33 @@ def main():
     # error record and hard-exit (the claim blocks in C, so only os._exit
     # reliably ends the process).
     done = threading.Event()
+    # One JSON line, exactly: whichever side prints must win the lock and
+    # flip `printed` first — a timeout that races the real result must not
+    # produce a second line.
+    print_lock = threading.Lock()
+    printed = [False]
     watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "1500"))
+
+    def _emit(record) -> bool:
+        with print_lock:
+            if printed[0]:
+                return False
+            printed[0] = True
+            print(json.dumps(record), flush=True)
+            return True
 
     def _watchdog():
         if not done.wait(watchdog_s):
-            print(json.dumps({
+            fired = _emit({
                 "metric": "llm_prefill_speedup_64frames",
                 "value": None,
                 "unit": "x_vs_dense",
                 "vs_baseline": None,
                 "detail": {"errors": [f"watchdog: no result within {watchdog_s:.0f}s "
                                        "(device claim hang?)"]},
-            }), flush=True)
-            os._exit(2)
+            })
+            if fired:
+                os._exit(2)
 
     threading.Thread(target=_watchdog, daemon=True).start()
 
@@ -538,7 +552,7 @@ def main():
     elif errors:
         record["detail"]["degraded_from"] = errors
     done.set()
-    print(json.dumps(record))
+    _emit(record)
 
 
 if __name__ == "__main__":

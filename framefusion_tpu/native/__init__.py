@@ -34,10 +34,19 @@ def _build() -> str:
     os.makedirs(build_dir, exist_ok=True)
     so = os.path.join(build_dir, f"libffprep-{tag}.so")
     if not os.path.exists(so):
+        # Unique temp per builder: concurrent processes (parallel pytest,
+        # multiple serving hosts) must not interleave writes to one .tmp —
+        # a torn file os.replace()d into the hash-keyed path would poison
+        # the cache permanently. os.replace itself is atomic.
+        tmp = f"{so}.{os.getpid()}.tmp"
         cmd = ["g++", "-O3", "-fPIC", "-shared", "-pthread", "-std=c++17",
-               _SRC, "-o", so + ".tmp"]
-        subprocess.run(cmd, check=True, capture_output=True)
-        os.replace(so + ".tmp", so)
+               _SRC, "-o", tmp]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True)
+            os.replace(tmp, so)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
     return so
 
 

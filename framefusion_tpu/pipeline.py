@@ -88,12 +88,20 @@ class TextPipeline:
             )
         return fallback
 
+    # Sentinel for media-placeholder rows in id lists handed to _embed_ids:
+    # embeds as row 0 (the spliced feature overwrites it anyway) but never
+    # enters the prompt-lookup history — real tokenizers may use id 0 for a
+    # legitimate token, so placeholders are marked at their insertion sites
+    # rather than filtered by value.
+    PLACEHOLDER_ID = -1
+
     def _embed_ids(self, ids) -> np.ndarray:
         ids = np.asarray(ids, np.int32)
         if getattr(self, "_prompt_ids_acc", None) is not None:
-            self._prompt_ids_acc.extend(int(i) for i in ids)
+            self._prompt_ids_acc.extend(int(i) for i in ids if i >= 0)
         return np.asarray(
-            qwen2.embed(self.model.params, jnp.asarray(ids), self.model.cfg),
+            qwen2.embed(self.model.params,
+                        jnp.asarray(np.where(ids < 0, 0, ids)), self.model.cfg),
             np.float32,
         )
 
@@ -117,7 +125,7 @@ class TextPipeline:
                 video_grid_thw=video_grid_thw,
                 second_per_grid_ts=second_per_grid_ts)
         finally:
-            self.last_prompt_ids = [i for i in self._prompt_ids_acc if i != 0]
+            self.last_prompt_ids = list(self._prompt_ids_acc)
             self._prompt_ids_acc = None
         return inputs
 
@@ -173,7 +181,7 @@ class TextPipeline:
                 encode_video(self.vit_params, self.vit_cfg, self.projector, jnp.asarray(frames))
             )
 
-        ids = ids_before + [0] + ids_after  # 0 = placeholder row
+        ids = ids_before + [self.PLACEHOLDER_ID] + ids_after
         text_embeds = self._embed_ids(ids)
         pps = self.vit_cfg.patches_per_side if self.vit_cfg is not None else 27
         return llava_video.build_prefill_inputs(
@@ -227,7 +235,7 @@ class TextPipeline:
         before, _, after = prompt.partition("<|video_pad|>")
         ids_before = list(self.tokenizer.encode(before))
         ids_after = list(self.tokenizer.encode(after))
-        text_embeds = self._embed_ids(ids_before + [0] + ids_after)
+        text_embeds = self._embed_ids(ids_before + [self.PLACEHOLDER_ID] + ids_after)
         if is_qwen25 and second_per_grid_ts is None:
             second_per_grid_ts = 1.0
         return qwen2_vl.build_prefill_inputs(
@@ -314,7 +322,8 @@ class TextPipeline:
         # 2 text separator slots per frame — the ``(<image>./</image>)\n``
         # suffix tokens whose distance the adapter's token_per_frame
         # includes (reference modeling_minicpmv.py:95-98).
-        sep = self._embed_ids((list(self.tokenizer.encode(")\n")) + [0, 0])[:2])
+        sep = self._embed_ids(
+            (list(self.tokenizer.encode(")\n")) + [self.PLACEHOLDER_ID] * 2)[:2])
         chunks, bounds, cursor = [emb_before], [], emb_before.shape[0]
         for f in range(n_frames):
             chunks.append(feats[f])
@@ -355,7 +364,7 @@ class TextPipeline:
         before, _, after = prompt.partition(self.image_token)
         ids_before = list(self.tokenizer.encode(before))
         ids_after = list(self.tokenizer.encode(after))
-        text_embeds = self._embed_ids(ids_before + [0] + ids_after)
+        text_embeds = self._embed_ids(ids_before + [self.PLACEHOLDER_ID] + ids_after)
         return nvila.build_prefill_inputs_video(
             text_embeds, np.asarray(video_features, np.float32),
             media_token_pos=len(ids_before), num_frames=n_frames,

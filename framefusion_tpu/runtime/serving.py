@@ -59,7 +59,7 @@ import numpy as np
 from ..config import LLMConfig
 from ..core.compact import bucket_length
 from ..models import qwen2
-from .spec_decode import draft_lookup
+from .spec_decode import spec_macro_step
 
 __all__ = ["ServeRequest", "ServingLoop"]
 
@@ -132,11 +132,9 @@ def _serve_chunk(
     the committed count in-graph so a slot never runs past its contract.
     Stops early when no slot is active. Returns the advanced state."""
     kq = draft_len + 1
-    b = last_tok.shape[0]
     s_pool = k_pool.shape[2]
     pos_iota = jnp.arange(s_pool, dtype=jnp.int32)
     upd_row = jax.vmap(lambda buf, val, at: jax.lax.dynamic_update_slice(buf, val, (at,)))
-    draft_b = jax.vmap(draft_lookup, in_axes=(0, 0, None))
 
     state = (jnp.int32(0), out, last_tok, emitted, active, hist, hist_len,
              k_pool, v_pool, dmask, cursor)
@@ -147,24 +145,11 @@ def _serve_chunk(
     def body(st):
         (s, out, last, emitted, active, hist, hl, k_pool, v_pool, dmask,
          cursor) = st
-        if draft_len > 0:
-            drafts, found = draft_b(hist, hl, draft_len)
-            rows = jnp.concatenate([last[:, None], drafts], axis=1)  # (B,K)
-        else:
-            rows = last[:, None]
-        te = qwen2.embed(params, rows, cfg)
-        pos = pos_bases[:, None] + (emitted[:, None] - 1) + jnp.arange(kq, dtype=jnp.int32)[None]
-        pos_ids = jnp.tile(pos[None], (3, 1, 1)) if pos_dims == 3 else pos
-        logits, k_pool, v_pool = qwen2.verify_step_batch(
-            params, te, pos_ids, k_pool, v_pool, cache_lens, dmask,
-            cursor, jnp.int32(0), cfg,
+        t, a, _, k_pool, v_pool = spec_macro_step(
+            params, last, emitted, hist, hl, pos_bases,
+            k_pool, v_pool, cache_lens, dmask, cursor,
+            cfg=cfg, pos_dims=pos_dims, draft_len=draft_len,
         )
-        t = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B,K)
-        if draft_len > 0:
-            ok = drafts == t[:, :-1]
-            a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
-        else:
-            a = jnp.zeros((b,), jnp.int32)
         n_new = jnp.minimum(a + 1, budgets - emitted)  # budget clamp
         n_new, eos_hit = _first_eos_clamp(t, n_new, eos_ids, kq)
         n_new = jnp.where(active, n_new, 0)
@@ -186,6 +171,18 @@ def _serve_chunk(
     st = jax.lax.while_loop(cond, body, state)
     (_, out, last, emitted, active, hist, hl, k_pool, v_pool, dmask, cursor) = st
     return out, last, emitted, active, hist, hl, k_pool, v_pool, dmask, cursor
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _splice_slot(k_pool, v_pool, k_one, v_one, slot):
+    """Write one sequence's assembled caches into its slot IN PLACE (pools
+    donated — an un-donated op-level update would copy the whole batched
+    pool twice per admission, ~GBs of HBM traffic at 7B serving geometry)."""
+    idx = (jnp.int32(0), slot, jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    return (
+        jax.lax.dynamic_update_slice(k_pool, k_one[:, None], idx),
+        jax.lax.dynamic_update_slice(v_pool, v_one[:, None], idx),
+    )
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -311,12 +308,18 @@ class ServingLoop:
         )
         assert result.pos_dims == self.pos_dims, "rope layout mismatch"
         max_prefix = max(c[2] for c in result.layer_caches)
-        assert max_prefix <= self.region_start, (
-            f"prefix {max_prefix} exceeds the compaction region "
-            f"{self.region_start}; raise prefix_cap")
+        # Compaction invariant: prefix + committed rows (<= max_new_cap) must
+        # always fit below region_start, or a compacted slot's live rows
+        # would spill into the scratch region and be overwritten by the next
+        # chunk's common-offset writes (silent KV corruption).
+        prefix_limit = self.region_start - self.max_new_cap
+        assert max_prefix <= prefix_limit, (
+            f"prefix {max_prefix} exceeds prefix capacity {prefix_limit} "
+            f"(= region_start {self.region_start} - max_new_cap "
+            f"{self.max_new_cap}); raise prefix_cap")
         k_one, v_one, lens_one = eng.make_decode_state(result, 0, s_pool=self.s_pool)
-        self.k_pool = jax.lax.dynamic_update_slice(self.k_pool, k_one[:, None], (0, slot, 0, 0, 0))
-        self.v_pool = jax.lax.dynamic_update_slice(self.v_pool, v_one[:, None], (0, slot, 0, 0, 0))
+        self.k_pool, self.v_pool = _splice_slot(
+            self.k_pool, self.v_pool, k_one, v_one, jnp.int32(slot))
         self.cache_lens = self.cache_lens.at[:, slot].set(lens_one)
         self.dmask = self.dmask.at[slot].set(False)
         tok0 = int(jnp.argmax(result.logits))

@@ -167,6 +167,48 @@ def spec_decode_loop(
     return st[2][:max_new], st[8], st[9], st[10], st[5], st[6], st[7]
 
 
+def spec_macro_step(
+    params, last, emitted, hist, hist_len, pos_bases,
+    k_pool, v_pool, cache_lens, dmask, base,
+    *, cfg: LLMConfig, pos_dims: int, draft_len: int,
+):
+    """One batched draft-and-verify macro step — the shared core of
+    :func:`spec_decode_loop_batch` and the serving chunk program
+    (runtime/serving._serve_chunk). Per-sequence prompt-lookup drafts
+    (skipped entirely at ``draft_len == 0``, where this is plain batched
+    greedy decode with per-sequence validity bitmaps), ONE
+    ``qwen2.verify_step_batch`` weight pass writing at common offset
+    ``base``, then the model's own argmax and the longest-accepted-prefix
+    counts. Commit bookkeeping (budget/eos clamps, output buffers) stays
+    with the caller.
+
+    Returns (t (B, K) greedy tokens, a (B,) accepted draft counts,
+    found (B,) draft-source hits, k_pool, v_pool).
+    """
+    kq = draft_len + 1
+    if draft_len > 0:
+        drafts, found = jax.vmap(draft_lookup, in_axes=(0, 0, None))(
+            hist, hist_len, draft_len)
+        rows = jnp.concatenate([last[:, None], drafts], axis=1)  # (B, K)
+    else:
+        found = jnp.zeros(last.shape, bool)
+        rows = last[:, None]
+    te = qwen2.embed(params, rows, cfg)
+    pos = pos_bases[:, None] + (emitted[:, None] - 1) + jnp.arange(kq, dtype=jnp.int32)[None]
+    pos_ids = jnp.tile(pos[None], (3, 1, 1)) if pos_dims == 3 else pos
+    logits, k_pool, v_pool = qwen2.verify_step_batch(
+        params, te, pos_ids, k_pool, v_pool, cache_lens, dmask,
+        base, jnp.int32(0), cfg,
+    )
+    t = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K)
+    if draft_len > 0:
+        ok = drafts == t[:, :-1]
+        a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+    else:
+        a = jnp.zeros(last.shape, jnp.int32)
+    return t, a, found, k_pool, v_pool
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new", "pos_dims", "draft_len"),
@@ -229,7 +271,6 @@ def spec_decode_loop_batch(
     out = out.at[:, 0].set(tok0)
     upd_row = jax.vmap(lambda buf, val, at: jax.lax.dynamic_update_slice(buf, val, (at,)))
     hist = upd_row(hist0, tok0[:, None], hist_len0)
-    draft_b = jax.vmap(draft_lookup, in_axes=(0, 0, None))
     pos_iota = jnp.arange(s_pool, dtype=jnp.int32)
 
     state = (
@@ -252,18 +293,11 @@ def spec_decode_loop_batch(
     def body(st):
         (emitted, last, out, hist, hl, k_pool, v_pool, dmask,
          steps, drafted, accepted) = st
-        drafts, found = draft_b(hist, hl, draft_len)  # (B, K-1), (B,)
-        rows = jnp.concatenate([last[:, None], drafts], axis=1)  # (B, K)
-        te = qwen2.embed(params, rows, cfg)  # (B, K, D)
-        pos = pos_bases[:, None] + (emitted[:, None] - 1) + jnp.arange(kq, dtype=jnp.int32)[None]
-        pos_ids = jnp.tile(pos[None], (3, 1, 1)) if pos_dims == 3 else pos
-        logits, k_pool, v_pool = qwen2.verify_step_batch(
-            params, te, pos_ids, k_pool, v_pool, cache_lens, dmask,
-            write_pos, steps, cfg,
+        t, a, found, k_pool, v_pool = spec_macro_step(
+            params, last, emitted, hist, hl, pos_bases,
+            k_pool, v_pool, cache_lens, dmask, write_pos + steps * kq,
+            cfg=cfg, pos_dims=pos_dims, draft_len=draft_len,
         )
-        t = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K)
-        ok = drafts == t[:, :-1]
-        a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)  # (B,)
         active = emitted < max_new
         n_new = jnp.where(active, a + 1, 0)
         # Finished sequences re-write their padding slots in place — harmless.

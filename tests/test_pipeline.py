@@ -86,7 +86,17 @@ def test_ask_speculative_matches_plain():
     feats = (rng.standard_normal((6 * 3, cfg.hidden_size)) * 0.05).astype(np.float32)
     plain = pipe.ask("What is shown?", video_features=feats, max_new_tokens=8)
     ids = pipe.last_prompt_ids
-    assert ids and 0 not in ids and max(ids) < cfg.vocab_size
+    # Placeholders are excluded by POSITION (PLACEHOLDER_ID sentinel), not by
+    # value — a tokenizer may legitimately emit id 0 (StubTokenizer maps 'e'
+    # there), and those stay in the lookup history.
+    assert ids and all(0 <= i < cfg.vocab_size for i in ids)
+    # exactly the text ids: the one placeholder row is dropped by position
+    from framefusion_tpu.pipeline import DEFAULT_TEMPLATE
+
+    prompt = DEFAULT_TEMPLATE.format(question="What is shown?")
+    before, _, after = prompt.partition("<image>")
+    want = list(pipe.tokenizer.encode(before)) + list(pipe.tokenizer.encode(after))
+    assert ids == want
     spec = pipe.ask("What is shown?", video_features=feats, max_new_tokens=8,
                     speculative=True)
     assert spec == plain
