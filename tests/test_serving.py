@@ -149,3 +149,19 @@ class TestServingParity:
         loop = ServingLoop(engine, max_slots=1, max_new_cap=8, chunk_steps=4)
         with pytest.raises(AssertionError):
             loop.submit(ServeRequest(_inputs(0), max_new_tokens=9))
+
+    def test_prefix_capacity_enforced(self, setup):
+        """Compaction invariant: a prefix that could not coexist with a full
+        budget below region_start must be REJECTED at admission — admitting
+        it would let compaction spill committed rows into the scratch region
+        (silent KV corruption, caught by review)."""
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        # prefix_cap=32 with max_new_cap=32: region_start=64, so any prefix
+        # over 32 rows must raise. The synthetic prompt is ~100 tokens and
+        # stays > 32 even after compression.
+        loop = ServingLoop(engine, max_slots=1, max_new_cap=32, chunk_steps=4,
+                           prefix_cap=32)
+        loop.submit(ServeRequest(_inputs(0), max_new_tokens=8))
+        with pytest.raises(AssertionError, match="prefix capacity"):
+            loop.run()
