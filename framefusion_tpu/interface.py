@@ -207,6 +207,17 @@ class FrameFusionModel:
             )
         return tokens, results
 
+    def serving_loop(self, **kwargs):
+        """Continuous-batching scheduler bound to this model's engine
+        (runtime/serving.ServingLoop): submit `ServeRequest`s, call
+        ``run()``. Requests admit mid-flight into freed slots; every
+        request's tokens equal its solo greedy run. Kwargs: max_slots,
+        max_new_cap, chunk_steps, draft_len (speculative serving),
+        prefix_cap, prefill_mode."""
+        from .runtime.serving import ServingLoop
+
+        return ServingLoop(self.engine(), **kwargs)
+
 
 def get_token_type(family: str):
     """Return the family's prompt-metadata builder — the reference's

@@ -150,6 +150,27 @@ class TestServingParity:
         with pytest.raises(AssertionError):
             loop.submit(ServeRequest(_inputs(0), max_new_tokens=9))
 
+    def test_interface_serving_loop(self, setup):
+        """FrameFusionModel.serving_loop() binds the scheduler to the
+        model's engine — the public serving entry point."""
+        from framefusion_tpu.interface import FrameFusionModel, apply_framefusion
+
+        cfg, params, ff = setup
+        model = apply_framefusion(
+            FrameFusionModel(family="llava_video", cfg=cfg, params=params,
+                             attn_impl="einsum"),
+            cost=ff.cost, similarity_lower_bound=ff.similarity_lower_bound,
+            ratio_lower_bound=ff.ratio_lower_bound,
+        )
+        model.ff = model.ff.replace(schedule_num_layers=cfg.num_layers, bucket=32)
+        loop = model.serving_loop(max_slots=2, max_new_cap=10, chunk_steps=3,
+                                  prefix_cap=128)
+        rid = loop.submit(ServeRequest(_inputs(0), max_new_tokens=10))
+        results = loop.run()
+        want = model.engine().generate_greedy(
+            model.prefill(_inputs(0)), 10)
+        assert results[rid].tokens == want
+
     def test_prefix_capacity_enforced(self, setup):
         """Compaction invariant: a prefix that could not coexist with a full
         budget below region_start must be REJECTED at admission — admitting
