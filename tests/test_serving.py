@@ -143,6 +143,48 @@ class TestServingParity:
         assert results[rid1].tokens == _solo(engine, _inputs(0), 1)
         assert results[rid2].tokens == _solo(engine, _inputs(1), 8)
 
+    def test_fuzz_schedules_vs_solo(self, setup):
+        """Randomized schedules: slot counts, chunk lengths, budgets, eos
+        cuts and speculation all vary; every request must still reproduce
+        its solo greedy tokens exactly."""
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        rng = np.random.default_rng(7)
+        solo_cache = {}
+
+        def solo(seed, n, eos=None):
+            if (seed, n) not in solo_cache:
+                solo_cache[(seed, n)] = _solo(engine, _inputs(seed), n)
+            toks = solo_cache[(seed, n)]
+            if eos is not None and eos in toks:
+                toks = toks[: toks.index(eos) + 1]
+            return toks
+
+        for trial in range(3):
+            n_req = int(rng.integers(3, 6))
+            slots = int(rng.integers(1, 4))
+            chunk = int(rng.integers(2, 6))
+            draft = int(rng.choice([0, 3]))
+            loop = ServingLoop(engine, max_slots=slots, max_new_cap=20,
+                               chunk_steps=chunk, draft_len=draft,
+                               prefix_cap=256)
+            plan = []
+            for _ in range(n_req):
+                seed = int(rng.integers(0, 50))
+                budget = int(rng.integers(1, 21))
+                base = solo(seed, budget)
+                eos = None
+                if budget > 4 and rng.random() < 0.4:
+                    eos = base[int(rng.integers(2, budget - 1))]
+                rid = loop.submit(ServeRequest(_inputs(seed), max_new_tokens=budget,
+                                               eos_token_id=eos))
+                plan.append((rid, seed, budget, eos))
+            results = loop.run()
+            for rid, seed, budget, eos in plan:
+                want = solo(seed, budget, eos)
+                assert results[rid].tokens == want, (trial, rid, seed, budget, eos,
+                                                     slots, chunk, draft)
+
     def test_budget_cap_enforced(self, setup):
         cfg, params, ff = setup
         engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
