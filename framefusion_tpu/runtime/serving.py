@@ -322,19 +322,22 @@ class ServingLoop:
             self.k_pool, self.v_pool, k_one, v_one, jnp.int32(slot))
         self.cache_lens = self.cache_lens.at[:, slot].set(lens_one)
         self.dmask = self.dmask.at[slot].set(False)
-        tok0 = int(jnp.argmax(result.logits))
+        # Token 0 stays ON DEVICE: a host argmax read here would add one
+        # device->host round-trip per admission (up to ~1.3 s on the relay,
+        # DEVNOTES) to the inter-chunk gap. A request whose token 0 happens
+        # to be its eos decodes its full budget and is truncated at
+        # retirement — same tokens, bounded waste, no sync.
+        tok0 = jnp.argmax(result.logits).astype(jnp.int32)
         self.out = self.out.at[slot].set(0).at[slot, 0].set(tok0)
         self.last_tok = self.last_tok.at[slot].set(tok0)
         pids = np.asarray(request.prompt_ids, np.int32).reshape(-1) if request.prompt_ids is not None else np.zeros((0,), np.int32)
         pids = pids[-self.seed_cap:]
         seed = np.zeros((self.hist.shape[1],), np.int32)
         seed[: len(pids)] = pids
-        seed[len(pids)] = tok0
-        self.hist = self.hist.at[slot].set(jnp.asarray(seed))
+        self.hist = self.hist.at[slot].set(jnp.asarray(seed)).at[slot, len(pids)].set(tok0)
         self.hist_len = self.hist_len.at[slot].set(len(pids) + 1)
         self.emitted[slot] = 1
-        self.active[slot] = request.max_new_tokens > 1 and (
-            request.eos_token_id is None or tok0 != request.eos_token_id)
+        self.active[slot] = request.max_new_tokens > 1
         self.budgets[slot] = request.max_new_tokens
         self.eos_ids[slot] = -1 if request.eos_token_id is None else request.eos_token_id
         self.pos_bases[slot] = result.decode_pos_base

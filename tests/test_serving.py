@@ -175,7 +175,11 @@ class TestServingParity:
                 base = solo(seed, budget)
                 eos = None
                 if budget > 4 and rng.random() < 0.4:
-                    eos = base[int(rng.integers(2, budget - 1))]
+                    # sometimes the very first token: the slot then decodes
+                    # its budget and is truncated at retirement (no host
+                    # sync at admission reads token 0)
+                    lo = 0 if rng.random() < 0.25 else 2
+                    eos = base[int(rng.integers(lo, budget - 1))]
                 rid = loop.submit(ServeRequest(_inputs(seed), max_new_tokens=budget,
                                                eos_token_id=eos))
                 plan.append((rid, seed, budget, eos))
