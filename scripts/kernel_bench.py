@@ -558,6 +558,56 @@ def check_kernels() -> int:
                                   jnp.int32(2), attn_impl="jax")[0],
             atol=5e-2)
 
+    # speculative verify: the K-row one-weight-pass program must equal K
+    # SEQUENTIAL decode_steps fed the same candidate rows (logits level —
+    # this is the program the spec decode loop and the serving chunk ride).
+    # Fresh params: the int8 leg above CONSUMED dparams via quantization.
+    vparams = q2.init_params(dcfg, jax.random.PRNGKey(4))
+    kq = 4
+    rows_emb = jnp.asarray(rng.standard_normal((kq, dcfg.hidden_size)) * 0.1, jnp.bfloat16)
+    kp0 = jnp.asarray(rng.standard_normal((2, 512, dcfg.num_kv_heads, 128)) * 0.1, jnp.bfloat16)
+    vp0 = jnp.asarray(rng.standard_normal((2, 512, dcfg.num_kv_heads, 128)) * 0.1, jnp.bfloat16)
+    lens0 = jnp.asarray([400, 380], jnp.int32)
+    vstep = jax.jit(functools.partial(q2.verify_step, cfg=dcfg))
+    dstep = jax.jit(functools.partial(q2.decode_step, cfg=dcfg), static_argnames="attn_impl")
+
+    def seq_oracle():
+        lg, kp, vp, ln = [], kp0, vp0, lens0
+        for i in range(kq):
+            lgi, kp, vp, ln = dstep(vparams, rows_emb[i], jnp.int32(400 + i),
+                                    kp, vp, ln, attn_impl="jax")
+            lg.append(lgi)
+        return jnp.stack(lg)
+
+    run("verify_step K=4 == sequential decode [logits]",
+        lambda: vstep(vparams, rows_emb, jnp.int32(400) + jnp.arange(kq, dtype=jnp.int32),
+                      kp0, vp0, lens0)[0],
+        seq_oracle, atol=5e-2)
+
+    # batched verify (the serving-chunk/spec-batch core): per-sequence
+    # parity against the solo K-row program at empty decode bitmaps
+    bsz = 3
+    embsk = jnp.asarray(rng.standard_normal((bsz, kq, dcfg.hidden_size)) * 0.1, jnp.bfloat16)
+    kpbk = jnp.asarray(rng.standard_normal((2, bsz, 512, dcfg.num_kv_heads, 128)) * 0.1,
+                       jnp.bfloat16)
+    vpbk = jnp.asarray(rng.standard_normal((2, bsz, 512, dcfg.num_kv_heads, 128)) * 0.1,
+                       jnp.bfloat16)
+    lensbk = jnp.asarray([[300, 260, 200], [280, 240, 190]], jnp.int32)
+    posbk = lensbk[0][:, None] + jnp.arange(kq, dtype=jnp.int32)[None]
+    vbstep = jax.jit(functools.partial(q2.verify_step_batch, cfg=dcfg))
+
+    def solo_rows():
+        outs = []
+        for b in range(bsz):
+            outs.append(vstep(vparams, embsk[b], posbk[b],
+                              kpbk[:, b], vpbk[:, b], lensbk[:, b])[0])
+        return jnp.stack(outs)
+
+    run("verify_step_batch B=3 == per-seq solo [logits]",
+        lambda: vbstep(vparams, embsk, posbk, kpbk, vpbk, lensbk,
+                       jnp.zeros((bsz, 512), bool), jnp.int32(440), jnp.int32(0))[0],
+        solo_rows, atol=5e-2)
+
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return len(failures)
 
