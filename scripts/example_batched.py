@@ -45,6 +45,9 @@ def main():
     ap.add_argument("--batched-prefill", action="store_true",
                     help="run the B prefills as ONE lockstep-batched program "
                          "pipeline (engine.prefill_planned_batch)")
+    ap.add_argument("--speculative", action="store_true",
+                    help="also time the oracle-seeded speculative batched "
+                         "decode (engine.generate_spec_batch)")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -121,6 +124,23 @@ def main():
     print(f"decode {n} tokens  B={args.batch}: {t_batch*1e3:7.1f} ms  "
           f"({args.batch*n/t_batch:7.1f} tok/s total, "
           f"{t_batch/t_single:.2f}x wall for {args.batch}x tokens)")
+
+    if args.speculative:
+        # Oracle-seeded speculative batch: drafts come from each sequence's
+        # own greedy output, so acceptance is near-perfect — the measured
+        # ceiling of the draft-and-verify program. Output must equal the
+        # plain batched greedy tokens exactly.
+        hints = [np.asarray(t, np.int32) for t in toks_b]
+        engine.generate_spec_batch(results, args.new_tokens, prompt_ids=hints)
+        t0 = time.perf_counter()
+        toks_s, stats = engine.generate_spec_batch(
+            results, args.new_tokens, prompt_ids=hints, return_stats=True)
+        t_spec = time.perf_counter() - t0
+        assert toks_s == toks_b, "speculative batch diverged from plain greedy"
+        print(f"decode {n} tokens  B={args.batch} speculative(oracle): "
+              f"{t_spec*1e3:7.1f} ms  ({args.batch*n/t_spec:7.1f} tok/s, "
+              f"{stats['tokens_per_pass']:.2f} tok/weight-pass, "
+              f"{stats['macro_steps']} passes; exact greedy parity)")
 
 
 if __name__ == "__main__":
