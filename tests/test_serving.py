@@ -132,6 +132,23 @@ class TestServingParity:
         for rid, seed in zip(ids, (0, 2)):
             assert results[rid].tokens == _solo(engine, inp(seed), 12)
 
+    def test_moe_serving(self):
+        """The chunk program's sparse-MLP path (row-exact expert gather in
+        verify_step_batch) serves MoE stacks with solo parity."""
+        from framefusion_tpu.config import tiny_moe_llm_config
+
+        cfg = tiny_moe_llm_config(num_layers=4)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(1))
+        ff = FrameFusionConfig(cost=0.5, similarity_lower_bound=0.8,
+                               ratio_lower_bound=0.05, schedule_num_layers=4, bucket=32)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        loop = ServingLoop(engine, max_slots=2, max_new_cap=10, chunk_steps=3,
+                           prefix_cap=256, draft_len=3)
+        ids = [loop.submit(ServeRequest(_inputs(s), max_new_tokens=10)) for s in (0, 3)]
+        results = loop.run()
+        for rid, seed in zip(ids, (0, 3)):
+            assert results[rid].tokens == _solo(engine, _inputs(seed), 10)
+
     def test_single_token_request(self, setup):
         cfg, params, ff = setup
         engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
