@@ -132,6 +132,23 @@ class TestServingParity:
         for rid, seed in zip(ids, (0, 2)):
             assert results[rid].tokens == _solo(engine, inp(seed), 12)
 
+    def test_auto_prefill_rides_plan_history(self, setup):
+        """prefill_mode='auto' composes with serving: the first admission of
+        a geometry runs the adaptive fused executor (cold) and seeds
+        PlanHistory; later same-geometry admissions ride the sync-free
+        planned path — with tokens still equal to the solo runs."""
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        loop = ServingLoop(engine, max_slots=1, max_new_cap=8, chunk_steps=4,
+                           prefix_cap=256, prefill_mode="auto")
+        ids = [loop.submit(ServeRequest(_inputs(s), max_new_tokens=8))
+               for s in (0, 1, 2)]
+        results = loop.run()
+        modes = [results[i].prefill_mode for i in ids]
+        assert modes[0] == "fused" and "planned" in modes[1:], modes
+        for rid, seed in zip(ids, (0, 1, 2)):
+            assert results[rid].tokens == _solo(engine, _inputs(seed), 8)
+
     def test_moe_serving(self):
         """The chunk program's sparse-MLP path (row-exact expert gather in
         verify_step_batch) serves MoE stacks with solo parity."""
