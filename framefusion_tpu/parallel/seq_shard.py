@@ -71,42 +71,47 @@ def make_seq_mesh(devices=None, seq: int | None = None) -> Mesh:
 
 
 @functools.lru_cache(maxsize=32)
-def _sharded_layer_fn(mesh: Mesh, cfg: LLMConfig, do_mlp: bool, capture_num: int):
-    """One decoder layer, sequence-sharded: local q/k/v, all-gathered K/V,
-    globally-positioned causal mask, optional importance capture.
+def _sharded_layer_fn(mesh: Mesh, cfg: LLMConfig, do_mlp: bool, capture_num: int,
+                      ring: bool = False):
+    """One decoder layer, sequence-sharded: local q/k/v, globally-positioned
+    causal mask, optional importance capture. Two K/V movement strategies:
 
-    Attention walks the gathered K/V in blocks with an online softmax
-    (flash-style in pure XLA), so the live fp32 score tensor is
-    (Hk, G, S_local, block_k) — at the 72B/256-frame stretch shapes that is
-    ~1.5 GB of transient per block instead of the ~69 GB a full
-    (S_local, S) materialisation would need."""
+    * gather (default): K/V all-gathered per layer, then walked blockwise
+      with an online softmax — the live fp32 score tensor is
+      (Hk, G, S_local, block_k) (~1.5 GB per block at the stretch shapes
+      instead of the ~69 GB a full (S_local, S) materialisation would need).
+      The gathered (S, Hk, hd) transient is small under GQA (K+V are Hk/Hq
+      of the activation width).
+    * ring (``ring=True``): NO gathered transient — each device keeps only
+      its own (S/n, Hk, hd) K/V block and the blocks rotate around the
+      ``seq`` axis via ``lax.ppermute`` (n-1 neighbor hops on the ICI ring),
+      each visit folded into the same online softmax. Peak K/V memory drops
+      from S to 2·S/n rows per device, and each hop's transfer overlaps the
+      previous block's attention compute — the scaling shape for contexts
+      where even the GQA gather is too big. Capture layers (``capture_num >
+      0``) keep the gather path: importance needs full-row softmax
+      probabilities, which would otherwise need a second online pass.
+    """
     n_seq = mesh.shape["seq"]
     hd = cfg.head_dim_
     hk = cfg.num_kv_heads
     g = cfg.num_heads // hk
     scale = jnp.float32(1.0 / hd ** 0.5)
+    assert not (ring and capture_num), "ring mode has no importance capture"
 
     def shard(lp, h_l, cos_l, sin_l, valid_len):
         from ..ops.attention import NEG_INF
 
         s_local = h_l.shape[0]
         s_full = s_local * n_seq
-        block_k = next(bk for bk in (1024, 512, 256, 128, 64, 32, 16, 8)
-                       if s_full % bk == 0)
-        nk = s_full // block_k
         q_off = jax.lax.axis_index("seq") * s_local
 
         x = qwen2.rmsnorm(h_l, lp["ln1"], cfg.rms_norm_eps)
         q, k, v = qwen2._project_qkv(lp, x, cfg)
         q, k = qwen2.apply_rope(q, k, cos_l, sin_l)
-        k_all = jax.lax.all_gather(k, "seq", axis=0, tiled=True)  # (S, Hk, hd)
-        v_all = jax.lax.all_gather(v, "seq", axis=0, tiled=True)
 
         qg = q.reshape(s_local, hk, g, hd).transpose(1, 2, 0, 3)  # (Hk,G,S/n,hd)
-        kb = k_all.reshape(nk, block_k, hk, hd).transpose(0, 2, 1, 3)  # (nk,Hk,bk,hd)
-        vb = v_all.reshape(nk, block_k, hk, hd).transpose(0, 2, 1, 3)
         q_pos = q_off + jnp.arange(s_local, dtype=jnp.int32)
-        k_pos = jnp.arange(s_full, dtype=jnp.int32).reshape(nk, block_k)
 
         def kv_step(carry, inputs):
             m, l, acc = carry
@@ -126,7 +131,44 @@ def _sharded_layer_fn(mesh: Mesh, cfg: LLMConfig, do_mlp: bool, capture_num: int
         m0 = jnp.full((hk, g, s_local, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((hk, g, s_local, 1), jnp.float32)
         acc0 = jnp.zeros((hk, g, s_local, hd), jnp.float32)
-        (m, l, acc), _ = jax.lax.scan(kv_step, (m0, l0, acc0), (kb, vb, k_pos))
+
+        if ring:
+            # Rotate the K/V blocks around the seq ring; fold each visiting
+            # block (sub-blocked to bound the score transient) into the
+            # online softmax. After t hops device i holds the block that
+            # started at device (i - t) mod n.
+            sub = next(bk for bk in (1024, 512, 256, 128, 64, 32, 16, 8, 4, 2, 1)
+                       if s_local % bk == 0)
+            nsub = s_local // sub
+            perm = [(i, (i + 1) % n_seq) for i in range(n_seq)]
+            my = jax.lax.axis_index("seq")
+
+            def ring_step(carry, t):
+                m, l, acc, kc, vc = carry
+                blk_off = (jnp.mod(my - t, n_seq) * s_local).astype(jnp.int32)
+                kb = kc.reshape(nsub, sub, hk, hd).transpose(0, 2, 1, 3)
+                vb = vc.reshape(nsub, sub, hk, hd).transpose(0, 2, 1, 3)
+                kp = blk_off + jnp.arange(s_local, dtype=jnp.int32).reshape(nsub, sub)
+                (m, l, acc), _ = jax.lax.scan(kv_step, (m, l, acc), (kb, vb, kp))
+                kc = jax.lax.ppermute(kc, "seq", perm)
+                vc = jax.lax.ppermute(vc, "seq", perm)
+                return (m, l, acc, kc, vc), None
+
+            (m, l, acc, _, _), _ = jax.lax.scan(
+                ring_step, (m0, l0, acc0, k, v),
+                jnp.arange(n_seq, dtype=jnp.int32),
+            )
+            k_all = None
+        else:
+            k_all = jax.lax.all_gather(k, "seq", axis=0, tiled=True)  # (S, Hk, hd)
+            v_all = jax.lax.all_gather(v, "seq", axis=0, tiled=True)
+            block_k = next(bk for bk in (1024, 512, 256, 128, 64, 32, 16, 8)
+                           if s_full % bk == 0)
+            nk = s_full // block_k
+            kb = k_all.reshape(nk, block_k, hk, hd).transpose(0, 2, 1, 3)
+            vb = v_all.reshape(nk, block_k, hk, hd).transpose(0, 2, 1, 3)
+            k_pos = jnp.arange(s_full, dtype=jnp.int32).reshape(nk, block_k)
+            (m, l, acc), _ = jax.lax.scan(kv_step, (m0, l0, acc0), (kb, vb, k_pos))
         out = acc / jnp.maximum(l, 1e-30)
         out = out.transpose(2, 0, 1, 3).reshape(s_local, cfg.num_heads * hd).astype(h_l.dtype)
         h_mid = h_l + qwen2.mm(out, lp["wo"])
@@ -188,8 +230,13 @@ def seq_sharded_prefill(
     image_token_start: int,
     image_token_length: int,
     mesh: Mesh,
+    ring: bool = False,
 ):
     """Compressed prefill with sequence-sharded layer compute.
+
+    ``ring=True`` rotates K/V blocks around the seq axis via ppermute
+    instead of all-gathering them (ring attention) for every layer except
+    the rare importance-capture layers — see _sharded_layer_fn.
 
     Segmented-executor control flow (reference dispatcher semantics,
     main.py:40-140) with every layer's attention+MLP sharded over
@@ -254,7 +301,8 @@ def seq_sharded_prefill(
     while layer < cfg.num_layers and not state.done:
         capture = ff.num_importance_queries if (state.finish_merging and not state.finish_pruning) else 0
         need_sim = not state.finish_merging
-        layer_fn = _sharded_layer_fn(mesh, cfg, do_mlp=False, capture_num=capture)
+        layer_fn = _sharded_layer_fn(mesh, cfg, do_mlp=False, capture_num=capture,
+                                     ring=ring and not capture)
         h_mid, importance = layer_fn(params, jnp.int32(layer), h, pos_tok, jnp.int32(valid))
 
         if need_sim:
@@ -283,7 +331,7 @@ def seq_sharded_prefill(
         layer += 1
 
     # Tail: remaining layers, still sequence-sharded, at the compacted bucket.
-    tail_fn = _sharded_layer_fn(mesh, cfg, do_mlp=True, capture_num=0)
+    tail_fn = _sharded_layer_fn(mesh, cfg, do_mlp=True, capture_num=0, ring=ring)
     while layer < cfg.num_layers:
         h, _ = tail_fn(params, jnp.int32(layer), h, pos_tok, jnp.int32(valid))
         layer += 1

@@ -208,6 +208,34 @@ class TestSeqShardedCompression:
                                    rtol=2e-3, atol=2e-3)
         assert int(np.argmax(np.asarray(logits))) == int(np.argmax(np.asarray(ref.logits)))
 
+    def test_ring_attention_matches_unsharded(self):
+        """ring=True: K/V blocks rotate via ppermute (no gathered KV
+        transient); decisions, final length and logits must still match the
+        unsharded engine — including through a capture layer, which falls
+        back to the gather path per design."""
+        from framefusion_tpu.parallel.seq_shard import make_seq_mesh, seq_sharded_prefill
+
+        cfg = tiny_llm_config(num_layers=6, num_heads=8, num_kv_heads=2)
+        ff = FrameFusionConfig(cost=0.4, similarity_lower_bound=0.75,
+                               ratio_lower_bound=0.05, schedule_num_layers=6, bucket=32)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+        h, pt, pos, img_start, n_img = self._inputs(cfg, coherent=0.55)
+
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        ref = engine.prefill(h, pt, pos, 6, img_start, n_img)
+        assert any(e.kind == "prune" for e in ref.telemetry.events), "want a capture layer"
+
+        mesh = make_seq_mesh(jax.devices()[:8])
+        logits, telemetry, valid = seq_sharded_prefill(
+            params, cfg, ff, h, pt, pos, 6, img_start, n_img, mesh, ring=True
+        )
+        got = [(e.layer, e.kind, e.tokens_removed) for e in telemetry.events]
+        want = [(e.layer, e.kind, e.tokens_removed) for e in ref.telemetry.events]
+        assert got == want
+        assert valid == ref.valid_len
+        np.testing.assert_allclose(np.asarray(logits), np.asarray(ref.logits),
+                                   rtol=2e-3, atol=2e-3)
+
     def test_mrope_num4_capture(self):
         """The stretch config is Qwen2.5-VL: 3D mRoPE + 4-row capture must
         survive sequence sharding (the psum'd partial-importance path)."""
