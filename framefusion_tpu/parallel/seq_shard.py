@@ -143,21 +143,31 @@ def _sharded_layer_fn(mesh: Mesh, cfg: LLMConfig, do_mlp: bool, capture_num: int
             perm = [(i, (i + 1) % n_seq) for i in range(n_seq)]
             my = jax.lax.axis_index("seq")
 
-            def ring_step(carry, t):
-                m, l, acc, kc, vc = carry
+            def fold(m, l, acc, kc, vc, t):
                 blk_off = (jnp.mod(my - t, n_seq) * s_local).astype(jnp.int32)
                 kb = kc.reshape(nsub, sub, hk, hd).transpose(0, 2, 1, 3)
                 vb = vc.reshape(nsub, sub, hk, hd).transpose(0, 2, 1, 3)
                 kp = blk_off + jnp.arange(s_local, dtype=jnp.int32).reshape(nsub, sub)
                 (m, l, acc), _ = jax.lax.scan(kv_step, (m, l, acc), (kb, vb, kp))
+                return m, l, acc
+
+            def ring_step(carry, t):
+                # Fold the currently-held block, THEN rotate: the send can
+                # overlap the fold (both only read kc/vc), and the final
+                # iteration's rotation is peeled off entirely — n-1 hops
+                # total, not n (the last arriving block is folded below,
+                # outside the scan, with no rotation after it).
+                m, l, acc, kc, vc = carry
+                m, l, acc = fold(m, l, acc, kc, vc, t)
                 kc = jax.lax.ppermute(kc, "seq", perm)
                 vc = jax.lax.ppermute(vc, "seq", perm)
                 return (m, l, acc, kc, vc), None
 
-            (m, l, acc, _, _), _ = jax.lax.scan(
+            (m, l, acc, kc, vc), _ = jax.lax.scan(
                 ring_step, (m0, l0, acc0, k, v),
-                jnp.arange(n_seq, dtype=jnp.int32),
+                jnp.arange(n_seq - 1, dtype=jnp.int32),
             )
+            m, l, acc = fold(m, l, acc, kc, vc, jnp.int32(n_seq - 1))
             k_all = None
         else:
             k_all = jax.lax.all_gather(k, "seq", axis=0, tiled=True)  # (S, Hk, hd)

@@ -136,6 +136,14 @@ def _serve_chunk(
     pos_iota = jnp.arange(s_pool, dtype=jnp.int32)
     upd_row = jax.vmap(lambda buf, val, at: jax.lax.dynamic_update_slice(buf, val, (at,)))
 
+    # A slot whose admission-seeded token 0 (the prefill argmax — committed
+    # on-device, never read back) is already its eos must not decode its
+    # budget: the in-loop eos clamp only inspects newly generated rows, so
+    # kill it here, in-graph, before the first macro step. Mid-stream slots
+    # never reach this state active (a generated eos deactivates via
+    # eos_hit), so this only fires on admission-seeded eos.
+    active = active & ~((last_tok == eos_ids) & (eos_ids >= 0))
+
     state = (jnp.int32(0), out, last_tok, emitted, active, hist, hist_len,
              k_pool, v_pool, dmask, cursor)
 

@@ -93,6 +93,28 @@ class TestServingParity:
         results = loop.run()
         assert results[rid].tokens == solo[: solo.index(eos) + 1]
 
+    def test_eos_at_admission_frees_slot_immediately(self, setup):
+        """A request whose admission-seeded token 0 IS its eos must retire on
+        its first chunk instead of silently decoding its whole budget (the
+        in-chunk clamp only sees newly generated rows; _serve_chunk kills the
+        slot in-graph before the first macro step). Observable: with one slot,
+        the next queued request is admitted within the first couple of chunks,
+        not after budget/chunk_steps of them."""
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        solo = _solo(engine, _inputs(0), 1)
+        eos = solo[0]  # prefill argmax == eos
+        loop = ServingLoop(engine, max_slots=1, max_new_cap=64, chunk_steps=2,
+                           prefix_cap=256)
+        rid0 = loop.submit(ServeRequest(_inputs(0), max_new_tokens=64,
+                                        eos_token_id=eos))
+        rid1 = loop.submit(ServeRequest(_inputs(1), max_new_tokens=6))
+        results = loop.run()
+        assert results[rid0].tokens == [eos]
+        assert results[rid1].tokens == _solo(engine, _inputs(1), 6)
+        assert results[rid1].admitted_step <= 2, (
+            "eos-at-admission slot burned its budget before freeing the slot")
+
     def test_speculative_serving(self, setup):
         """draft_len>0: same tokens; with oracle histories the loop finishes
         in fewer chunks than plain serving needs."""
