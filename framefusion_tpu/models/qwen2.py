@@ -429,7 +429,8 @@ def decode_step(
     # stack (matvec_q8.matvec_stacked): XLA's own matvec rides HBM bandwidth
     # on the big MLP weights but caps at ~185G elements/s on the small
     # projections (wq/wk/wv/wo) — measured, kernel_bench --what decode.
-    use_mv = attn_impl == "pallas"
+    # "stub" keeps the pallas matvecs and stubs out only the attention.
+    use_mv = attn_impl in ("pallas", "stub")
     layers = params["layers"]
     hd = cfg.head_dim_
 
@@ -456,6 +457,14 @@ def decode_step(
             from ..ops.kernels.decode_attention import ragged_decode_attention
 
             attn = ragged_decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
+        elif attn_impl == "stub":
+            # Microbenchmark knob ONLY (kernel_bench --what decodestep): NOT
+            # attention — replaces the cache read/softmax with the current
+            # token's own v, isolating the weight-stream + projection cost of
+            # a decode step from its attention cost.
+            attn = jnp.broadcast_to(
+                v[:, :, None, :], (1, cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads, hd)
+            ).reshape(cfg.num_heads, hd).astype(q.dtype)
         else:
             attn = decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
         if use_mv:

@@ -705,6 +705,73 @@ def check_batch_parity() -> int:
     return len(failures)
 
 
+def bench_decodestep():
+    """Attribute the decode step's gap over the weight-stream floor.
+
+    Slope-times 32-step decode scans at the full 7B serving geometry
+    (int8 weights, post-compression pool S=3328) in three attention modes:
+      pallas — the product path (ragged decode kernel);
+      jax    — the masked-pool XLA fallback;
+      stub   — attention replaced by the token's own v (qwen2.decode_step
+               attn_impl="stub"): weight stream + projections + misc only.
+    full - stub = total attention cost/step; floor = int8 bytes / 819 GB/s.
+    """
+    from common import DeviceTimer
+
+    from framefusion_tpu.config import qwen2_7b_config
+    from framefusion_tpu.models import qwen2
+    from framefusion_tpu.ops.quant import quantize_params_int8
+
+    cfg = qwen2_7b_config(vocab_size=8192)
+    params = quantize_params_int8(qwen2.init_params(cfg, jax.random.PRNGKey(0)))
+    rng = np.random.default_rng(0)
+    s_pool, steps = 3328, 32
+    kp = jnp.asarray(rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads, 128)) * 0.1,
+                     jnp.bfloat16)
+    vp = jnp.asarray(rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads, 128)) * 0.1,
+                     jnp.bfloat16)
+    lens = jnp.full((cfg.num_layers,), s_pool - steps - 4, jnp.int32)
+    tok0 = jnp.int32(17)
+
+    def wbytes(t):
+        sz = t.size * t.dtype.itemsize
+        return sz
+
+    weight_bytes = sum(wbytes(x) for x in jax.tree.leaves(params))
+    floor_ms = weight_bytes / 819e9 * 1e3
+    print(f"  int8 param bytes: {weight_bytes/2**30:.2f} GiB -> "
+          f"weight-stream floor {floor_ms/1:.2f} ms/step @819 GB/s")
+
+    for impl in ("stub", "pallas", "jax"):
+        # params passed as a jit ARGUMENT: closure capture would lower the
+        # 7 GB stacks as constants through the relay (DEVNOTES).
+        @functools.partial(jax.jit, static_argnames="impl")
+        def scan32(params, tok0, kp, vp, lens, impl):
+            def body(carry, _):
+                tok, kp, vp, lens = carry
+                emb = params["embed"][tok]
+                logits, kp, vp, lens = qwen2.decode_step(
+                    params, emb, lens[0], kp, vp, lens, cfg, attn_impl=impl)
+                return (jnp.argmax(logits).astype(jnp.int32), kp, vp, lens), logits[0]
+            (tok, _, _, _), ls = jax.lax.scan(
+                body, (tok0, kp, vp, lens), None, length=steps)
+            return tok, ls
+
+        def run(scale, eps):
+            # distinct dispatches (identical-input elision, DEVNOTES): the
+            # seed token varies with the per-rep scale; eps (≈0) keeps the
+            # chain's data dependency on the previous rep's output.
+            t0 = (tok0 + jnp.int32(scale * 128) + eps.astype(jnp.int32)) % jnp.int32(8192)
+            return scan32(params, t0, kp, vp, lens, impl)[1]
+
+        try:
+            t, _ = DeviceTimer.timeit_slope(run, lambda o: o, max_chain=8)
+            print(f"  decode_step[{impl:6s}] x{steps}: {t*1e3:7.1f} ms  "
+                  f"({t/steps*1e3:5.2f} ms/step, floor+{(t/steps*1e3-floor_ms):+5.2f})")
+        except Exception as e:  # noqa: BLE001
+            print(f"  decode_step[{impl:6s}]: FAIL {type(e).__name__} {str(e)[:90]}")
+
+
 def bench_decode():
     """Where does decode's gap over the weight-stream floor live?
 
@@ -910,7 +977,7 @@ def bench_quant():
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="all",
-                    choices=["attn", "engine", "quant", "decode", "all"])
+                    choices=["attn", "engine", "quant", "decode", "decodestep", "all"])
     ap.add_argument("--check", action="store_true",
                     help="compile-and-verify every kernel dispatch regime; "
                          "non-zero exit on mismatch or compile failure")
@@ -927,6 +994,8 @@ def main():
         bench_quant()
     if args.what == "decode":
         bench_decode()
+    if args.what == "decodestep":
+        bench_decodestep()
     if args.what in ("engine", "all"):
         bench_engine()
 
