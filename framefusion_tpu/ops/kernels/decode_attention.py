@@ -9,6 +9,14 @@ the re-DMA — the standard ragged-attention trick, cf. the ragged paged
 attention literature) and computation is predicated off beyond the ragged
 length.
 
+Layout: the caches stay in their natural (S_pad, Hk, D) pool layout — an
+earlier revision took (Hk, S, D) and paid a full materialized transpose of
+the pool per layer per step (~0.9 ms/step at the 7B serving geometry,
+measured via kernel_bench --what decodestep: the pallas path cost MORE than
+the masked XLA fallback). Each grid step DMAs one (block_k, Hk, D) block
+once and folds ALL KV heads from it (static in-kernel head loop), the same
+lesson as the blocked-grouped prefill kernel.
+
 Shapes (one token, one chip): q (Hq, D); caches (S_pad, Hk, D);
 ``cache_len`` scalar (scalar-prefetched so index_maps can use it).
 """
@@ -25,8 +33,9 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *, block_k, scale):
-    j = pl.program_id(1)
+def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+                   *, block_k, scale, hk, g, d):
+    j = pl.program_id(0)
     length = len_ref[0]
     n_blocks = pl.cdiv(length, block_k)
 
@@ -38,38 +47,50 @@ def _decode_kernel(len_ref, q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr, *
 
     @pl.when(j < n_blocks)
     def _():
-        q = q_ref[0]  # (G, D)
-        kb = k_ref[0]  # (block_k, D)
-        vb = v_ref[0]
-        s = jax.lax.dot_general(
-            q, kb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (G, block_k)
-        k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(k_pos < length, s, NEG_INF)
+        kb = k_ref[...].reshape(block_k, hk * d)
+        vb = v_ref[...].reshape(block_k, hk * d)
+        k_pos = j * block_k + jax.lax.broadcasted_iota(jnp.int32, (g, block_k), 1)
+        live = k_pos < length
+        for h in range(hk):  # static unroll: every head folds the SAME block
+            kh = kb[:, h * d:(h + 1) * d]  # (block_k, D) — aligned lane slice
+            vh = vb[:, h * d:(h + 1) * d]
+            s = jax.lax.dot_general(
+                q_ref[h], kh, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * scale  # (G, block_k)
+            s = jnp.where(live, s, NEG_INF)
+            m_prev, l_prev, acc_prev = m_scr[h], l_scr[h], acc_scr[h]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            m_scr[h] = m_new
+            l_scr[h] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc_scr[h] = acc_prev * alpha + jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-        m_prev, l_prev, acc_prev = m_scr[:], l_scr[:], acc_scr[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-        m_scr[:] = m_new
-        l_scr[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:] = acc_prev * alpha + jax.lax.dot_general(
-            p.astype(vb.dtype), vb, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-        )
-
-    @pl.when(j == pl.num_programs(1) - 1)
+    @pl.when(j == pl.num_programs(0) - 1)
     def _():
-        o_ref[0] = (acc_scr[:] / jnp.maximum(l_scr[:], 1e-30)).astype(o_ref.dtype)
+        o_ref[...] = (acc_scr[...] / jnp.maximum(l_scr[...], 1e-30)).astype(o_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
-def ragged_decode_attention(q, k_cache, v_cache, cache_len, block_k: int = 256, interpret: bool = False):
+def ragged_decode_attention(q, k_cache, v_cache, cache_len, block_k: int | None = None,
+                            interpret: bool = False):
     """One-token GQA decode attention over a ragged cache. Returns (Hq, D)."""
     hq, d = q.shape
     s, hk, _ = k_cache.shape
     g = hq // hk
     scale = 1.0 / (d ** 0.5)
 
+    if block_k is None:
+        # Per-grid-step fixed overhead (~14 µs) dominates this kernel at
+        # decode pool sizes — the whole K+V read at S=3328 is ~8 µs of DMA.
+        # One block up to 4096 keys (grid=1: (4096, Hk, D) bf16 = 4 MB per
+        # cache, 8 MB total, inside the scoped-VMEM margin), 2048 beyond.
+        block_k = max(((s + 127) // 128) * 128, 128) if s <= 4096 else 2048
+    block_k = min(block_k, max(((s + 127) // 128) * 128, 128))
     pad = (-s) % block_k
     if pad:
         k_cache = jnp.pad(k_cache, ((0, pad), (0, 0), (0, 0)))
@@ -78,34 +99,32 @@ def ragged_decode_attention(q, k_cache, v_cache, cache_len, block_k: int = 256, 
     n_blocks = sp // block_k
 
     q_g = q.reshape(hk, g, d)
-    k_t = k_cache.transpose(1, 0, 2)  # (Hk, S, D)
-    v_t = v_cache.transpose(1, 0, 2)
     len_arr = jnp.reshape(cache_len, (1,)).astype(jnp.int32)
 
-    def kv_index(h, j, len_ref):
+    def kv_index(j, len_ref):
         # Clamp to the last valid block: repeated indices skip the DMA.
         last = jnp.maximum(pl.cdiv(len_ref[0], block_k) - 1, 0)
-        return (h, jnp.minimum(j, last), 0)
+        return (jnp.minimum(j, last), 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(hk, n_blocks),
+        grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec((1, g, d), lambda h, j, len_ref: (h, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), kv_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_k, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((hk, g, d), lambda j, len_ref: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, hk, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_k, hk, d), kv_index, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, g, d), lambda h, j, len_ref: (h, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((hk, g, d), lambda j, len_ref: (0, 0, 0), memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, 1), jnp.float32),
-            pltpu.VMEM((g, d), jnp.float32),
+            pltpu.VMEM((hk, g, 1), jnp.float32),
+            pltpu.VMEM((hk, g, 1), jnp.float32),
+            pltpu.VMEM((hk, g, d), jnp.float32),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, block_k=block_k, scale=scale),
+        functools.partial(_decode_kernel, block_k=block_k, scale=scale, hk=hk, g=g, d=d),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hk, g, d), q.dtype),
         interpret=interpret,
-    )(len_arr, q_g, k_t, v_t)
+    )(len_arr, q_g, k_cache, v_cache)
     return out.reshape(hq, d)

@@ -78,14 +78,18 @@ def main():
         reqs.append(ServeRequest(inp, max_new_tokens=budget))
 
     draft = 4 if args.speculative else 0
-    # Warmup loop: compile the chunk program + prefill executors once.
-    warm = ServingLoop(engine, max_slots=args.slots, max_new_cap=args.new_tokens,
-                       chunk_steps=args.chunk, draft_len=draft, prefix_cap=prefix_cap)
-    warm.submit(ServeRequest(reqs[0].inputs, max_new_tokens=4))
-    warm.run()
+    # Warmup loop(s): compile the chunk program(s) + prefill executors once.
+    for d in {0, draft}:
+        warm = ServingLoop(engine, max_slots=args.slots, max_new_cap=args.new_tokens,
+                           chunk_steps=args.chunk, draft_len=d, prefix_cap=prefix_cap)
+        warm.submit(ServeRequest(reqs[0].inputs, max_new_tokens=4))
+        warm.run()
 
+    # Main loop runs PLAIN (draft 0): it is the baseline the speculative
+    # pass below compares against, and cold prompt-lookup has nothing to
+    # draft from on these synthetic prompts anyway.
     loop = ServingLoop(engine, max_slots=args.slots, max_new_cap=args.new_tokens,
-                       chunk_steps=args.chunk, draft_len=draft, prefix_cap=prefix_cap)
+                       chunk_steps=args.chunk, draft_len=0, prefix_cap=prefix_cap)
     ids = [loop.submit(r) for r in reqs]
     t0 = time.perf_counter()
     results = loop.run()
@@ -94,13 +98,35 @@ def main():
     total_toks = sum(len(results[i].tokens) for i in ids)
     print(f"served {args.requests} requests through {args.slots} slots in "
           f"{dt*1e3:.0f} ms — {total_toks} tokens, {total_toks/dt:.1f} tok/s, "
-          f"{loop._chunk_idx} chunks, {loop.compactions} compactions"
-          f"{', speculative' if args.speculative else ''}")
+          f"{loop._chunk_idx} chunks, {loop.compactions} compactions")
     qs = sorted(results[i].queue_s for i in ids)
     ss = sorted(results[i].serve_s for i in ids)
     mid = len(ids) // 2
     print(f"  latency: queue p50 {qs[mid]*1e3:.0f} ms / max {qs[-1]*1e3:.0f} ms; "
           f"serve p50 {ss[mid]*1e3:.0f} ms / max {ss[-1]*1e3:.0f} ms")
+    if args.speculative:
+        # Oracle-seeded pass: re-serve the same requests with each one's own
+        # plain output as its lookup history, so drafts hit — the measured
+        # ceiling of speculative serving. (Cold prompt-lookup on synthetic
+        # random-weight prompts accepts ~nothing: no repeated n-grams; real
+        # text has them. example_batched --speculative uses the same method.)
+        spec_reqs = [ServeRequest(r.inputs, max_new_tokens=r.max_new_tokens,
+                                  prompt_ids=np.asarray(results[i].tokens, np.int32))
+                     for i, r in zip(ids, reqs)]
+        sloop = ServingLoop(engine, max_slots=args.slots,
+                            max_new_cap=args.new_tokens, chunk_steps=args.chunk,
+                            draft_len=draft, prefix_cap=prefix_cap)
+        sids = [sloop.submit(r) for r in spec_reqs]
+        t0 = time.perf_counter()
+        sresults = sloop.run()
+        ds = time.perf_counter() - t0
+        stoks = sum(len(sresults[i].tokens) for i in sids)
+        agree = sum(a == b for i, j in zip(sids, ids)
+                    for a, b in zip(sresults[i].tokens, results[j].tokens))
+        print(f"  oracle-seeded speculative: {ds*1e3:.0f} ms — {stoks} tokens, "
+              f"{stoks/ds:.1f} tok/s, {sloop._chunk_idx} chunks; "
+              f"agreement {agree}/{total_toks} vs plain")
+
     for i in ids[: min(4, len(ids))]:
         r = results[i]
         print(f"  req {i}: admitted@chunk {r.admitted_step}, "
