@@ -536,12 +536,17 @@ def check_kernels() -> int:
                             jnp.bfloat16)
         lens = jnp.asarray([400, 380], jnp.int32)
         step = jax.jit(functools.partial(q2.decode_step, cfg=dcfg), static_argnames="attn_impl")
+        # Cross-IMPLEMENTATION tolerance (like the verify_step_batch solo-rows
+        # check): pallas keeps attention p in bf16 for the p·v dot and streams
+        # projections via matvec_stacked, jax stays fp32/XLA-matmul — logits
+        # differ by fp-reduction order, not correctness (the kernel-level
+        # "ragged decode" row pins the kernel vs the einsum oracle at ~3e-5).
         run(f"decode_step pallas=={tag}-jax [logits]",
             lambda prm=prm: step(prm, emb, jnp.int32(400), kpool, vpool, lens,
                                  attn_impl="pallas")[0],
             lambda prm=prm: step(prm, emb, jnp.int32(400), kpool, vpool, lens,
                                  attn_impl="jax")[0],
-            atol=5e-2)
+            atol=1e-1)
         embs = jnp.asarray(rng.standard_normal((3, dcfg.hidden_size)) * 0.1, jnp.bfloat16)
         kpb = jnp.asarray(rng.standard_normal((2, 3, 512, dcfg.num_kv_heads, 128)) * 0.1,
                           jnp.bfloat16)
@@ -556,7 +561,7 @@ def check_kernels() -> int:
                                   jnp.int32(2), attn_impl="pallas")[0],
             lambda prm=prm: stepb(prm, embs, posb, kpb, vpb, lensb, jnp.int32(440),
                                   jnp.int32(2), attn_impl="jax")[0],
-            atol=5e-2)
+            atol=1e-1)
 
     # speculative verify: the K-row one-weight-pass program must equal K
     # SEQUENTIAL decode_steps fed the same candidate rows (logits level —
@@ -708,13 +713,22 @@ def check_batch_parity() -> int:
 def bench_decodestep():
     """Attribute the decode step's gap over the weight-stream floor.
 
-    Slope-times 32-step decode scans at the full 7B serving geometry
-    (int8 weights, post-compression pool S=3328) in three attention modes:
+    Slope-times 32-step decode scans at the full 7B geometry (int8 weights)
+    in three attention modes:
       pallas — the product path (ragged decode kernel);
       jax    — the masked-pool XLA fallback;
       stub   — attention replaced by the token's own v (qwen2.decode_step
                attn_impl="stub"): weight stream + projections + misc only.
     full - stub = total attention cost/step; floor = int8 bytes / 819 GB/s.
+
+    Two pool geometries: a uniform post-compression pool (S=3328, every
+    layer's ragged length near the pool size) and the REAL 64-frame product
+    geometry — the pool is sized by the longest layer (engine
+    make_decode_state), so the phase layers' full-prompt caches (~11697
+    live keys, reference DynamicCache semantics: layer 0 ran before any
+    merge) pad every tail layer (~3292 live) to S_pool=11776. The masked
+    XLA fallback pays the full padded read per layer; the ragged kernel's
+    clamped index_map skips the dead blocks.
     """
     from common import DeviceTimer
 
@@ -725,12 +739,7 @@ def bench_decodestep():
     cfg = qwen2_7b_config(vocab_size=8192)
     params = quantize_params_int8(qwen2.init_params(cfg, jax.random.PRNGKey(0)))
     rng = np.random.default_rng(0)
-    s_pool, steps = 3328, 32
-    kp = jnp.asarray(rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads, 128)) * 0.1,
-                     jnp.bfloat16)
-    vp = jnp.asarray(rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads, 128)) * 0.1,
-                     jnp.bfloat16)
-    lens = jnp.full((cfg.num_layers,), s_pool - steps - 4, jnp.int32)
+    steps = 32
     tok0 = jnp.int32(17)
 
     def wbytes(t):
@@ -742,34 +751,49 @@ def bench_decodestep():
     print(f"  int8 param bytes: {weight_bytes/2**30:.2f} GiB -> "
           f"weight-stream floor {floor_ms/1:.2f} ms/step @819 GB/s")
 
-    for impl in ("stub", "pallas", "jax"):
-        # params passed as a jit ARGUMENT: closure capture would lower the
-        # 7 GB stacks as constants through the relay (DEVNOTES).
-        @functools.partial(jax.jit, static_argnames="impl")
-        def scan32(params, tok0, kp, vp, lens, impl):
-            def body(carry, _):
-                tok, kp, vp, lens = carry
-                emb = params["embed"][tok]
-                logits, kp, vp, lens = qwen2.decode_step(
-                    params, emb, lens[0], kp, vp, lens, cfg, attn_impl=impl)
-                return (jnp.argmax(logits).astype(jnp.int32), kp, vp, lens), logits[0]
-            (tok, _, _, _), ls = jax.lax.scan(
-                body, (tok0, kp, vp, lens), None, length=steps)
-            return tok, ls
+    lens_ragged = np.full((cfg.num_layers,), 3292, np.int32)
+    lens_ragged[:2] = 11697
+    geoms = [
+        ("uniform S=3328", 3328, np.full((cfg.num_layers,), 3328 - steps - 4, np.int32)),
+        ("ragged 64f S_pool=11776", 11776, lens_ragged),
+    ]
+    for gname, s_pool, lens_np in geoms:
+        kp = jnp.asarray(
+            rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads, 128)) * 0.1,
+            jnp.bfloat16)
+        vp = jnp.asarray(
+            rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads, 128)) * 0.1,
+            jnp.bfloat16)
+        lens = jnp.asarray(lens_np)
+        print(f"  geometry: {gname}")
+        for impl in ("stub", "pallas", "jax"):
+            # params passed as a jit ARGUMENT: closure capture would lower
+            # the 7 GB stacks as constants through the relay (DEVNOTES).
+            @functools.partial(jax.jit, static_argnames="impl")
+            def scan32(params, tok0, kp, vp, lens, impl):
+                def body(carry, _):
+                    tok, kp, vp, lens = carry
+                    emb = params["embed"][tok]
+                    logits, kp, vp, lens = qwen2.decode_step(
+                        params, emb, lens[0], kp, vp, lens, cfg, attn_impl=impl)
+                    return (jnp.argmax(logits).astype(jnp.int32), kp, vp, lens), logits[0]
+                (tok, _, _, _), ls = jax.lax.scan(
+                    body, (tok0, kp, vp, lens), None, length=steps)
+                return tok, ls
 
-        def run(scale, eps):
-            # distinct dispatches (identical-input elision, DEVNOTES): the
-            # seed token varies with the per-rep scale; eps (≈0) keeps the
-            # chain's data dependency on the previous rep's output.
-            t0 = (tok0 + jnp.int32(scale * 128) + eps.astype(jnp.int32)) % jnp.int32(8192)
-            return scan32(params, t0, kp, vp, lens, impl)[1]
+            def run(scale, eps):
+                # distinct dispatches (identical-input elision, DEVNOTES):
+                # the seed token varies with the per-rep scale; eps (≈0)
+                # keeps the chain's data dependency on the previous output.
+                t0 = (tok0 + jnp.int32(scale * 128) + eps.astype(jnp.int32)) % jnp.int32(8192)
+                return scan32(params, t0, kp, vp, lens, impl)[1]
 
-        try:
-            t, _ = DeviceTimer.timeit_slope(run, lambda o: o, max_chain=8)
-            print(f"  decode_step[{impl:6s}] x{steps}: {t*1e3:7.1f} ms  "
-                  f"({t/steps*1e3:5.2f} ms/step, floor+{(t/steps*1e3-floor_ms):+5.2f})")
-        except Exception as e:  # noqa: BLE001
-            print(f"  decode_step[{impl:6s}]: FAIL {type(e).__name__} {str(e)[:90]}")
+            try:
+                t, _ = DeviceTimer.timeit_slope(run, lambda o: o, max_chain=8)
+                print(f"  decode_step[{impl:6s}] x{steps}: {t*1e3:7.1f} ms  "
+                      f"({t/steps*1e3:5.2f} ms/step, floor+{(t/steps*1e3-floor_ms):+5.2f})")
+            except Exception as e:  # noqa: BLE001
+                print(f"  decode_step[{impl:6s}]: FAIL {type(e).__name__} {str(e)[:90]}")
 
 
 def bench_decode():
