@@ -397,6 +397,22 @@ def dense_prefill(params: dict, input_embeds: jnp.ndarray, position_ids: jnp.nda
     return logits[0], k_all, v_all
 
 
+def _pool_view(pool, l, s_view):
+    """Layer ``l``'s cache restricted to the first ``s_view`` (static) rows.
+
+    The decode pool is padded to the LONGEST layer — the phase layers'
+    full-prompt caches (reference DynamicCache semantics: layer 0 runs
+    before any merge, so its cache keeps every original token). Tail layers'
+    ragged lengths never exceed the post-compression bucket, so reading only
+    a static prefix of the pool is mathematically identical (rows past a
+    layer's ragged length are masked either way) and skips the dominant
+    padded read — measured 10.1 -> ~9 ms/step at the 64f/7B int8 geometry
+    (kernel_bench --what decodestep, ragged geometry).
+    """
+    size = (1, s_view) + pool.shape[2:]
+    return jax.lax.dynamic_slice(pool, (l,) + (0,) * (pool.ndim - 1), size)[0]
+
+
 def decode_step(
     params: dict,
     token_embed: jnp.ndarray,
@@ -406,6 +422,7 @@ def decode_step(
     cache_lens: jnp.ndarray,
     cfg: LLMConfig,
     attn_impl: str = "jax",
+    tail_split=None,
 ):
     """One decode step against a padded per-layer cache pool.
 
@@ -414,6 +431,10 @@ def decode_step(
         position_id: scalar int32 (or (3,) for mRoPE) — rotary position.
         k_pool, v_pool: (L, S_pad, Hk, hd) padded caches.
         cache_lens: (L,) int32 valid entries per layer *excluding* this token.
+        tail_split: optional static ``(P, tail_s)`` — layers >= P attend only
+            the pool's first ``tail_s`` rows (see :func:`_pool_view`; the
+            caller guarantees those layers' lengths incl. new tokens stay
+            below ``tail_s``, e.g. ``engine.best_tail_split``).
 
     Returns:
         (logits, k_pool, v_pool, cache_lens) with the new token appended to
@@ -434,57 +455,70 @@ def decode_step(
     layers = params["layers"]
     hd = cfg.head_dim_
 
-    def body(l, carry):
-        h, k_pool, v_pool = carry
-        lp = layer_slice(layers, l)
-        x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
-        if use_mv:
-            q = mv_stacked(x, layers["wq"], l)
-            k = mv_stacked(x, layers["wk"], l)
-            v = mv_stacked(x, layers["wv"], l)
-            if cfg.qkv_bias:
-                q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
-            q = q.reshape(1, cfg.num_heads, hd)
-            k = k.reshape(1, cfg.num_kv_heads, hd)
-            v = v.reshape(1, cfg.num_kv_heads, hd)
-        else:
-            q, k, v = _project_qkv(lp, x, cfg)
-        q, k = apply_rope(q, k, cos, sin)
-        length = cache_lens[l]
-        k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
-        v_pool = jax.lax.dynamic_update_slice(v_pool, v.astype(cfg.dtype)[None], (l, length, 0, 0))
-        if attn_impl == "pallas":
-            from ..ops.kernels.decode_attention import ragged_decode_attention
+    def make_body(s_view):
+        def body(l, carry):
+            h, k_pool, v_pool = carry
+            lp = layer_slice(layers, l)
+            x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+            if use_mv:
+                q = mv_stacked(x, layers["wq"], l)
+                k = mv_stacked(x, layers["wk"], l)
+                v = mv_stacked(x, layers["wv"], l)
+                if cfg.qkv_bias:
+                    q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+                q = q.reshape(1, cfg.num_heads, hd)
+                k = k.reshape(1, cfg.num_kv_heads, hd)
+                v = v.reshape(1, cfg.num_kv_heads, hd)
+            else:
+                q, k, v = _project_qkv(lp, x, cfg)
+            q, k = apply_rope(q, k, cos, sin)
+            length = cache_lens[l]
+            k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
+            v_pool = jax.lax.dynamic_update_slice(v_pool, v.astype(cfg.dtype)[None], (l, length, 0, 0))
+            if attn_impl == "pallas":
+                from ..ops.kernels.decode_attention import ragged_decode_attention
 
-            attn = ragged_decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
-        elif attn_impl == "stub":
-            # Microbenchmark knob ONLY (kernel_bench --what decodestep): NOT
-            # attention — replaces the cache read/softmax with the current
-            # token's own v, isolating the weight-stream + projection cost of
-            # a decode step from its attention cost.
-            attn = jnp.broadcast_to(
-                v[:, :, None, :], (1, cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads, hd)
-            ).reshape(cfg.num_heads, hd).astype(q.dtype)
-        else:
-            attn = decode_attention(q[0], k_pool[l], v_pool[l], length + 1)
-        if use_mv:
-            h = h + mv_stacked(attn.reshape(1, -1), layers["wo"], l)
-        else:
-            h = h + mm(attn.reshape(1, -1), lp["wo"])
-        if cfg.is_moe:
-            # Weight-gather decode: HBM reads only the k routed experts +
-            # shared expert — the activated-parameter bandwidth win.
-            h = moe_decode_mlp(lp, h, cfg)
-        elif use_mv:
-            x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
-            gated = jax.nn.silu(mv_stacked(x2, layers["w_gate"], l)) * mv_stacked(
-                x2, layers["w_up"], l)
-            h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
-        else:
-            h = layer_mlp(lp, h, cfg)
-        return h, k_pool, v_pool
+                attn = ragged_decode_attention(
+                    q[0], _pool_view(k_pool, l, s_view), _pool_view(v_pool, l, s_view),
+                    length + 1)
+            elif attn_impl == "stub":
+                # Microbenchmark knob ONLY (kernel_bench --what decodestep):
+                # NOT attention — replaces the cache read/softmax with the
+                # current token's own v, isolating the weight-stream +
+                # projection cost of a decode step from its attention cost.
+                attn = jnp.broadcast_to(
+                    v[:, :, None, :], (1, cfg.num_kv_heads, cfg.num_heads // cfg.num_kv_heads, hd)
+                ).reshape(cfg.num_heads, hd).astype(q.dtype)
+            else:
+                attn = decode_attention(
+                    q[0], _pool_view(k_pool, l, s_view), _pool_view(v_pool, l, s_view),
+                    length + 1)
+            if use_mv:
+                h = h + mv_stacked(attn.reshape(1, -1), layers["wo"], l)
+            else:
+                h = h + mm(attn.reshape(1, -1), lp["wo"])
+            if cfg.is_moe:
+                # Weight-gather decode: HBM reads only the k routed experts +
+                # shared expert — the activated-parameter bandwidth win.
+                h = moe_decode_mlp(lp, h, cfg)
+            elif use_mv:
+                x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
+                gated = jax.nn.silu(mv_stacked(x2, layers["w_gate"], l)) * mv_stacked(
+                    x2, layers["w_up"], l)
+                h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
+            else:
+                h = layer_mlp(lp, h, cfg)
+            return h, k_pool, v_pool
+        return body
 
-    h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, body, (h, k_pool, v_pool))
+    s_full = k_pool.shape[1]
+    carry = (h, k_pool, v_pool)
+    if tail_split is None or tail_split[1] >= s_full:
+        h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, make_body(s_full), carry)
+    else:
+        p, tail_s = tail_split
+        carry = jax.lax.fori_loop(0, p, make_body(s_full), carry)
+        h, k_pool, v_pool = jax.lax.fori_loop(p, cfg.num_layers, make_body(tail_s), carry)
     logits = final_logits(params, h, cfg)[0]
     return logits, k_pool, v_pool, cache_lens + 1
 
@@ -497,6 +531,7 @@ def verify_step(
     v_pool: jnp.ndarray,
     cache_lens: jnp.ndarray,
     cfg: LLMConfig,
+    tail_split=None,
 ):
     """Speculative-verify step: K candidate rows through the stack in ONE
     weight pass.
@@ -515,6 +550,9 @@ def verify_step(
         k_pool, v_pool: (L, S_pad, Hk, hd); the caller must leave >= K rows
             of headroom past every layer's ``cache_lens`` entry.
         cache_lens: (L,) valid entries per layer excluding these rows.
+        tail_split: optional static ``(P, tail_s)`` — layers >= P attend only
+            the pool's first ``tail_s`` rows (see :func:`_pool_view`); the
+            caller guarantees headroom for the K rows below ``tail_s``.
 
     Returns:
         (logits (K, V), k_pool, v_pool) — logits[i] scores the token AFTER
@@ -526,26 +564,36 @@ def verify_step(
     cos, sin = positions_cos_sin(pos, cfg)
     h = token_embeds  # (K, D)
 
-    def body(l, carry):
-        h, k_pool, v_pool = carry
-        lp = layer_slice(params["layers"], l)
-        x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
-        q, k, v = _project_qkv(lp, x, cfg)
-        q, k = apply_rope(q, k, cos, sin)
-        length = cache_lens[l]
-        k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
-        v_pool = jax.lax.dynamic_update_slice(v_pool, v.astype(cfg.dtype)[None], (l, length, 0, 0))
-        attn = verify_attention(q, k_pool[l], v_pool[l], length)
-        h = h + mm(attn.reshape(kq, -1), lp["wo"])
-        if cfg.is_moe:
-            # Row-wise exact expert gather — same math as decode's
-            # moe_decode_mlp, so accepted rows match plain decode.
-            h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(h)
-        else:
-            h = layer_mlp(lp, h, cfg)
-        return h, k_pool, v_pool
+    def make_body(s_view):
+        def body(l, carry):
+            h, k_pool, v_pool = carry
+            lp = layer_slice(params["layers"], l)
+            x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+            q, k, v = _project_qkv(lp, x, cfg)
+            q, k = apply_rope(q, k, cos, sin)
+            length = cache_lens[l]
+            k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
+            v_pool = jax.lax.dynamic_update_slice(v_pool, v.astype(cfg.dtype)[None], (l, length, 0, 0))
+            attn = verify_attention(
+                q, _pool_view(k_pool, l, s_view), _pool_view(v_pool, l, s_view), length)
+            h = h + mm(attn.reshape(kq, -1), lp["wo"])
+            if cfg.is_moe:
+                # Row-wise exact expert gather — same math as decode's
+                # moe_decode_mlp, so accepted rows match plain decode.
+                h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(h)
+            else:
+                h = layer_mlp(lp, h, cfg)
+            return h, k_pool, v_pool
+        return body
 
-    h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, body, (h, k_pool, v_pool))
+    s_full = k_pool.shape[1]
+    carry = (h, k_pool, v_pool)
+    if tail_split is None or tail_split[1] >= s_full:
+        h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, make_body(s_full), carry)
+    else:
+        p, tail_s = tail_split
+        carry = jax.lax.fori_loop(0, p, make_body(s_full), carry)
+        h, k_pool, v_pool = jax.lax.fori_loop(p, cfg.num_layers, make_body(tail_s), carry)
     logits = final_logits(params, h, cfg)  # (K, V)
     return logits, k_pool, v_pool
 

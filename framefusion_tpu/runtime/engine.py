@@ -259,16 +259,43 @@ def _dense_prefill_program(params, embeds, pos_tok, cfg: LLMConfig, attn_impl: s
     return qwen2.dense_prefill(params, embeds, _pos_axes(pos_tok), cfg, attn_impl=attn_impl)
 
 
-_decode_program = jax.jit(qwen2.decode_step, static_argnames=("cfg", "attn_impl"))
+_decode_program = jax.jit(
+    qwen2.decode_step, static_argnames=("cfg", "attn_impl", "tail_split"))
+
+
+def best_tail_split(layer_lens, s_pool: int, new_tokens: int, bucket: int):
+    """Static ``(P, tail_s)`` decode split, or ``None`` if it saves nothing.
+
+    The decode pool is padded to the longest layer — the phase layers'
+    full-prompt caches (reference DynamicCache semantics: layer 0 runs
+    before any merge, modeling_qwen2.py:44-47). Layers >= P never hold more
+    than ``tail_s`` live rows (their prefill caches are post-compression +
+    ``new_tokens`` appends), so attending only the pool's first ``tail_s``
+    rows is mathematically identical and skips the dominant padded read.
+    P minimizes total pool rows read per step; ``tail_s`` is bucketed so
+    repeat prompts share the compiled loop.
+    """
+    n = len(layer_lens)
+    best, best_cost = None, n * s_pool
+    for p in range(1, n):
+        tail_s = min(bucket_length(max(layer_lens[p:]) + new_tokens, bucket), s_pool)
+        if tail_s >= s_pool:
+            continue
+        cost = p * s_pool + (n - p) * tail_s
+        if cost < best_cost:
+            best, best_cost = (p, tail_s), cost
+    return best
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "attn_impl", "n_steps", "pos_dims", "sampler"),
+    jax.jit,
+    static_argnames=("cfg", "attn_impl", "n_steps", "pos_dims", "sampler", "tail_split"),
     donate_argnums=(2, 3),
 )
 def _decode_loop(
     params, first_logits, k_pool, v_pool, cache_lens, pos_base, rng_key,
     *, cfg: LLMConfig, attn_impl: str, n_steps: int, pos_dims: int, sampler,
+    tail_split=None,
 ):
     """Whole decode as ONE program (lax.scan): the sampled token feeds back
     in-graph, pools are donated (updated in place), and the host reads the
@@ -283,7 +310,8 @@ def _decode_loop(
         pos = pos_base + step
         pos_id = jnp.full((3,), pos, jnp.int32) if pos_dims == 3 else pos
         logits, k_pool, v_pool, lens = qwen2.decode_step(
-            params, te, pos_id, k_pool, v_pool, lens, cfg, attn_impl=attn_impl
+            params, te, pos_id, k_pool, v_pool, lens, cfg, attn_impl=attn_impl,
+            tail_split=tail_split,
         )
         new_tok = sample_token(logits, sampler, key)
         return (new_tok, k_pool, v_pool, lens), new_tok
@@ -1888,11 +1916,15 @@ class CompressionEngine:
         sampler = sampler or SamplerConfig()
         rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
         k_pool, v_pool, cache_lens = self.make_decode_state(result, max_new_tokens)
+        split = best_tail_split(
+            [c[2] for c in result.layer_caches], int(k_pool.shape[1]),
+            max_new_tokens, self.ff.bucket)
         toks, _, _, _ = _decode_loop(
             self.params, result.logits, k_pool, v_pool, cache_lens,
             jnp.asarray(result.decode_pos_base, jnp.int32), rng_key,
             cfg=cfg, attn_impl="pallas" if self.attn_impl == "pallas" else "jax",
             n_steps=max_new_tokens - 1, pos_dims=result.pos_dims, sampler=sampler,
+            tail_split=split,
         )
         return toks
 

@@ -73,7 +73,7 @@ def draft_lookup(hist: jnp.ndarray, hist_len: jnp.ndarray, draft_len: int):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new", "pos_dims", "draft_len"),
+    static_argnames=("cfg", "max_new", "pos_dims", "draft_len", "tail_split"),
     donate_argnums=(1, 2),
 )
 def spec_decode_loop(
@@ -90,6 +90,7 @@ def spec_decode_loop(
     max_new: int,
     pos_dims: int,
     draft_len: int,
+    tail_split=None,
 ):
     """Greedy decode of ``max_new`` tokens via draft-and-verify macro steps.
 
@@ -139,7 +140,7 @@ def spec_decode_loop(
         pos = pos_base + (emitted - 1) + jnp.arange(kq, dtype=jnp.int32)
         pos_ids = jnp.tile(pos[None], (3, 1)) if pos_dims == 3 else pos
         logits, k_pool, v_pool = qwen2.verify_step(
-            params, te, pos_ids, k_pool, v_pool, lens, cfg
+            params, te, pos_ids, k_pool, v_pool, lens, cfg, tail_split=tail_split
         )
         t = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (K,)
         # Accept drafts while they equal the model's own greedy continuation.
@@ -432,6 +433,11 @@ def generate_spec(
     k_pool, v_pool, cache_lens = engine.make_decode_state(
         result, max_new_tokens + draft_len
     )
+    from .engine import best_tail_split
+
+    split = best_tail_split(
+        [c[2] for c in result.layer_caches], int(k_pool.shape[1]),
+        max_new_tokens + draft_len, engine.ff.bucket)
     pids = np.asarray(prompt_ids, np.int32).reshape(-1) if prompt_ids is not None else np.zeros((0,), np.int32)
     # Pad the history seed to a small set of buckets so repeat calls with
     # different prompt lengths don't each compile a fresh loop.
@@ -452,6 +458,7 @@ def generate_spec(
         max_new=max_new_tokens,
         pos_dims=result.pos_dims,
         draft_len=draft_len,
+        tail_split=split,
     )
     out = [int(x) for x in np.asarray(toks)]
     if eos_token_id is not None and eos_token_id in out:

@@ -477,6 +477,80 @@ class TestInfeasibleCost:
                 engine.prefill(h, pt, pos, 6, img_start, n_img, mode=mode)
 
 
+class TestTailSplit:
+    """Decode tail-split: layers past P attend only a static pool prefix.
+
+    The decode pool is padded to the phase layers' full-prompt caches
+    (reference DynamicCache semantics — layer 0 runs before any merge), so
+    tail layers waste most of their padded read; the split must be a pure
+    optimization (identical math: rows past a layer's ragged length are
+    masked either way)."""
+
+    def test_best_tail_split_picks_phase_boundary(self, setup):
+        from framefusion_tpu.runtime.engine import best_tail_split
+
+        lens = [1170, 820] + [330] * 26
+        split = best_tail_split(lens, s_pool=1216, new_tokens=32, bucket=64)
+        assert split is not None
+        p, tail_s = split
+        assert p == 2 and tail_s == 384
+        # no savings possible -> None
+        assert best_tail_split([1170] * 28, 1216, 32, 64) is None
+        # a long layer late in the stack forces the boundary past it
+        lens2 = [1170] + [330] * 20 + [1170] + [330] * 6
+        p2, _ = best_tail_split(lens2, 1216, 32, 64)
+        assert p2 == 22
+
+    def test_decode_step_split_matches_unsplit(self, setup):
+        cfg, params, _ = setup
+        rng = np.random.default_rng(7)
+        s_pool, steps = 96, 4
+        kp = jnp.asarray(rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads,
+                                              cfg.head_dim_)) * 0.1, cfg.dtype)
+        vp = jnp.asarray(rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads,
+                                              cfg.head_dim_)) * 0.1, cfg.dtype)
+        lens = jnp.asarray([88, 88, 20, 24, 20, 20], jnp.int32)
+        emb = jnp.asarray(rng.standard_normal(cfg.hidden_size) * 0.05, cfg.dtype)
+        ref = qwen2.decode_step(params, emb, jnp.int32(88), kp, vp, lens, cfg)
+        got = qwen2.decode_step(params, emb, jnp.int32(88), kp, vp, lens, cfg,
+                                tail_split=(2, 32))
+        np.testing.assert_allclose(np.asarray(got[0], np.float32),
+                                   np.asarray(ref[0], np.float32), rtol=1e-5, atol=1e-5)
+        for a, b in ((got[1], ref[1]), (got[2], ref[2])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_verify_step_split_matches_unsplit(self, setup):
+        cfg, params, _ = setup
+        rng = np.random.default_rng(11)
+        s_pool, kq = 96, 3
+        kp = jnp.asarray(rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads,
+                                              cfg.head_dim_)) * 0.1, cfg.dtype)
+        vp = jnp.asarray(rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads,
+                                              cfg.head_dim_)) * 0.1, cfg.dtype)
+        lens = jnp.asarray([88, 88, 20, 24, 20, 20], jnp.int32)
+        embs = jnp.asarray(rng.standard_normal((kq, cfg.hidden_size)) * 0.05, cfg.dtype)
+        pos = jnp.asarray([88, 89, 90], jnp.int32)
+        ref = qwen2.verify_step(params, embs, pos, kp, vp, lens, cfg)
+        got = qwen2.verify_step(params, embs, pos, kp, vp, lens, cfg, tail_split=(2, 32))
+        np.testing.assert_allclose(np.asarray(got[0], np.float32),
+                                   np.asarray(ref[0], np.float32), rtol=1e-5, atol=1e-5)
+
+    def test_generate_device_rides_split(self, setup):
+        # A coherent prompt leaves phase-layer caches far longer than the
+        # compacted tail -> generate_device's split engages; tokens must
+        # match ref greedy (the oracle path never splits).
+        cfg, params, _ = setup
+        engine, res, ref = run_both(setup, seed=3, coherent=0.3)
+        from framefusion_tpu.runtime.engine import best_tail_split
+        lens = [c[2] for c in res.layer_caches]
+        k_pool, _, _ = engine.make_decode_state(res, 6)
+        assert best_tail_split(lens, int(k_pool.shape[1]), 6, engine.ff.bucket), \
+            f"geometry unexpectedly uniform: lens={lens}"
+        ours = engine.generate_greedy(res, max_new_tokens=6)
+        theirs = ref_pipeline.ref_greedy_decode(ref, params, cfg, n_new=6)
+        assert ours == theirs
+
+
 class TestBatchedDecode:
     """Batched serving decode: one scanned program for B sequences must
     reproduce each sequence's single-loop greedy decode exactly (the single
