@@ -609,6 +609,7 @@ def decode_step_batch(
     step,
     cfg: LLMConfig,
     attn_impl: str = "jax",
+    tail_split=None,
 ):
     """One decode step for a BATCH of sequences — scatter-free by design.
 
@@ -627,6 +628,16 @@ def decode_step_batch(
         k_pool/v_pool: (L, B, S_pool, Hk, hd). cache_lens: (L, B) prefix
         lengths (constant across decode). write_pos: scalar int32, start of
         the decode region. step: scalar int32, 0-based decode step index.
+        attn_impl: "jax" | "pallas" (streaming weight matvecs) | "stub"
+            (microbench knob ONLY — replaces attention with the token's own
+            v, isolating weight-stream + projection cost; see decode_step).
+        tail_split: optional static ``(P, tail_s, region_start)`` — layers
+            >= P read only pool rows ``[0, tail_s) ∪ [region_start, S_pool)``
+            (two static slices + a 3-way online-softmax merge) instead of the
+            full padded pool. The caller guarantees those layers' prefix
+            lengths stay < ``tail_s`` and ``tail_s <= region_start <=
+            write_pos`` (``engine.best_tail_split_batch``); rows outside the
+            two segments are dead padding for them, so the math is identical.
     Returns (logits (B, V), k_pool, v_pool).
     """
     cos, sin = positions_cos_sin(position_ids, cfg)  # (B, hd) each
@@ -654,59 +665,96 @@ def decode_step_batch(
     use_mv = attn_impl == "pallas"
     layers = params["layers"]
 
-    def body(l, carry):
-        h, k_new, v_new = carry
-        lp = layer_slice(layers, l)
-        k_l = jax.lax.dynamic_index_in_dim(k_pool, l, 0, keepdims=False)  # (B, S, Hk, hd)
-        v_l = jax.lax.dynamic_index_in_dim(v_pool, l, 0, keepdims=False)
-        len_l = cache_lens[l]  # (B,)
-        x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
-        if use_mv:
-            q = mv_stacked(x, layers["wq"], l)
-            k = mv_stacked(x, layers["wk"], l)
-            v = mv_stacked(x, layers["wv"], l)
-            if cfg.qkv_bias:
-                q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
-            q = q.reshape(b, cfg.num_heads, hd)
-            k = k.reshape(b, cfg.num_kv_heads, hd)
-            v = v.reshape(b, cfg.num_kv_heads, hd)
-        else:
-            q, k, v = _project_qkv(lp, x, cfg)  # (B, H, hd)
-        q, k = apply_rope(q, k, cos, sin)
-        qf = q.reshape(b, hk, g, hd).astype(jnp.float32)
-        scores = jnp.einsum("bhgd,bshd->bhgs", qf, k_l.astype(jnp.float32)) * scale
-        valid = (pos_iota[None, :] < len_l[:, None]) | in_decode[None, :]  # (B, S)
-        scores = jnp.where(valid[:, None, None, :], scores, jnp.float32(-1e30))
-        kf_cur = k.astype(jnp.float32).reshape(b, hk, 1, hd)
-        s_cur = jnp.sum(qf * kf_cur, axis=-1, keepdims=True) * scale  # (B, Hk, g, 1)
-        m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_cur)
-        p = jnp.exp(scores - m)
-        p_cur = jnp.exp(s_cur - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True) + p_cur
-        out = jnp.einsum("bhgs,bshd->bhgd", p, v_l.astype(jnp.float32))
-        out = (out + p_cur * v.astype(jnp.float32).reshape(b, hk, 1, hd)) / denom
-        if use_mv:
-            h = h + mv_stacked(out.reshape(b, -1).astype(h.dtype), layers["wo"], l)
-        else:
-            h = h + mm(out.reshape(b, -1).astype(h.dtype), lp["wo"])
-        if cfg.is_moe:
-            h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(h)  # (B, D)
-        elif use_mv:
-            x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
-            gated = jax.nn.silu(mv_stacked(x2, layers["w_gate"], l)) * mv_stacked(
-                x2, layers["w_up"], l)
-            h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
-        else:
-            h = layer_mlp(lp, h, cfg)
-        k_new = jax.lax.dynamic_update_index_in_dim(k_new, k.astype(cfg.dtype), l, 0)
-        v_new = jax.lax.dynamic_update_index_in_dim(v_new, v.astype(cfg.dtype), l, 0)
-        return h, k_new, v_new
+    def make_body(seg):
+        def body(l, carry):
+            h, k_new, v_new = carry
+            lp = layer_slice(layers, l)
+            k_l = jax.lax.dynamic_index_in_dim(k_pool, l, 0, keepdims=False)  # (B, S, Hk, hd)
+            v_l = jax.lax.dynamic_index_in_dim(v_pool, l, 0, keepdims=False)
+            len_l = cache_lens[l]  # (B,)
+            x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+            if use_mv:
+                q = mv_stacked(x, layers["wq"], l)
+                k = mv_stacked(x, layers["wk"], l)
+                v = mv_stacked(x, layers["wv"], l)
+                if cfg.qkv_bias:
+                    q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+                q = q.reshape(b, cfg.num_heads, hd)
+                k = k.reshape(b, cfg.num_kv_heads, hd)
+                v = v.reshape(b, cfg.num_kv_heads, hd)
+            else:
+                q, k, v = _project_qkv(lp, x, cfg)  # (B, H, hd)
+            q, k = apply_rope(q, k, cos, sin)
+            qf = q.reshape(b, hk, g, hd).astype(jnp.float32)
+            kf_cur = k.astype(jnp.float32).reshape(b, hk, 1, hd)
+            s_cur = jnp.sum(qf * kf_cur, axis=-1, keepdims=True) * scale  # (B, Hk, g, 1)
+            if attn_impl == "stub":
+                out = jnp.broadcast_to(
+                    v.astype(jnp.float32)[:, :, None], (b, hk, g, hd))
+            elif seg is None:
+                scores = jnp.einsum("bhgd,bshd->bhgs", qf, k_l.astype(jnp.float32)) * scale
+                valid = (pos_iota[None, :] < len_l[:, None]) | in_decode[None, :]  # (B, S)
+                scores = jnp.where(valid[:, None, None, :], scores, jnp.float32(-1e30))
+                m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), s_cur)
+                p = jnp.exp(scores - m)
+                p_cur = jnp.exp(s_cur - m)
+                denom = jnp.sum(p, axis=-1, keepdims=True) + p_cur
+                out = jnp.einsum("bhgs,bshd->bhgd", p, v_l.astype(jnp.float32))
+                out = (out + p_cur * v.astype(jnp.float32).reshape(b, hk, 1, hd)) / denom
+            else:
+                # Two-segment read: ragged prefix rows [0, tail_s) + common
+                # decode region [region_start, S_pool); everything between is
+                # dead padding for layers >= P (3-way online-softmax merge).
+                tail_s, rs = seg
+                ka, va = k_l[:, :tail_s], v_l[:, :tail_s]
+                kb, vb = k_l[:, rs:], v_l[:, rs:]
+                sa = jnp.einsum("bhgd,bshd->bhgs", qf, ka.astype(jnp.float32)) * scale
+                va_mask = pos_iota[None, :tail_s] < len_l[:, None]  # (B, tail_s)
+                sa = jnp.where(va_mask[:, None, None, :], sa, jnp.float32(-1e30))
+                sb = jnp.einsum("bhgd,bshd->bhgs", qf, kb.astype(jnp.float32)) * scale
+                gpos = rs + pos_iota[None, : s_pool - rs]
+                vb_mask = (gpos >= write_pos) & (gpos < write_pos + step)  # (B', S-rs)
+                sb = jnp.where(vb_mask[:, None, None, :], sb, jnp.float32(-1e30))
+                m = jnp.maximum(
+                    jnp.maximum(jnp.max(sa, axis=-1, keepdims=True),
+                                jnp.max(sb, axis=-1, keepdims=True)),
+                    s_cur,
+                )
+                pa, pb = jnp.exp(sa - m), jnp.exp(sb - m)
+                p_cur = jnp.exp(s_cur - m)
+                denom = (jnp.sum(pa, axis=-1, keepdims=True)
+                         + jnp.sum(pb, axis=-1, keepdims=True) + p_cur)
+                out = (jnp.einsum("bhgs,bshd->bhgd", pa, va.astype(jnp.float32))
+                       + jnp.einsum("bhgs,bshd->bhgd", pb, vb.astype(jnp.float32))
+                       + p_cur * v.astype(jnp.float32).reshape(b, hk, 1, hd)) / denom
+            if use_mv:
+                h = h + mv_stacked(out.reshape(b, -1).astype(h.dtype), layers["wo"], l)
+            else:
+                h = h + mm(out.reshape(b, -1).astype(h.dtype), lp["wo"])
+            if cfg.is_moe:
+                h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(h)  # (B, D)
+            elif use_mv:
+                x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
+                gated = jax.nn.silu(mv_stacked(x2, layers["w_gate"], l)) * mv_stacked(
+                    x2, layers["w_up"], l)
+                h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
+            else:
+                h = layer_mlp(lp, h, cfg)
+            k_new = jax.lax.dynamic_update_index_in_dim(k_new, k.astype(cfg.dtype), l, 0)
+            v_new = jax.lax.dynamic_update_index_in_dim(v_new, v.astype(cfg.dtype), l, 0)
+            return h, k_new, v_new
+        return body
 
     nl = k_pool.shape[0]
     k_acc = jnp.zeros((nl, b, hk, hd), cfg.dtype)
-    h, k_new, v_new = jax.lax.fori_loop(
-        0, nl, body, (token_embeds, k_acc, jnp.zeros_like(k_acc))
-    )
+    carry = (token_embeds, k_acc, jnp.zeros_like(k_acc))
+    if tail_split is None or attn_impl == "stub":
+        h, k_new, v_new = jax.lax.fori_loop(0, nl, make_body(None), carry)
+    else:
+        p_split, tail_s, rs = tail_split
+        carry = jax.lax.fori_loop(0, p_split, make_body(None), carry)
+        h, k_new, v_new = jax.lax.fori_loop(
+            p_split, nl, make_body((tail_s, rs)), carry)
     k_pool = jax.lax.dynamic_update_slice(
         k_pool, k_new[:, :, None], (0, 0, write_pos + step, 0, 0)
     )
@@ -728,6 +776,7 @@ def verify_step_batch(
     write_pos,
     step,
     cfg: LLMConfig,
+    tail_split=None,
 ):
     """Speculative-verify for a BATCH: (B, K) candidate rows through the
     stack in ONE weight pass — :func:`verify_step` with
@@ -751,6 +800,11 @@ def verify_step_batch(
             earlier macro steps.
         write_pos: scalar int32 — start of the decode region.
         step: scalar int32 — 0-based macro-step index.
+        tail_split: optional static ``(P, tail_s, region_start)`` — layers
+            >= P read only pool rows ``[0, tail_s) ∪ [region_start, S_pool)``
+            (two static slices, 3-way online-softmax merge; see
+            :func:`decode_step_batch`). Caller contract:
+            ``engine.best_tail_split_batch``.
 
     Returns:
         (logits (B, K, V), k_pool, v_pool); ``logits[b, i]`` scores the
@@ -776,52 +830,86 @@ def verify_step_batch(
     rope_b = jax.vmap(apply_rope)  # over B: (K,H,hd) x (K,hd)
     layers = params["layers"]
 
-    def body(l, carry):
-        h, k_new, v_new = carry  # h (B,K,D)
-        lp = layer_slice(layers, l)
-        k_l = jax.lax.dynamic_index_in_dim(k_pool, l, 0, keepdims=False)  # (B,S,Hk,hd)
-        v_l = jax.lax.dynamic_index_in_dim(v_pool, l, 0, keepdims=False)
-        len_l = cache_lens[l]  # (B,)
-        x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
-        q, k, v = _project_qkv(lp, x.reshape(b * kq, -1), cfg)
-        q = q.reshape(b, kq, cfg.num_heads, hd)
-        k = k.reshape(b, kq, hk, hd)
-        v = v.reshape(b, kq, hk, hd)
-        q, k = rope_b(q, k, cos, sin)
-        qf = q.reshape(b, kq, hk, g, hd).astype(jnp.float32)
-        scores = jnp.einsum("bnhgd,bshd->bhgns", qf, k_l.astype(jnp.float32)) * scale
-        valid = (pos_iota[None, :] < len_l[:, None]) | decode_mask  # (B,S)
-        scores = jnp.where(valid[:, None, None, None, :], scores, jnp.float32(-1e30))
-        kf_cur = k.astype(jnp.float32)
-        s_cur = jnp.einsum("bnhgd,bmhd->bhgnm", qf, kf_cur) * scale  # (B,Hk,g,K,K)
-        s_cur = jnp.where(tril[None, None, None], s_cur, jnp.float32(-1e30))
-        m = jnp.maximum(
-            jnp.max(scores, axis=-1, keepdims=True),
-            jnp.max(s_cur, axis=-1, keepdims=True),
-        )
-        p = jnp.exp(scores - m)
-        p_cur = jnp.exp(s_cur - m)
-        denom = jnp.sum(p, axis=-1, keepdims=True) + jnp.sum(p_cur, axis=-1, keepdims=True)
-        out = jnp.einsum("bhgns,bshd->bhgnd", p, v_l.astype(jnp.float32))
-        out = out + jnp.einsum("bhgnm,bmhd->bhgnd", p_cur, v.astype(jnp.float32))
-        out = out / denom
-        out = out.transpose(0, 3, 1, 2, 4).reshape(b, kq, hk * g * hd)
-        h = h + mm(out.astype(h.dtype), lp["wo"])
-        if cfg.is_moe:
-            # Row-exact expert gather, flattened over (B, K) — accepted rows
-            # match plain decode (see verify_step).
-            h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(
-                h.reshape(b * kq, -1)
-            ).reshape(b, kq, -1)
-        else:
-            h = layer_mlp(lp, h, cfg)
-        k_new = jax.lax.dynamic_update_index_in_dim(k_new, k.astype(cfg.dtype), l, 0)
-        v_new = jax.lax.dynamic_update_index_in_dim(v_new, v.astype(cfg.dtype), l, 0)
-        return h, k_new, v_new
+    def make_body(seg):
+        def body(l, carry):
+            h, k_new, v_new = carry  # h (B,K,D)
+            lp = layer_slice(layers, l)
+            k_l = jax.lax.dynamic_index_in_dim(k_pool, l, 0, keepdims=False)  # (B,S,Hk,hd)
+            v_l = jax.lax.dynamic_index_in_dim(v_pool, l, 0, keepdims=False)
+            len_l = cache_lens[l]  # (B,)
+            x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
+            q, k, v = _project_qkv(lp, x.reshape(b * kq, -1), cfg)
+            q = q.reshape(b, kq, cfg.num_heads, hd)
+            k = k.reshape(b, kq, hk, hd)
+            v = v.reshape(b, kq, hk, hd)
+            q, k = rope_b(q, k, cos, sin)
+            qf = q.reshape(b, kq, hk, g, hd).astype(jnp.float32)
+            kf_cur = k.astype(jnp.float32)
+            s_cur = jnp.einsum("bnhgd,bmhd->bhgnm", qf, kf_cur) * scale  # (B,Hk,g,K,K)
+            s_cur = jnp.where(tril[None, None, None], s_cur, jnp.float32(-1e30))
+            m_cur = jnp.max(s_cur, axis=-1, keepdims=True)
+            if seg is None:
+                scores = jnp.einsum("bnhgd,bshd->bhgns", qf, k_l.astype(jnp.float32)) * scale
+                valid = (pos_iota[None, :] < len_l[:, None]) | decode_mask  # (B,S)
+                scores = jnp.where(valid[:, None, None, None, :], scores, jnp.float32(-1e30))
+                m = jnp.maximum(jnp.max(scores, axis=-1, keepdims=True), m_cur)
+                p = jnp.exp(scores - m)
+                p_cur = jnp.exp(s_cur - m)
+                denom = (jnp.sum(p, axis=-1, keepdims=True)
+                         + jnp.sum(p_cur, axis=-1, keepdims=True))
+                out = jnp.einsum("bhgns,bshd->bhgnd", p, v_l.astype(jnp.float32))
+                out = out + jnp.einsum("bhgnm,bmhd->bhgnd", p_cur, v.astype(jnp.float32))
+                out = out / denom
+            else:
+                # Two-segment read (see decode_step_batch): ragged prefix
+                # rows [0, tail_s) + common decode region [rs, S_pool).
+                tail_s, rs = seg
+                ka, va_ = k_l[:, :tail_s], v_l[:, :tail_s]
+                kb, vb_ = k_l[:, rs:], v_l[:, rs:]
+                sa = jnp.einsum("bnhgd,bshd->bhgns", qf, ka.astype(jnp.float32)) * scale
+                va_mask = (pos_iota[None, :tail_s] < len_l[:, None]) | decode_mask[:, :tail_s]
+                sa = jnp.where(va_mask[:, None, None, None, :], sa, jnp.float32(-1e30))
+                sb = jnp.einsum("bnhgd,bshd->bhgns", qf, kb.astype(jnp.float32)) * scale
+                vb_mask = decode_mask[:, rs:]
+                sb = jnp.where(vb_mask[:, None, None, None, :], sb, jnp.float32(-1e30))
+                m = jnp.maximum(
+                    jnp.maximum(jnp.max(sa, axis=-1, keepdims=True),
+                                jnp.max(sb, axis=-1, keepdims=True)),
+                    m_cur,
+                )
+                pa, pb = jnp.exp(sa - m), jnp.exp(sb - m)
+                p_cur = jnp.exp(s_cur - m)
+                denom = (jnp.sum(pa, axis=-1, keepdims=True)
+                         + jnp.sum(pb, axis=-1, keepdims=True)
+                         + jnp.sum(p_cur, axis=-1, keepdims=True))
+                out = (jnp.einsum("bhgns,bshd->bhgnd", pa, va_.astype(jnp.float32))
+                       + jnp.einsum("bhgns,bshd->bhgnd", pb, vb_.astype(jnp.float32))
+                       + jnp.einsum("bhgnm,bmhd->bhgnd", p_cur, v.astype(jnp.float32)))
+                out = out / denom
+            out = out.transpose(0, 3, 1, 2, 4).reshape(b, kq, hk * g * hd)
+            h = h + mm(out.astype(h.dtype), lp["wo"])
+            if cfg.is_moe:
+                # Row-exact expert gather, flattened over (B, K) — accepted rows
+                # match plain decode (see verify_step).
+                h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(
+                    h.reshape(b * kq, -1)
+                ).reshape(b, kq, -1)
+            else:
+                h = layer_mlp(lp, h, cfg)
+            k_new = jax.lax.dynamic_update_index_in_dim(k_new, k.astype(cfg.dtype), l, 0)
+            v_new = jax.lax.dynamic_update_index_in_dim(v_new, v.astype(cfg.dtype), l, 0)
+            return h, k_new, v_new
+        return body
 
     nl = k_pool.shape[0]
     acc = jnp.zeros((nl, b, kq, hk, hd), cfg.dtype)
-    h, k_new, v_new = jax.lax.fori_loop(0, nl, body, (token_embeds, acc, jnp.zeros_like(acc)))
+    carry = (token_embeds, acc, jnp.zeros_like(acc))
+    if tail_split is None:
+        h, k_new, v_new = jax.lax.fori_loop(0, nl, make_body(None), carry)
+    else:
+        p_split, tail_s, rs = tail_split
+        carry = jax.lax.fori_loop(0, p_split, make_body(None), carry)
+        h, k_new, v_new = jax.lax.fori_loop(p_split, nl, make_body((tail_s, rs)), carry)
     base = write_pos + step * kq
     k_pool = jax.lax.dynamic_update_slice(k_pool, k_new, (0, 0, base, 0, 0))
     v_pool = jax.lax.dynamic_update_slice(v_pool, v_new, (0, 0, base, 0, 0))

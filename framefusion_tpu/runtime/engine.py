@@ -287,6 +287,28 @@ def best_tail_split(layer_lens, s_pool: int, new_tokens: int, bucket: int):
     return best
 
 
+def best_tail_split_batch(layer_lens_by_seq, s_pool: int, region_start: int, bucket: int):
+    """Static ``(P, tail_s, region_start)`` batched-decode split, or ``None``.
+
+    Batched pools write new K/V at a COMMON offset past every ragged prefix
+    (decode_step_batch), so tail layers only ever hold live rows in
+    ``[0, tail_s) ∪ [region_start, S_pool)`` — the gap is dead padding for
+    them. Unlike the solo split, ``tail_s`` needs no new-token headroom (the
+    decode region is the pool suffix) but must not cross ``region_start``.
+    P minimizes total rows read per step across the two segments.
+    """
+    n = len(layer_lens_by_seq[0])
+    region = s_pool - region_start
+    maxlens = [max(seq[l] for seq in layer_lens_by_seq) for l in range(n)]
+    best, best_cost = None, n * s_pool
+    for p in range(1, n):
+        tail_s = min(bucket_length(max(maxlens[p:]), bucket), region_start)
+        cost = p * s_pool + (n - p) * (tail_s + region)
+        if cost < best_cost:
+            best, best_cost = (p, tail_s, region_start), cost
+    return best
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "attn_impl", "n_steps", "pos_dims", "sampler", "tail_split"),
@@ -326,12 +348,14 @@ def _decode_loop(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("cfg", "n_steps", "pos_dims", "sampler", "attn_impl"),
+    jax.jit,
+    static_argnames=("cfg", "n_steps", "pos_dims", "sampler", "attn_impl", "tail_split"),
     donate_argnums=(2, 3),
 )
 def _decode_loop_batch(
     params, first_logits, k_pools, v_pools, cache_lens, pos_bases, write_pos, rng_key,
     *, cfg: LLMConfig, n_steps: int, pos_dims: int, sampler, attn_impl: str = "jax",
+    tail_split=None,
 ):
     """Batched decode: one ``lax.scan`` over ``decode_step_batch``. Decode is
     weight-bandwidth-bound (every step streams the full decoder weights from
@@ -357,7 +381,7 @@ def _decode_loop_batch(
         pos_id = jnp.tile(pos[None], (3, 1)) if pos_dims == 3 else pos
         logits, k_pools, v_pools = qwen2.decode_step_batch(
             params, te, pos_id, k_pools, v_pools, cache_lens, write_pos, step, cfg,
-            attn_impl=attn_impl,
+            attn_impl=attn_impl, tail_split=tail_split,
         )
         new_toks = sample_b(logits, keys)
         return (new_toks, k_pools, v_pools), new_toks
@@ -2033,12 +2057,16 @@ class CompressionEngine:
         first_logits = jnp.stack([r.logits for r in results])
         pos_bases = jnp.asarray([r.decode_pos_base for r in results], jnp.int32)
 
+        split = best_tail_split_batch(
+            [[c[2] for c in r.layer_caches] for r in results],
+            s_pool, write_pos, self.ff.bucket)
         toks, _, _ = _decode_loop_batch(
             self.params, first_logits, k_pools, v_pools, cache_lens, pos_bases,
             jnp.int32(write_pos), rng_key,
             cfg=cfg, n_steps=max_new_tokens - 1,
             pos_dims=pos_dims, sampler=sampler,
             attn_impl="pallas" if self.attn_impl == "pallas" else "jax",
+            tail_split=split,
         )
         rows = np.asarray(toks)
         out = []

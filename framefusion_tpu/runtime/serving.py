@@ -59,6 +59,7 @@ import numpy as np
 from ..config import LLMConfig
 from ..core.compact import bucket_length
 from ..models import qwen2
+from .engine import best_tail_split_batch
 from .spec_decode import spec_macro_step
 
 __all__ = ["ServeRequest", "ServingLoop"]
@@ -100,7 +101,7 @@ def _first_eos_clamp(t, n_new, eos_ids, kq):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "pos_dims", "draft_len"),
+    static_argnames=("cfg", "chunk", "pos_dims", "draft_len", "tail_split"),
     donate_argnums=(1, 2),
 )
 def _serve_chunk(
@@ -124,6 +125,7 @@ def _serve_chunk(
     chunk: int,
     pos_dims: int,
     draft_len: int,
+    tail_split=None,
 ):
     """``chunk`` macro steps over all slots as ONE program (single dispatch,
     zero host syncs). Each step verifies every slot's K = draft_len+1
@@ -156,7 +158,7 @@ def _serve_chunk(
         t, a, _, k_pool, v_pool = spec_macro_step(
             params, last, emitted, hist, hl, pos_bases,
             k_pool, v_pool, cache_lens, dmask, cursor,
-            cfg=cfg, pos_dims=pos_dims, draft_len=draft_len,
+            cfg=cfg, pos_dims=pos_dims, draft_len=draft_len, tail_split=tail_split,
         )
         n_new = jnp.minimum(a + 1, budgets - emitted)  # budget clamp
         n_new, eos_hit = _first_eos_clamp(t, n_new, eos_ids, kq)
@@ -286,6 +288,14 @@ class ServingLoop:
 
         self._queue: list = []
         self._slot_req = [None] * self.b  # request id occupying each slot
+        # Per-slot per-layer prefix lengths AT ADMISSION (host ints): the
+        # chunk program's tail-split bound. A slot's ragged prefix can grow
+        # past this only by compaction folding committed rows in — bounded
+        # by max_new_cap — so admit_len + max_new_cap is a standing upper
+        # bound needing no device read. Retired slots keep their entry until
+        # a new admission overwrites the slot (their dead rows are still
+        # inside the pool view).
+        self._admit_lens = [[0] * cfg.num_layers for _ in range(self.b)]
         self._slot_mode = ["fused"] * self.b  # executor that served the prefill
         self._admitted_at = [0] * self.b
         self._slot_times = [(0.0, 0.0)] * self.b  # (queue_s, admitted perf_counter)
@@ -349,6 +359,7 @@ class ServingLoop:
         self.budgets[slot] = request.max_new_tokens
         self.eos_ids[slot] = -1 if request.eos_token_id is None else request.eos_token_id
         self.pos_bases[slot] = result.decode_pos_base
+        self._admit_lens[slot] = [c[2] for c in result.layer_caches]
         self._slot_req[slot] = rid
         self._slot_mode[slot] = result.mode
         self._admitted_at[slot] = self._chunk_idx
@@ -395,6 +406,9 @@ class ServingLoop:
             )
             self.cursor = jnp.int32(self.region_start)
             self.compactions += 1
+        split = best_tail_split_batch(
+            [[n + self.max_new_cap for n in lens] for lens in self._admit_lens],
+            self.s_pool, self.region_start, self.engine.ff.bucket)
         (self.out, self.last_tok, emitted, active, self.hist, self.hist_len,
          self.k_pool, self.v_pool, self.dmask, self.cursor) = _serve_chunk(
             self.engine.params, self.k_pool, self.v_pool, self.cache_lens,
@@ -403,7 +417,7 @@ class ServingLoop:
             jnp.asarray(self.budgets), jnp.asarray(self.eos_ids),
             jnp.asarray(self.pos_bases), self.hist, self.hist_len, self.cursor,
             cfg=self.cfg, chunk=self.chunk, pos_dims=self.pos_dims,
-            draft_len=self.draft_len,
+            draft_len=self.draft_len, tail_split=split,
         )
         self._chunk_idx += 1
         # ONE host sync per chunk: emitted/active (+ out rows for retirees).

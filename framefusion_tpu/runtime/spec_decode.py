@@ -171,7 +171,7 @@ def spec_decode_loop(
 def spec_macro_step(
     params, last, emitted, hist, hist_len, pos_bases,
     k_pool, v_pool, cache_lens, dmask, base,
-    *, cfg: LLMConfig, pos_dims: int, draft_len: int,
+    *, cfg: LLMConfig, pos_dims: int, draft_len: int, tail_split=None,
 ):
     """One batched draft-and-verify macro step — the shared core of
     :func:`spec_decode_loop_batch` and the serving chunk program
@@ -199,7 +199,7 @@ def spec_macro_step(
     pos_ids = jnp.tile(pos[None], (3, 1, 1)) if pos_dims == 3 else pos
     logits, k_pool, v_pool = qwen2.verify_step_batch(
         params, te, pos_ids, k_pool, v_pool, cache_lens, dmask,
-        base, jnp.int32(0), cfg,
+        base, jnp.int32(0), cfg, tail_split=tail_split,
     )
     t = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K)
     if draft_len > 0:
@@ -212,7 +212,7 @@ def spec_macro_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "max_new", "pos_dims", "draft_len"),
+    static_argnames=("cfg", "max_new", "pos_dims", "draft_len", "tail_split"),
     donate_argnums=(1, 2),
 )
 def spec_decode_loop_batch(
@@ -230,6 +230,7 @@ def spec_decode_loop_batch(
     max_new: int,
     pos_dims: int,
     draft_len: int,
+    tail_split=None,
 ):
     """Batched speculative greedy decode: every macro step drafts per
     sequence (vmapped prompt-lookup) and verifies all B sequences' K rows in
@@ -297,7 +298,7 @@ def spec_decode_loop_batch(
         t, a, found, k_pool, v_pool = spec_macro_step(
             params, last, emitted, hist, hl, pos_bases,
             k_pool, v_pool, cache_lens, dmask, write_pos + steps * kq,
-            cfg=cfg, pos_dims=pos_dims, draft_len=draft_len,
+            cfg=cfg, pos_dims=pos_dims, draft_len=draft_len, tail_split=tail_split,
         )
         active = emitted < max_new
         n_new = jnp.where(active, a + 1, 0)
@@ -379,6 +380,11 @@ def generate_spec_batch(
         hist0[bi, : len(s)] = s
     hist_len0 = np.asarray([len(s) for s in seqs], np.int32)
 
+    from .engine import best_tail_split_batch
+
+    split = best_tail_split_batch(
+        [[c[2] for c in r.layer_caches] for r in results],
+        s_pool, write_pos, engine.ff.bucket)
     toks, steps, drafted, accepted, _, _ = spec_decode_loop_batch(
         engine.params,
         k_pools,
@@ -393,6 +399,7 @@ def generate_spec_batch(
         max_new=max_new_tokens,
         pos_dims=pos_dims,
         draft_len=draft_len,
+        tail_split=split,
     )
     rows = np.asarray(toks)
     out = []

@@ -765,17 +765,26 @@ def bench_decodestep():
             rng.standard_normal((cfg.num_layers, s_pool, cfg.num_kv_heads, 128)) * 0.1,
             jnp.bfloat16)
         lens = jnp.asarray(lens_np)
-        print(f"  geometry: {gname}")
-        for impl in ("stub", "pallas", "jax"):
+        # tail-split view (engine.best_tail_split): tail layers attend only
+        # the pool's first tail_s rows — None on the uniform geometry.
+        from framefusion_tpu.runtime.engine import best_tail_split
+
+        split = best_tail_split([int(x) for x in lens_np], s_pool, steps + 4, 128)
+        print(f"  geometry: {gname} (tail_split={split})")
+        variants = [("stub", None), ("pallas", None), ("jax", None)]
+        if split is not None:
+            variants += [("pallas", split), ("jax", split)]
+        for impl, ts in variants:
             # params passed as a jit ARGUMENT: closure capture would lower
             # the 7 GB stacks as constants through the relay (DEVNOTES).
-            @functools.partial(jax.jit, static_argnames="impl")
-            def scan32(params, tok0, kp, vp, lens, impl):
+            @functools.partial(jax.jit, static_argnames=("impl", "ts"))
+            def scan32(params, tok0, kp, vp, lens, impl, ts):
                 def body(carry, _):
                     tok, kp, vp, lens = carry
                     emb = params["embed"][tok]
                     logits, kp, vp, lens = qwen2.decode_step(
-                        params, emb, lens[0], kp, vp, lens, cfg, attn_impl=impl)
+                        params, emb, lens[0], kp, vp, lens, cfg, attn_impl=impl,
+                        tail_split=ts)
                     return (jnp.argmax(logits).astype(jnp.int32), kp, vp, lens), logits[0]
                 (tok, _, _, _), ls = jax.lax.scan(
                     body, (tok0, kp, vp, lens), None, length=steps)
@@ -786,14 +795,15 @@ def bench_decodestep():
                 # the seed token varies with the per-rep scale; eps (≈0)
                 # keeps the chain's data dependency on the previous output.
                 t0 = (tok0 + jnp.int32(scale * 128) + eps.astype(jnp.int32)) % jnp.int32(8192)
-                return scan32(params, t0, kp, vp, lens, impl)[1]
+                return scan32(params, t0, kp, vp, lens, impl, ts)[1]
 
+            label = impl + ("+split" if ts is not None else "")
             try:
                 t, _ = DeviceTimer.timeit_slope(run, lambda o: o, max_chain=8)
-                print(f"  decode_step[{impl:6s}] x{steps}: {t*1e3:7.1f} ms  "
+                print(f"  decode_step[{label:12s}] x{steps}: {t*1e3:7.1f} ms  "
                       f"({t/steps*1e3:5.2f} ms/step, floor+{(t/steps*1e3-floor_ms):+5.2f})")
             except Exception as e:  # noqa: BLE001
-                print(f"  decode_step[{impl:6s}]: FAIL {type(e).__name__} {str(e)[:90]}")
+                print(f"  decode_step[{label:12s}]: FAIL {type(e).__name__} {str(e)[:90]}")
 
 
 def bench_decode():

@@ -535,6 +535,76 @@ class TestTailSplit:
         np.testing.assert_allclose(np.asarray(got[0], np.float32),
                                    np.asarray(ref[0], np.float32), rtol=1e-5, atol=1e-5)
 
+    def test_decode_step_batch_split_matches_unsplit(self, setup):
+        # Batched pools: decode region at the pool SUFFIX (common offset), so
+        # the split reads two segments [0, tail_s) u [region_start, S_pool).
+        cfg, params, _ = setup
+        rng = np.random.default_rng(13)
+        b, s_pool, rs = 3, 128, 96
+        kp = jnp.asarray(rng.standard_normal((cfg.num_layers, b, s_pool, cfg.num_kv_heads,
+                                              cfg.head_dim_)) * 0.1, cfg.dtype)
+        vp = jnp.asarray(rng.standard_normal((cfg.num_layers, b, s_pool, cfg.num_kv_heads,
+                                              cfg.head_dim_)) * 0.1, cfg.dtype)
+        lens = jnp.asarray(
+            np.stack([[88, 80, 60], [90, 88, 70]] + [[20, 24, 18]] * (cfg.num_layers - 2)),
+            jnp.int32)  # (L, B)
+        emb = jnp.asarray(rng.standard_normal((b, cfg.hidden_size)) * 0.05, cfg.dtype)
+        pos = jnp.asarray([90, 88, 72], jnp.int32)
+        args = (params, emb, pos, kp, vp, lens, jnp.int32(rs), jnp.int32(2), cfg)
+        ref = qwen2.decode_step_batch(*args)
+        got = qwen2.decode_step_batch(*args, tail_split=(2, 32, rs))
+        np.testing.assert_allclose(np.asarray(got[0], np.float32),
+                                   np.asarray(ref[0], np.float32), rtol=1e-5, atol=1e-5)
+        # Written rows: layers >= P re-derive k/v from a hidden state whose
+        # attention sums were grouped differently (two segments), so the new
+        # bf16 rows can differ in the last bit — allclose, not array_equal.
+        for a, r in ((got[1], ref[1]), (got[2], ref[2])):
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(r, np.float32), rtol=0.02, atol=5e-3)
+
+    def test_verify_step_batch_split_matches_unsplit(self, setup):
+        cfg, params, _ = setup
+        rng = np.random.default_rng(17)
+        b, kq, s_pool, rs = 2, 3, 128, 96
+        kp = jnp.asarray(rng.standard_normal((cfg.num_layers, b, s_pool, cfg.num_kv_heads,
+                                              cfg.head_dim_)) * 0.1, cfg.dtype)
+        vp = jnp.asarray(rng.standard_normal((cfg.num_layers, b, s_pool, cfg.num_kv_heads,
+                                              cfg.head_dim_)) * 0.1, cfg.dtype)
+        lens = jnp.asarray(
+            np.stack([[88, 80], [90, 88]] + [[20, 24]] * (cfg.num_layers - 2)), jnp.int32)
+        embs = jnp.asarray(rng.standard_normal((b, kq, cfg.hidden_size)) * 0.05, cfg.dtype)
+        pos = jnp.asarray([[90, 91, 92], [88, 89, 90]], jnp.int32)
+        dmask = np.zeros((b, s_pool), bool)
+        dmask[:, rs:rs + 2] = True  # two committed rows from an earlier macro step
+        args = (params, embs, pos, kp, vp, lens, jnp.asarray(dmask),
+                jnp.int32(rs + 2), jnp.int32(0), cfg)
+        ref = qwen2.verify_step_batch(*args)
+        got = qwen2.verify_step_batch(*args, tail_split=(2, 32, rs))
+        np.testing.assert_allclose(np.asarray(got[0], np.float32),
+                                   np.asarray(ref[0], np.float32), rtol=1e-5, atol=1e-5)
+
+    def test_generate_batch_rides_split(self, setup):
+        # Ragged batch whose geometry engages best_tail_split_batch; tokens
+        # must match each sequence's solo greedy run (which splits solo-style).
+        cfg, params, ff = setup
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        from framefusion_tpu.runtime.engine import best_tail_split_batch
+        from framefusion_tpu.core.compact import bucket_length
+
+        results, singles = [], []
+        for seed, coh in [(3, 0.3), (7, 0.4)]:
+            h, pt, pos, img_start, n_img = build_inputs(seed=seed, coherent=coh)
+            res = engine.prefill(h, pt, pos, patch_num=6, image_token_start=img_start,
+                                 image_token_length=n_img)
+            singles.append(engine.generate_greedy(res, max_new_tokens=5))
+            results.append(res)
+        max_prefix = max(max(c[2] for c in r.layer_caches) for r in results)
+        s_pool = bucket_length(max_prefix + 5, ff.bucket)
+        assert best_tail_split_batch(
+            [[c[2] for c in r.layer_caches] for r in results],
+            s_pool, s_pool - 5, ff.bucket) is not None, "geometry unexpectedly uniform"
+        assert engine.generate_batch(results, max_new_tokens=5) == singles
+
     def test_generate_device_rides_split(self, setup):
         # A coherent prompt leaves phase-layer caches far longer than the
         # compacted tail -> generate_device's split engages; tokens must
