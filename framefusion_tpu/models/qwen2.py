@@ -413,6 +413,23 @@ def _pool_view(pool, l, s_view):
     return jax.lax.dynamic_slice(pool, (l,) + (0,) * (pool.ndim - 1), size)[0]
 
 
+def _split_fori(n_layers, make_body, carry, tail_split, full_arg, tail_arg):
+    """Run the layer loop in one or two static segments.
+
+    With ``tail_split=(p, ...)`` layers ``< p`` run ``make_body(full_arg)``
+    and layers ``>= p`` run ``make_body(tail_arg)`` — identical math at a
+    narrower static pool view. ``tail_split=None`` runs every layer on
+    ``full_arg``. Callers normalize degenerate splits (tail view >= full
+    view, stub attention) to ``None`` BEFORE this dispatch so the two-loop
+    program is only compiled when it actually narrows a read.
+    """
+    if tail_split is None:
+        return jax.lax.fori_loop(0, n_layers, make_body(full_arg), carry)
+    p = tail_split[0]
+    carry = jax.lax.fori_loop(0, p, make_body(full_arg), carry)
+    return jax.lax.fori_loop(p, n_layers, make_body(tail_arg), carry)
+
+
 def decode_step(
     params: dict,
     token_embed: jnp.ndarray,
@@ -513,12 +530,11 @@ def decode_step(
 
     s_full = k_pool.shape[1]
     carry = (h, k_pool, v_pool)
-    if tail_split is None or tail_split[1] >= s_full:
-        h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, make_body(s_full), carry)
-    else:
-        p, tail_s = tail_split
-        carry = jax.lax.fori_loop(0, p, make_body(s_full), carry)
-        h, k_pool, v_pool = jax.lax.fori_loop(p, cfg.num_layers, make_body(tail_s), carry)
+    if tail_split is not None and tail_split[1] >= s_full:
+        tail_split = None
+    h, k_pool, v_pool = _split_fori(
+        cfg.num_layers, make_body, carry, tail_split, s_full,
+        tail_split and tail_split[1])
     logits = final_logits(params, h, cfg)[0]
     return logits, k_pool, v_pool, cache_lens + 1
 
@@ -588,12 +604,11 @@ def verify_step(
 
     s_full = k_pool.shape[1]
     carry = (h, k_pool, v_pool)
-    if tail_split is None or tail_split[1] >= s_full:
-        h, k_pool, v_pool = jax.lax.fori_loop(0, cfg.num_layers, make_body(s_full), carry)
-    else:
-        p, tail_s = tail_split
-        carry = jax.lax.fori_loop(0, p, make_body(s_full), carry)
-        h, k_pool, v_pool = jax.lax.fori_loop(p, cfg.num_layers, make_body(tail_s), carry)
+    if tail_split is not None and tail_split[1] >= s_full:
+        tail_split = None
+    h, k_pool, v_pool = _split_fori(
+        cfg.num_layers, make_body, carry, tail_split, s_full,
+        tail_split and tail_split[1])
     logits = final_logits(params, h, cfg)  # (K, V)
     return logits, k_pool, v_pool
 
@@ -748,13 +763,11 @@ def decode_step_batch(
     nl = k_pool.shape[0]
     k_acc = jnp.zeros((nl, b, hk, hd), cfg.dtype)
     carry = (token_embeds, k_acc, jnp.zeros_like(k_acc))
-    if tail_split is None or attn_impl == "stub":
-        h, k_new, v_new = jax.lax.fori_loop(0, nl, make_body(None), carry)
-    else:
-        p_split, tail_s, rs = tail_split
-        carry = jax.lax.fori_loop(0, p_split, make_body(None), carry)
-        h, k_new, v_new = jax.lax.fori_loop(
-            p_split, nl, make_body((tail_s, rs)), carry)
+    if attn_impl == "stub":
+        tail_split = None
+    h, k_new, v_new = _split_fori(
+        nl, make_body, carry, tail_split, None,
+        tail_split and tail_split[1:])
     k_pool = jax.lax.dynamic_update_slice(
         k_pool, k_new[:, :, None], (0, 0, write_pos + step, 0, 0)
     )
@@ -904,12 +917,9 @@ def verify_step_batch(
     nl = k_pool.shape[0]
     acc = jnp.zeros((nl, b, kq, hk, hd), cfg.dtype)
     carry = (token_embeds, acc, jnp.zeros_like(acc))
-    if tail_split is None:
-        h, k_new, v_new = jax.lax.fori_loop(0, nl, make_body(None), carry)
-    else:
-        p_split, tail_s, rs = tail_split
-        carry = jax.lax.fori_loop(0, p_split, make_body(None), carry)
-        h, k_new, v_new = jax.lax.fori_loop(p_split, nl, make_body((tail_s, rs)), carry)
+    h, k_new, v_new = _split_fori(
+        nl, make_body, carry, tail_split, None,
+        tail_split and tail_split[1:])
     base = write_pos + step * kq
     k_pool = jax.lax.dynamic_update_slice(k_pool, k_new, (0, 0, base, 0, 0))
     v_pool = jax.lax.dynamic_update_slice(v_pool, v_new, (0, 0, base, 0, 0))

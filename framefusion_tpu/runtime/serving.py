@@ -302,6 +302,12 @@ class ServingLoop:
         self._results: dict = {}
         self._next_id = 0
         self._chunk_idx = 0
+        # Held tail split (hysteresis): tail_split is a STATIC jit arg, so
+        # recomputing the optimum every chunk would recompile _serve_chunk
+        # whenever an admission shifts the per-layer max. Keep the held
+        # split while it still COVERS the current bounds (suboptimal is
+        # fine; invalid is not) and only recompute when coverage breaks.
+        self._tail_split = None
         self.compactions = 0  # introspection: times the scratch region recycled
 
     # -- request lifecycle --------------------------------------------------
@@ -406,9 +412,16 @@ class ServingLoop:
             )
             self.cursor = jnp.int32(self.region_start)
             self.compactions += 1
-        split = best_tail_split_batch(
-            [[n + self.max_new_cap for n in lens] for lens in self._admit_lens],
-            self.s_pool, self.region_start, self.engine.ff.bucket)
+        bounds = [[n + self.max_new_cap for n in lens] for lens in self._admit_lens]
+        split = self._tail_split
+        if split is not None:
+            p, tail_s, _ = split
+            if max(max(seq[l] for seq in bounds) for l in range(p, len(bounds[0]))) > tail_s:
+                split = None  # coverage broke — a new admission outgrew the held view
+        if split is None:
+            split = best_tail_split_batch(
+                bounds, self.s_pool, self.region_start, self.engine.ff.bucket)
+        self._tail_split = split
         (self.out, self.last_tok, emitted, active, self.hist, self.hist_len,
          self.k_pool, self.v_pool, self.dmask, self.cursor) = _serve_chunk(
             self.engine.params, self.k_pool, self.v_pool, self.cache_lens,

@@ -546,7 +546,7 @@ def check_kernels() -> int:
                                  attn_impl="pallas")[0],
             lambda prm=prm: step(prm, emb, jnp.int32(400), kpool, vpool, lens,
                                  attn_impl="jax")[0],
-            atol=1e-1)
+            atol=7e-2)  # 1.3x the worst observed (5.5e-2); 2x drift FAILs
         embs = jnp.asarray(rng.standard_normal((3, dcfg.hidden_size)) * 0.1, jnp.bfloat16)
         kpb = jnp.asarray(rng.standard_normal((2, 3, 512, dcfg.num_kv_heads, 128)) * 0.1,
                           jnp.bfloat16)
