@@ -468,7 +468,12 @@ def decode_step(
     # on the big MLP weights but caps at ~185G elements/s on the small
     # projections (wq/wk/wv/wo) — measured, kernel_bench --what decode.
     # "stub" keeps the pallas matvecs and stubs out only the attention.
-    use_mv = attn_impl in ("pallas", "stub")
+    # "mv-jax" also keeps the streamed matvecs but pairs them with the
+    # masked XLA attention (the batched path's combination): at the padded
+    # ragged 64f geometry the clamped-grid pallas kernel pays ~6 grid steps
+    # x 28 layers of fixed overhead, while the XLA read on a tail-split view
+    # is mostly live rows — measure with kernel_bench --what decodestep.
+    use_mv = attn_impl in ("pallas", "stub", "mv-jax")
     layers = params["layers"]
     hd = cfg.head_dim_
 

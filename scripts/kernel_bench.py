@@ -547,6 +547,12 @@ def check_kernels() -> int:
             lambda prm=prm: step(prm, emb, jnp.int32(400), kpool, vpool, lens,
                                  attn_impl="jax")[0],
             atol=7e-2)  # 1.3x the worst observed (5.5e-2); 2x drift FAILs
+        run(f"decode_step mv-jax=={tag}-jax [logits]",
+            lambda prm=prm: step(prm, emb, jnp.int32(400), kpool, vpool, lens,
+                                 attn_impl="mv-jax")[0],
+            lambda prm=prm: step(prm, emb, jnp.int32(400), kpool, vpool, lens,
+                                 attn_impl="jax")[0],
+            atol=7e-2)  # same masked attention; bf16 streamed matvec weights
         embs = jnp.asarray(rng.standard_normal((3, dcfg.hidden_size)) * 0.1, jnp.bfloat16)
         kpb = jnp.asarray(rng.standard_normal((2, 3, 512, dcfg.num_kv_heads, 128)) * 0.1,
                           jnp.bfloat16)
@@ -771,9 +777,9 @@ def bench_decodestep():
 
         split = best_tail_split([int(x) for x in lens_np], s_pool, steps + 4, 128)
         print(f"  geometry: {gname} (tail_split={split})")
-        variants = [("stub", None), ("pallas", None), ("jax", None)]
+        variants = [("stub", None), ("pallas", None), ("jax", None), ("mv-jax", None)]
         if split is not None:
-            variants += [("pallas", split), ("jax", split)]
+            variants += [("pallas", split), ("jax", split), ("mv-jax", split)]
         for impl, ts in variants:
             # params passed as a jit ARGUMENT: closure capture would lower
             # the 7 GB stacks as constants through the relay (DEVNOTES).
