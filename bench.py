@@ -263,6 +263,24 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                                       pre_plan_len=pre_plan_analytic)
 
     planned_analytic_t, res_pa = timed(run_ff_planned_analytic, min(reps, 3), clean_out=True)
+
+    # COLD start (VERDICT r3 weak #1 / item 1): a geometry the deployment has
+    # NEVER seen — no probe run, no PlanHistory. ``prefill_measured`` runs a
+    # similarity pre-pass on the raw embeddings (the layer "-1" merge is a
+    # pure function of them, reference main.py:104-139), pays ONE scalar
+    # host read for the exact first-merge count, and derives both plan
+    # buckets from it. Each timed rep includes that blocking read — on this
+    # relay a device->host scalar costs ~35-75 ms (DEVNOTES), which is the
+    # honest cold cost here (sub-ms on a directly-attached host).
+    engine_cold = CompressionEngine(params, cfg, ff, attn_impl=attn_impl)
+
+    def run_ff_cold(hh):
+        return engine_cold.prefill_measured(hh, patch_type, pos, patch_num=182,
+                                            image_token_start=img_start,
+                                            image_token_length=n_img)
+
+    cold_t, res_c = timed(run_ff_cold, min(reps, 3), clean_out=True)
+
     ff_best = min(ff_t, planned_t)
     detail = {
         "backend": backend,
@@ -280,6 +298,10 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
         "framefusion_planned_analytic_ms": round(planned_analytic_t * 1e3, 1),
         "planned_analytic_mode": res_pa.mode,
         "plan_buckets_analytic": [pre_plan_analytic, plan_analytic],
+        "framefusion_cold_ms": round(cold_t * 1e3, 1),
+        "cold_mode": res_c.mode,
+        "cold_plan_source": res_c.plan_source,
+        "cold_speedup": round(dense_t / cold_t, 3),
         "framefusion_ms": round(ff_best * 1e3, 1),
         # Speedup against the MOST conservative dense baseline (logits-only,
         # no cache production) — the north star holds against both dense
@@ -291,7 +313,7 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
         "tail_start_layer": res.telemetry.tail_start_layer,
         "events": [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events],
     }
-    del res, res_p, res_pa
+    del res, res_p, res_pa, res_c
     gc.collect()
 
     # End-to-end (optional): prefill + e2e_tokens greedy tokens, dense first
@@ -349,6 +371,15 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
             q = jnn.log_softmax(jnp.asarray(fres.logits, jnp.float32))
             noise_toks = e2e(engine,
                              lambda hh: run_dense_full(hh * jnp.float32(1.0 + 2.0**-7)))
+            # KL noise floor (VERDICT r3 weak #3): dense vs dense on the
+            # one-ulp-nudged input, computed the same way as first_token_kl —
+            # the yardstick that makes the FF-vs-dense KL interpretable at
+            # random init (1.1 nats means nothing without knowing what an
+            # inconsequential perturbation scores).
+            nres = run_dense_full(h * jnp.float32(1.0 + 2.0**-7))
+            pn = jnn.log_softmax(jnp.asarray(nres.logits, jnp.float32))
+            kl_floor = float(jnp.sum(jnp.exp(p) * (p - pn)))
+            del nres
             detail.update({
                 "top1_agreement": round(float(np.mean(
                     [a == b for a, b in zip(dense_toks, ff_toks)])), 3),
@@ -358,6 +389,7 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                 "top1_noise_floor": round(float(np.mean(
                     [a == b for a, b in zip(dense_toks, noise_toks)])), 3),
                 "first_token_kl": round(float(jnp.sum(jnp.exp(p) * (p - q))), 4),
+                "first_token_kl_noise_floor": round(kl_floor, 4),
             })
             del dres, fres, p, q
             gc.collect()

@@ -413,6 +413,23 @@ def _pool_view(pool, l, s_view):
     return jax.lax.dynamic_slice(pool, (l,) + (0,) * (pool.ndim - 1), size)[0]
 
 
+def _normalize_batch_split(tail_split, n_layers: int, s_pool: int):
+    """Enforce _split_fori's documented caller contract at the batched entry
+    points: a degenerate ``(P, tail_s, region_start)`` whose two-segment view
+    would not narrow the pool read (``tail_s >= region_start``), or whose P
+    leaves no layer on either side, silently compiles the COSTLIER
+    two-segment program — normalize it to ``None`` instead.
+    ``best_tail_split_batch`` never emits one (its cost test is strict), so
+    this only guards hand-constructed splits."""
+    if tail_split is None:
+        return None
+    p, tail_s, region_start = tail_split
+    assert region_start <= s_pool, (tail_split, s_pool)
+    if not 0 < p < n_layers or tail_s >= region_start:
+        return None
+    return tail_split
+
+
 def _split_fori(n_layers, make_body, carry, tail_split, full_arg, tail_arg):
     """Run the layer loop in one or two static segments.
 
@@ -770,6 +787,7 @@ def decode_step_batch(
     carry = (token_embeds, k_acc, jnp.zeros_like(k_acc))
     if attn_impl == "stub":
         tail_split = None
+    tail_split = _normalize_batch_split(tail_split, nl, s_pool)
     h, k_new, v_new = _split_fori(
         nl, make_body, carry, tail_split, None,
         tail_split and tail_split[1:])
@@ -922,6 +940,7 @@ def verify_step_batch(
     nl = k_pool.shape[0]
     acc = jnp.zeros((nl, b, kq, hk, hd), cfg.dtype)
     carry = (token_embeds, acc, jnp.zeros_like(acc))
+    tail_split = _normalize_batch_split(tail_split, nl, s_pool)
     h, k_new, v_new = _split_fori(
         nl, make_body, carry, tail_split, None,
         tail_split and tail_split[1:])

@@ -136,6 +136,53 @@ class SegmentedEventState:
         return ratio, cur_img_len, k_keep, cur_img_len - k_keep
 
 
+def plan_length_measured(
+    orig_len: int, frame_token_num: int, first_merge_count: int, ff: FrameFusionConfig
+) -> tuple[int, int]:
+    """Tight ``(pre_plan_len, plan_len)`` buckets from a MEASURED first-merge
+    count — the cold-start planner.
+
+    The layer "-1" merge is a pure function of the input embeddings (the
+    reference runs it pre-attention at layer 0, main.py:104-139), so its
+    above-threshold count can be measured with one cheap similarity pre-pass
+    before any bucket is chosen. Given that count:
+
+    * ``pre_plan_len`` is EXACT: the first merge removes exactly ``count``
+      tokens (or ``int(budget0 * frame_tok)`` if capped).
+    * ``plan_len`` is a PROVABLE upper bound on the final survivor count.
+      The cost schedule (core/schedule.py) makes the final image density
+      after the last event ``D_n = (L*cost - spent_n) / (L - n)`` where
+      ``spent_n`` is the cumulative density over the ``n`` non-final events.
+      Every continuation event applies sparsity strictly below its budget,
+      which forces ``dens_{n+1} > D_n`` and hence ``D_{n+1} < D_n`` — the
+      maximum over ALL trajectories is finishing at the very next event:
+      ``D_max = (L*cost - (1 - s1)) / (L - 1)``. An fp32-tie trajectory that
+      still overflows falls back to the adaptive executor (never truncates).
+    """
+    import math
+
+    L = ff.schedule_num_layers
+    budget0 = compute_pruning_ratio([], ff.cost, L)
+    s1 = first_merge_count / frame_token_num
+    if s1 >= budget0:
+        # Capped first merge: compression finishes in one event — exact.
+        k = int(np.float32(budget0) * np.float32(frame_token_num))
+        b = bucket_length(orig_len - k, ff.bucket)
+        return b, b
+    pre = orig_len - first_merge_count
+    d1 = 1.0 - s1
+    d_max = (L * ff.cost - d1) / (L - 1)
+    if d_max < 0:
+        # The real prefill will raise CostInfeasibleError; any bucket works.
+        d_max = 0.0
+    # min(d_max, d1): a zero budget means the next event removes nothing
+    # (merge_capped with k=0) and the pre-merge state IS final. +2 absorbs
+    # the prune's banker's rounding and fp32-order slop vs the twins.
+    img_max = min(math.ceil(frame_token_num * min(d_max, d1)) + 2, frame_token_num)
+    final_max = (orig_len - frame_token_num) + img_max
+    return bucket_length(pre, ff.bucket), bucket_length(min(final_max, pre), ff.bucket)
+
+
 def plan_length_analytic(orig_len: int, frame_token_num: int, ff: FrameFusionConfig,
                          expected_reduction: float = 0.45) -> int:
     """Static bucket for the FINAL compacted state when no history exists.
@@ -345,6 +392,43 @@ def _decode_loop(
         (jnp.arange(n_steps, dtype=jnp.int32), keys[1:]),
     )
     return jnp.concatenate([tok0[None], toks]), k_pool, v_pool, cache_lens
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "attn_impl", "n_steps", "pos_dims", "sampler", "tail_split"),
+    donate_argnums=(2, 3),
+)
+def _decode_chunk(
+    params, tok0, k_pool, v_pool, cache_lens, pos_base, start_step, keys,
+    *, cfg: LLMConfig, attn_impl: str, n_steps: int, pos_dims: int, sampler,
+    tail_split=None,
+):
+    """``_decode_loop``'s resumable sibling: one CHUNK of the decode scan,
+    starting from an already-sampled carry token at step offset
+    ``start_step`` and returning the carried state so the next chunk can
+    continue in place. Powers ``generate_stream`` (partial-result streaming,
+    one host sync per chunk) — same body, same per-token math."""
+    from ..ops.sampling import sample_token
+
+    def body(carry, inputs):
+        tok, k_pool, v_pool, lens = carry
+        step, key = inputs
+        te = qwen2.embed(params, tok, cfg)
+        pos = pos_base + start_step + step
+        pos_id = jnp.full((3,), pos, jnp.int32) if pos_dims == 3 else pos
+        logits, k_pool, v_pool, lens = qwen2.decode_step(
+            params, te, pos_id, k_pool, v_pool, lens, cfg, attn_impl=attn_impl,
+            tail_split=tail_split,
+        )
+        new_tok = sample_token(logits, sampler, key)
+        return (new_tok, k_pool, v_pool, lens), new_tok
+
+    (tok_last, k_pool, v_pool, cache_lens), toks = jax.lax.scan(
+        body, (tok0, k_pool, v_pool, cache_lens),
+        (jnp.arange(n_steps, dtype=jnp.int32), keys),
+    )
+    return toks, tok_last, k_pool, v_pool, cache_lens
 
 
 @functools.partial(
@@ -1094,15 +1178,11 @@ class CompressionEngine:
                 "planned" (sync-free serving path, static plan bucket),
                 "segmented" (per-layer programs, one sync per merge event), or
                 "auto" (serving policy: planned from PlanHistory once this
-                prompt geometry has been seen, else the adaptive fused
-                executor — which both serves the request AND records the
-                survivor counts that let the next same-geometry prompt ride
-                the sync-free path. Strictly dominates cold-start planned
-                with analytic buckets: fused pays one host sync at the TRUE
-                compressed lengths, while an analytic plan over-provisions
-                its tail bucket ~2x at the default knobs; measured ~442 ms
-                fused vs 744+ ms analytic-planned at 7B/64f, DEVNOTES
-                round-3 facts).
+                prompt geometry has been seen; a never-seen geometry rides
+                ``prefill_measured`` — the similarity pre-pass costs one
+                cheap scalar sync and buys near-history buckets, vs the
+                fused executor's one sync with every phase layer at FULL S
+                and the analytic plan's ~2x over-provisioned tail).
         """
         if mode == "auto":
             frame_tok = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
@@ -1113,15 +1193,18 @@ class CompressionEngine:
                     self.ff.bucket,
                 )
             if suggestion is None:
-                res = self._prefill_fused(
+                return self.prefill_measured(
                     input_embeds, patch_type, position_ids, patch_num,
                     image_token_start, image_token_length,
                 )
-                res.plan_source = "cold"
-                return res
             # prefill_planned re-derives the same suggestion and labels the
             # result plan_source="history".
             return self.prefill_planned(
+                input_embeds, patch_type, position_ids, patch_num,
+                image_token_start, image_token_length,
+            )
+        if mode == "measured":
+            return self.prefill_measured(
                 input_embeds, patch_type, position_ids, patch_num,
                 image_token_start, image_token_length,
             )
@@ -1144,6 +1227,56 @@ class CompressionEngine:
             input_embeds, patch_type, position_ids, patch_num,
             image_token_start, image_token_length,
         )
+
+    def prefill_measured(
+        self, input_embeds, patch_type, position_ids, patch_num: int,
+        image_token_start: int, image_token_length: int,
+    ) -> PrefillResult:
+        """Cold-start planned prefill: measure, then plan.
+
+        A similarity pre-pass on the RAW input embeddings (O(S*D) — no
+        weights, no attention; it is the same scoring the layer "-1" merge
+        event will run, reference main.py:104-139 fires that merge
+        pre-attention) plus ONE scalar host read yields the exact
+        first-merge count before any shape bucket is chosen. From it,
+        ``plan_length_measured`` derives an EXACT post-first-merge bucket
+        and a provably-sufficient final bucket, so a never-seen prompt
+        geometry runs the same two-stage planned program a history-warmed
+        prompt would — no probe run, no PlanHistory required. Total host
+        round-trips: one cheap scalar (the fused executor also pays one
+        sync, but with every phase layer at full S and a ~100-float
+        transfer).
+
+        Decision parity: the pre-pass only sizes buckets; every actual
+        merge/prune decision is re-made by the planned executor's device
+        programs, so events match the fused executor bit-for-bit (pinned in
+        tests/test_engine.py). An fp32 near-tie that makes the real count
+        exceed the measured plan falls back to the adaptive executor —
+        slower, never wrong.
+        """
+        ff = self.ff
+        frame_tok0 = int(np.sum(np.asarray(patch_type) != TEXT_TOKEN))
+        if patch_num <= 0 or frame_tok0 == 0:
+            res = self._prefill_fused(
+                input_embeds, patch_type, position_ids, patch_num,
+                image_token_start, image_token_length,
+            )
+            res.plan_source = "cold"
+            return res
+        h, pt, _, orig_len = self._prep_inputs(input_embeds, patch_type, position_ids)
+        _, _, count = _sim_program(
+            h, pt, jnp.int32(orig_len), jnp.float32(ff.similarity_lower_bound),
+            patch_num=patch_num,
+        )
+        count = int(np.asarray(count))  # the one host read
+        pre_plan_len, plan_len = plan_length_measured(orig_len, frame_tok0, count, ff)
+        res = self.prefill_planned(
+            input_embeds, patch_type, position_ids, patch_num,
+            image_token_start, image_token_length,
+            plan_len=plan_len, pre_plan_len=pre_plan_len,
+        )
+        res.plan_source = "measured"
+        return res
 
     def _prefill_fused(
         self, input_embeds, patch_type, position_ids, patch_num: int,
@@ -1954,6 +2087,63 @@ class CompressionEngine:
 
     def generate_greedy(self, result: PrefillResult, max_new_tokens: int, eos_token_id: Optional[int] = None):
         return self.generate(result, max_new_tokens, eos_token_id=eos_token_id)
+
+    def generate_stream(
+        self,
+        result: PrefillResult,
+        max_new_tokens: int,
+        chunk: int = 4,
+        eos_token_id: Optional[int] = None,
+        sampler=None,
+        rng_key=None,
+    ):
+        """Streaming decode: yields the CUMULATIVE token list after every
+        ``chunk`` decoded tokens (one host sync per chunk, pools carried on
+        device between chunks). The partial-results surface for UIs/SSE
+        endpoints — the reference demo streams partial generations during
+        decode (/root/reference/script/demo/llava_video_compare.py:309-331).
+
+        Greedy streams emit exactly ``generate_greedy``'s tokens (pinned in
+        tests). Stochastic samplers draw one pre-split key per token, so a
+        stream is a valid sample but not bitwise ``generate``'s (which
+        splits keys per-dispatch).
+        """
+        from ..ops.sampling import SamplerConfig, sample_token
+
+        cfg = self.cfg
+        sampler = sampler or SamplerConfig()
+        rng_key = rng_key if rng_key is not None else jax.random.PRNGKey(0)
+        keys = jax.random.split(rng_key, max_new_tokens)
+        k_pool, v_pool, cache_lens = self.make_decode_state(result, max_new_tokens)
+        split = best_tail_split(
+            [c[2] for c in result.layer_caches], int(k_pool.shape[1]),
+            max_new_tokens, self.ff.bucket)
+        attn = "pallas" if self.attn_impl == "pallas" else "jax"
+        tok_last = jax.jit(sample_token, static_argnums=(1,))(
+            result.logits, sampler, keys[0]
+        )
+        out: list[int] = [int(np.asarray(tok_last))]
+        emitted = 1
+        done = eos_token_id is not None and out[-1] == eos_token_id
+        if done or emitted >= max_new_tokens:
+            yield list(out)
+            return
+        yield list(out)
+        while emitted < max_new_tokens:
+            n = min(chunk, max_new_tokens - emitted)
+            toks, tok_last, k_pool, v_pool, cache_lens = _decode_chunk(
+                self.params, tok_last, k_pool, v_pool, cache_lens,
+                jnp.asarray(result.decode_pos_base, jnp.int32),
+                jnp.int32(emitted - 1), keys[emitted : emitted + n],
+                cfg=cfg, attn_impl=attn, n_steps=n, pos_dims=result.pos_dims,
+                sampler=sampler, tail_split=split,
+            )
+            out += [int(t) for t in np.asarray(toks)]
+            emitted += n
+            if eos_token_id is not None and eos_token_id in out:
+                yield list(out[: out.index(eos_token_id) + 1])
+                return
+            yield list(out)
 
     def generate_spec(
         self,

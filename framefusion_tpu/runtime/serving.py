@@ -304,10 +304,12 @@ class ServingLoop:
         self._chunk_idx = 0
         # Held tail split (hysteresis): tail_split is a STATIC jit arg, so
         # recomputing the optimum every chunk would recompile _serve_chunk
-        # whenever an admission shifts the per-layer max. Keep the held
-        # split while it still COVERS the current bounds (suboptimal is
-        # fine; invalid is not) and only recompute when coverage breaks.
+        # whenever an admission shifts the per-layer max. Bounds change
+        # ONLY at admissions, so _admit marks the split stale and step()
+        # recomputes it once there — coverage stays sound by construction
+        # and a shrinking admission adopts a tighter view.
         self._tail_split = None
+        self._tail_split_stale = True
         self.compactions = 0  # introspection: times the scratch region recycled
 
     # -- request lifecycle --------------------------------------------------
@@ -366,6 +368,12 @@ class ServingLoop:
         self.eos_ids[slot] = -1 if request.eos_token_id is None else request.eos_token_id
         self.pos_bases[slot] = result.decode_pos_base
         self._admit_lens[slot] = [c[2] for c in result.layer_caches]
+        # Admission is the ONLY event that changes the per-layer bounds, so
+        # the held tail split is recomputed exactly here (next step()): a
+        # growing admission keeps coverage sound, a shrinking one adopts a
+        # tighter view. Recompile cadence is unchanged — the split program
+        # still only changes at admissions.
+        self._tail_split_stale = True
         self._slot_req[slot] = rid
         self._slot_mode[slot] = result.mode
         self._admitted_at[slot] = self._chunk_idx
@@ -412,16 +420,14 @@ class ServingLoop:
             )
             self.cursor = jnp.int32(self.region_start)
             self.compactions += 1
-        bounds = [[n + self.max_new_cap for n in lens] for lens in self._admit_lens]
-        split = self._tail_split
-        if split is not None:
-            p, tail_s, _ = split
-            if max(max(seq[l] for seq in bounds) for l in range(p, len(bounds[0]))) > tail_s:
-                split = None  # coverage broke — a new admission outgrew the held view
-        if split is None:
-            split = best_tail_split_batch(
+        if self._tail_split_stale:
+            bounds = [
+                [n + self.max_new_cap for n in lens] for lens in self._admit_lens
+            ]
+            self._tail_split = best_tail_split_batch(
                 bounds, self.s_pool, self.region_start, self.engine.ff.bucket)
-        self._tail_split = split
+            self._tail_split_stale = False
+        split = self._tail_split
         (self.out, self.last_tok, emitted, active, self.hist, self.hist_len,
          self.k_pool, self.v_pool, self.dmask, self.cursor) = _serve_chunk(
             self.engine.params, self.k_pool, self.v_pool, self.cache_lens,

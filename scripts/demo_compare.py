@@ -1,19 +1,25 @@
-"""Two-replica A/B web demo: dense vs FrameFusion side by side.
+"""Two-replica A/B web demo: dense vs FrameFusion side by side, with
+STREAMED partial generations.
 
 Counterpart of /root/reference/script/demo/llava_video_compare.py (Gradio,
-two GPU replicas, threaded generation, latency bars). This image has no
-gradio, so the demo is a stdlib HTTP server: one page, POST /run generates
-with both replicas (ThreadPoolExecutor, like the reference :309-331) and
-returns outputs + latency bars + compression telemetry. On a TPU slice the
-two replicas would pin to two device subsets of one mesh; on this single-chip
-runner they share the chip and run sequentially inside the executor.
+two GPU replicas, threaded generation with streamed partial results
+:309-331, latency bars :486-507). This image has no gradio, so the demo is a
+stdlib HTTP server: the page opens an EventSource on GET /stream, the server
+generates with both replicas concurrently (ThreadPoolExecutor, like the
+reference) and pushes one SSE event per decode chunk per replica
+(``engine.generate_stream`` — cumulative tokens so far), then a final event
+with latencies + compression telemetry. On a TPU slice the two replicas
+would pin to two device subsets of one mesh; on this single-chip runner they
+share the chip inside the executor.
 
 Usage: python scripts/demo_compare.py [--port 7860] then open the page,
-or --selftest for the reference's startup sanity check (:522-549).
+or --selftest for the reference's startup sanity check (:522-549) — it
+additionally asserts each replica streamed >=2 progressive updates.
 """
 
 import argparse
 import json
+import queue
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -36,18 +42,26 @@ pre{white-space:pre-wrap}</style></head><body>
 <p id="lat_b"></p><pre id="out_b"></pre></div></div>
 <h3>Compression telemetry</h3><pre id="tel"></pre>
 <script>
-async function run(){
+function run(){
   document.getElementById('status').textContent=' running...';
-  const r = await fetch('/run',{method:'POST'}); const d = await r.json();
-  const mx = Math.max(d.dense_ms, d.ff_ms);
-  document.getElementById('bar_a').style.width = (90*d.dense_ms/mx)+'%';
-  document.getElementById('bar_b').style.width = (90*d.ff_ms/mx)+'%';
-  document.getElementById('lat_a').textContent = d.dense_ms.toFixed(1)+' ms prefill';
-  document.getElementById('lat_b').textContent = d.ff_ms.toFixed(1)+' ms prefill ('+d.speedup.toFixed(2)+'x)';
-  document.getElementById('out_a').textContent = 'tokens: '+d.dense_tokens;
-  document.getElementById('out_b').textContent = 'tokens: '+d.ff_tokens;
-  document.getElementById('tel').textContent = JSON.stringify(d.telemetry, null, 2);
-  document.getElementById('status').textContent=' done';
+  const es = new EventSource('/stream');
+  es.onmessage = (m)=>{
+    const d = JSON.parse(m.data);
+    if (d.kind === 'partial'){
+      const id = d.replica === 'dense' ? 'out_a' : 'out_b';
+      document.getElementById(id).textContent = 'tokens: '+d.tokens.join(' ');
+    } else if (d.kind === 'final'){
+      const mx = Math.max(d.dense_ms, d.ff_ms);
+      document.getElementById('bar_a').style.width = (90*d.dense_ms/mx)+'%';
+      document.getElementById('bar_b').style.width = (90*d.ff_ms/mx)+'%';
+      document.getElementById('lat_a').textContent = d.dense_ms.toFixed(1)+' ms prefill';
+      document.getElementById('lat_b').textContent = d.ff_ms.toFixed(1)+' ms prefill ('+d.speedup.toFixed(2)+'x)';
+      document.getElementById('tel').textContent = JSON.stringify(d.telemetry, null, 2);
+      document.getElementById('status').textContent=' done';
+      es.close();
+    }
+  };
+  es.onerror = ()=>{ es.close(); document.getElementById('status').textContent=' error'; };
 }
 </script></body></html>"""
 
@@ -84,23 +98,55 @@ class DemoState:
         self.ff = ff
         self.lock = threading.Lock()
 
-    def run_ab(self, max_new_tokens=12):
-        def gen(model):
-            t, res = DeviceTimer.timeit(lambda: model.prefill(self.inputs), lambda r: r.logits, reps=1)
-            toks = model.engine().generate_greedy(res, max_new_tokens)
+    def run_ab_stream(self, emit, max_new_tokens=12, chunk=3):
+        """Generate with both replicas concurrently, pushing one
+        ``emit(event_dict)`` per decode chunk per replica (kind="partial",
+        cumulative tokens) and a closing kind="final" event with latencies +
+        telemetry — the reference's streamed ThreadPoolExecutor A/B
+        (llava_video_compare.py:309-331) as a transport-agnostic callback."""
+
+        def gen(name, model):
+            t, res = DeviceTimer.timeit(
+                lambda: model.prefill(self.inputs), lambda r: r.logits, reps=1)
+            toks = []
+            for toks in model.engine().generate_stream(res, max_new_tokens, chunk=chunk):
+                emit({"kind": "partial", "replica": name, "tokens": toks})
             return t * 1e3, toks, res
 
         with self.lock:
             with ThreadPoolExecutor(max_workers=2) as ex:
-                fa = ex.submit(gen, self.dense)
-                fb = ex.submit(gen, self.ff)
+                fa = ex.submit(gen, "dense", self.dense)
+                fb = ex.submit(gen, "ff", self.ff)
                 dense_ms, dense_toks, _ = fa.result()
                 ff_ms, ff_toks, ff_res = fb.result()
-        return {
+        final = {
+            "kind": "final",
             "dense_ms": dense_ms, "ff_ms": ff_ms, "speedup": dense_ms / ff_ms,
             "dense_tokens": dense_toks, "ff_tokens": ff_toks,
             "telemetry": ff_res.telemetry.summary(),
         }
+        emit(final)
+        return final
+
+
+def selftest(state):
+    """Reference test_sanity twin (+ the streaming contract): both replicas
+    must push >=2 progressive partial updates before the final event."""
+    events = []
+    out = state.run_ab_stream(events.append, max_new_tokens=9, chunk=3)
+    partials = {"dense": [], "ff": []}
+    for e in events[:-1]:
+        assert e["kind"] == "partial", e
+        partials[e["replica"]].append(e["tokens"])
+    assert events[-1]["kind"] == "final"
+    for name, seen in partials.items():
+        assert len(seen) >= 2, f"{name} streamed {len(seen)} updates (<2)"
+        for a, b in zip(seen, seen[1:]):
+            assert b[: len(a)] == a, f"{name} partials not cumulative"
+        assert seen[-1] == out[f"{name}_tokens"]
+    print(json.dumps({k: v for k, v in out.items() if k != "telemetry"}))
+    print("sanity ok: speedup", round(out["speedup"], 2),
+          "| stream updates:", {k: len(v) for k, v in partials.items()})
 
 
 def main():
@@ -112,25 +158,35 @@ def main():
 
     state = DemoState(args.num_frames)
     if args.selftest:
-        out = state.run_ab(max_new_tokens=6)
-        print(json.dumps({k: v for k, v in out.items() if k != "telemetry"}))
-        print("sanity ok: speedup", round(out["speedup"], 2))
+        selftest(state)
         return
 
     class Handler(BaseHTTPRequestHandler):
         def do_GET(self):
+            if self.path != "/stream":
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html")
+                self.end_headers()
+                self.wfile.write(PAGE.encode())
+                return
+            # SSE: one event per decode chunk per replica, then the final.
             self.send_response(200)
-            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
             self.end_headers()
-            self.wfile.write(PAGE.encode())
-
-        def do_POST(self):
-            out = state.run_ab()
-            body = json.dumps(out).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.end_headers()
-            self.wfile.write(body)
+            q: "queue.Queue" = queue.Queue()
+            worker = threading.Thread(
+                target=lambda: (state.run_ab_stream(q.put), q.put(None)), daemon=True)
+            worker.start()
+            while True:
+                ev = q.get()
+                if ev is None:
+                    break
+                try:
+                    self.wfile.write(f"data: {json.dumps(ev)}\n\n".encode())
+                    self.wfile.flush()
+                except BrokenPipeError:
+                    break  # client went away; the worker drains harmlessly
 
         def log_message(self, *a):
             pass

@@ -156,7 +156,14 @@ def main():
         if a != b:
             break
         prefix += 1
-    min_prefix = min(int(os.environ.get("FF_SERVE_PARITY_MIN_PREFIX", "4")), len(solo))
+    # On TPU, bf16 reduction reassociation between the batched chunk program
+    # and the solo loop can flip argmax near-ties on random-init weights at
+    # ANY position (see the comment above), so the default gate there is
+    # token 0 only; exact-layout parity is pinned on CPU (tests/test_serving).
+    default_prefix = "1" if jax.default_backend() == "tpu" else "4"
+    min_prefix = min(
+        int(os.environ.get("FF_SERVE_PARITY_MIN_PREFIX", default_prefix)), len(solo)
+    )
     assert prefix >= min_prefix, (
         f"serving diverged from solo greedy at token {prefix} "
         f"(< {min_prefix}): {got[:8]} vs {solo[:8]}")

@@ -664,6 +664,29 @@ class TestBatchedDecode:
         assert cut == full[: full.index(eos) + 1]
 
 
+class TestStreamingDecode:
+    """generate_stream: chunked partial-result decode (the SSE surface;
+    reference demo streams partials, llava_video_compare.py:309-331) must
+    emit exactly the plain greedy tokens, cumulatively."""
+
+    def test_stream_matches_greedy(self, setup):
+        engine, res, _ = run_both(setup, 0, 0.8)
+        want = engine.generate_greedy(res, 11)
+        chunks = list(engine.generate_stream(res, 11, chunk=4))
+        assert chunks[-1] == want
+        assert len(chunks) == 4  # tok0, +4, +4, +2
+        for a, b in zip(chunks, chunks[1:]):
+            assert b[: len(a)] == a  # strictly growing prefixes
+
+    def test_stream_eos_truncates_mid_chunk(self, setup):
+        engine, res, _ = run_both(setup, 1, 0.5)
+        full = engine.generate_greedy(res, 10)
+        eos = full[3]
+        chunks = list(engine.generate_stream(res, 10, chunk=4, eos_token_id=eos))
+        assert chunks[-1] == full[: full.index(eos) + 1]
+        assert all(eos not in c for c in chunks[:-1])
+
+
 class TestPlanHistory:
     """Planned-mode bucket selection without caller-provided buckets:
     analytic bound on a never-seen geometry, then survivor-count history
@@ -716,16 +739,17 @@ class TestPlanHistory:
 
     def test_auto_mode_cold_then_history(self, setup):
         """mode="auto" serving policy: a never-seen geometry rides the
-        adaptive fused executor (and seeds history); the same-geometry repeat
-        rides the sync-free planned path with history buckets. Decisions are
-        identical either way."""
+        measured cold-start planner (similarity pre-pass, one scalar sync,
+        exact pre-plan bucket — and it seeds history); the same-geometry
+        repeat rides the sync-free planned path with history buckets.
+        Decisions are identical either way."""
         cfg, params, ff = setup
         engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
         h, pt, pos, img_start, n_img = build_inputs(seed=3, coherent=0.6)
 
         cold = engine.prefill(h, pt, pos, 6, img_start, n_img, mode="auto")
-        assert cold.plan_source == "cold"
-        assert cold.mode != "planned"
+        assert cold.plan_source == "measured"
+        assert cold.mode == "planned"  # the measured buckets sufficed
 
         warm = engine.prefill(h, pt, pos, 6, img_start, n_img, mode="auto")
         assert warm.plan_source == "history"
@@ -736,6 +760,88 @@ class TestPlanHistory:
         assert warm.valid_len == cold.valid_len
         np.testing.assert_allclose(np.asarray(warm.logits), np.asarray(cold.logits),
                                    rtol=2e-3, atol=2e-3)
+
+    def test_cold_measured_matches_fused_decisions(self, setup):
+        """VERDICT r3 item 1: the cold measured planner makes the SAME
+        merge/prune decisions as the adaptive fused executor (the pre-pass
+        only sizes shape buckets), its pre-plan bucket is exact, and its
+        final bucket covers the true survivor count."""
+        from framefusion_tpu.core import bucket_length
+        from framefusion_tpu.runtime.engine import plan_length_measured
+
+        cfg, params, ff = setup
+        for seed, coherent in [(3, 0.6), (0, 0.8), (7, 0.3), (11, 0.95)]:
+            h, pt, pos, img_start, n_img = build_inputs(seed=seed, coherent=coherent)
+            engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+            cold = engine.prefill(h, pt, pos, 6, img_start, n_img, mode="measured")
+            assert cold.plan_source == "measured"
+            fused = CompressionEngine(params, cfg, ff, attn_impl="einsum").prefill(
+                h, pt, pos, 6, img_start, n_img, mode="fused")
+            got = [(e.layer, e.kind, e.tokens_removed) for e in cold.telemetry.events]
+            want = [(e.layer, e.kind, e.tokens_removed) for e in fused.telemetry.events]
+            assert got == want, (seed, coherent)
+            assert cold.valid_len == fused.valid_len
+            np.testing.assert_allclose(np.asarray(cold.logits), np.asarray(fused.logits),
+                                       rtol=2e-3, atol=2e-3)
+            # bucket properties, reconstructed from the fused run's events
+            ev0 = fused.telemetry.events[0]
+            assert ev0.layer == -1
+            count = ev0.tokens_removed
+            if ev0.kind == "merge":  # count == tokens_removed only when uncapped
+                pre_plan, plan = plan_length_measured(len(pt), n_img, count, ff)
+                assert pre_plan == bucket_length(ev0.tokens_after, ff.bucket)
+                assert plan >= bucket_length(fused.valid_len, ff.bucket)
+
+    def test_measured_plan_bound_brute_force(self):
+        """plan_length_measured's survivor bound dominates EVERY reachable
+        schedule trajectory: drive SegmentedEventState (the decision twin)
+        with randomized above-threshold counts and check the final live
+        count never exceeds the measured plan."""
+        from framefusion_tpu.core import bucket_length
+        from framefusion_tpu.core.schedule import CostInfeasibleError
+        from framefusion_tpu.runtime.engine import (
+            SegmentedEventState, plan_length_measured)
+
+        rng = np.random.default_rng(0)
+        checked = 0
+        for trial in range(400):
+            ff = FrameFusionConfig(
+                cost=float(rng.uniform(0.1, 0.8)),
+                similarity_lower_bound=0.6,
+                ratio_lower_bound=float(rng.uniform(0.01, 0.2)),
+            )  # default 28-layer schedule
+            frame_tok = int(rng.integers(100, 12000))
+            orig = frame_tok + int(rng.integers(2, 200))
+            st = SegmentedEventState(ff)
+            valid, img = orig, frame_tok
+            count1 = int(rng.integers(0, img + 1))
+            try:
+                k, kind, _, _ = st.merge_decision(count1, img)
+                valid -= k
+                img -= k
+                pre_plan, plan = plan_length_measured(orig, frame_tok, count1, ff)
+                if kind != "merge_capped":
+                    assert orig - count1 <= pre_plan
+                n_events = 1
+                while not st.done and n_events < ff.schedule_num_layers:
+                    if st.finish_merging:
+                        _, _, _, removed = st.prune_decision(frame_tok, orig, valid)
+                        valid -= removed
+                        break
+                    count = int(rng.integers(0, img + 1))
+                    k, _, _, _ = st.merge_decision(count, img)
+                    valid -= k
+                    img -= k
+                    n_events += 1
+            except CostInfeasibleError:
+                continue  # the real prefill raises too; the plan is moot
+            assert valid <= plan, (
+                trial, ff.cost, ff.ratio_lower_bound, orig, frame_tok, count1, valid, plan)
+            # the exact-capped case pins BOTH buckets
+            if kind == "merge_capped":
+                assert plan == pre_plan == bucket_length(valid, ff.bucket)
+            checked += 1
+        assert checked > 200  # the fuzz actually exercised complete trajectories
 
     def test_auto_mode_text_only_prompt(self, setup):
         """auto on a promptless-geometry (all-text) input must not key
