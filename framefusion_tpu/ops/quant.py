@@ -68,6 +68,23 @@ def dequantize_weight(wq: dict, dtype=jnp.float32) -> jnp.ndarray:
     return (wq["q8"].astype(jnp.float32) * wq["scale"][..., None, :]).astype(dtype)
 
 
+def quantize_weight_host(w) -> dict:
+    """Host (numpy) twin of :func:`quantize_weight` for quantize-on-load.
+
+    Quantizing DURING checkpoint import means the device never materializes
+    the bf16 originals at all — peak HBM for a 7B load drops from ~13.4 GB
+    (bf16 params, barely fitting 16 GB next to activations) to ~7 GB. Same
+    math as the device path (fp32 max/127 per output channel, round-half-even,
+    clip to ±127), so an int8-on-load model equals quantize_params_int8 on a
+    bf16-loaded one. Returns numpy {"q8", "scale"}; the caller uploads."""
+    import numpy as np
+
+    w32 = np.asarray(w, dtype=np.float32)
+    scale = np.maximum(np.max(np.abs(w32), axis=-2, keepdims=True) / 127.0, 1e-12)
+    q8 = np.clip(np.rint(w32 / scale), -127, 127).astype(np.int8)
+    return {"q8": q8, "scale": scale.squeeze(-2).astype(np.float32)}
+
+
 def quantize_params_int8(params: dict, quantize_lm_head: bool = False) -> dict:
     """Quantize the decoder matmul weights of a qwen2-layout param pytree.
 

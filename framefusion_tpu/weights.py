@@ -65,7 +65,24 @@ def to_numpy(t) -> np.ndarray:
     return np.asarray(t)
 
 
-def params_from_state_dict(state_dict, cfg: LLMConfig, prefix: str = "model.") -> dict:
+def _stack_layer_weight(name: str, arr_np, cfg: LLMConfig, quantize: str | None):
+    """Upload one stacked layer weight, optionally int8-quantized ON HOST.
+
+    With ``quantize="int8"`` the decoder matmul weights never touch the
+    device in bf16 — the host computes per-output-channel scales (exact twin
+    of ops/quant.quantize_weight) and uploads {"q8" int8, "scale" f32},
+    dropping a 7B load's peak HBM from ~13.4 GB to ~7 GB (the margin that
+    lets bf16-activations + KV fit beside the weights on a 16 GB chip)."""
+    from .ops.quant import QUANTIZED_LAYER_WEIGHTS, quantize_weight_host
+
+    if quantize == "int8" and name in QUANTIZED_LAYER_WEIGHTS:
+        q = quantize_weight_host(arr_np)
+        return {"q8": jnp.asarray(q["q8"]), "scale": jnp.asarray(q["scale"])}
+    return jnp.asarray(arr_np, dtype=cfg.dtype)
+
+
+def params_from_state_dict(state_dict, cfg: LLMConfig, prefix: str = "model.",
+                           quantize: str | None = None) -> dict:
     """Build the stacked-parameter pytree from an HF Qwen2-style state dict.
 
     Args:
@@ -73,6 +90,8 @@ def params_from_state_dict(state_dict, cfg: LLMConfig, prefix: str = "model.") -
         prefix: path of the language model inside the checkpoint, e.g.
             ``"model."`` (Qwen2ForCausalLM), ``"language_model.model."``
             (InternVL), ``"llm.model."`` (MiniCPM-V / NVILA).
+        quantize: ``"int8"`` quantizes decoder matmul weights on the host
+            during import (see ``_stack_layer_weight``).
     """
     sd = {k: v for k, v in state_dict.items()}
     layer_re = re.compile(re.escape(prefix) + r"layers\.(\d+)\.(.+)")
@@ -104,20 +123,21 @@ def params_from_state_dict(state_dict, cfg: LLMConfig, prefix: str = "model.") -
     layers = {}
     for ours, by_idx in per_layer.items():
         assert len(by_idx) == cfg.num_layers, f"{ours}: got {len(by_idx)} layers, want {cfg.num_layers}"
-        layers[ours] = jnp.asarray(
-            np.stack([by_idx[i] for i in range(cfg.num_layers)]), dtype=cfg.dtype
+        layers[ours] = _stack_layer_weight(
+            ours, np.stack([by_idx[i] for i in range(cfg.num_layers)]), cfg, quantize
         )
     for ours, by_le in per_expert.items():
         assert len(by_le) == cfg.num_layers * cfg.num_experts, (
             f"{ours}: got {len(by_le)} expert tensors, want "
             f"{cfg.num_layers}x{cfg.num_experts}"
         )
-        layers[ours] = jnp.asarray(
+        layers[ours] = _stack_layer_weight(
+            ours,
             np.stack([
                 np.stack([by_le[(l, e)] for e in range(cfg.num_experts)])
                 for l in range(cfg.num_layers)
             ]),
-            dtype=cfg.dtype,
+            cfg, quantize,
         )
 
     params = {
@@ -134,7 +154,8 @@ def params_from_state_dict(state_dict, cfg: LLMConfig, prefix: str = "model.") -
     return params
 
 
-def params_from_state_dict_internlm2(state_dict, cfg: LLMConfig, prefix: str = "language_model.model.") -> dict:
+def params_from_state_dict_internlm2(state_dict, cfg: LLMConfig, prefix: str = "language_model.model.",
+                                     quantize: str | None = None) -> dict:
     """InternLM2 (InternVL2.5 backbone) checkpoint -> pytree.
 
     InternLM2 stores attention as one fused ``wqkv`` with per-KV-group
@@ -169,10 +190,11 @@ def params_from_state_dict_internlm2(state_dict, cfg: LLMConfig, prefix: str = "
             arr = to_numpy(sd[f"{prefix}layers.{i}.{name}"])
             rest.setdefault(ours, []).append(arr.T if transpose else arr)
 
-    layers = {ours: jnp.asarray(np.stack(v), dtype=cfg.dtype) for ours, v in rest.items()}
-    layers["wq"] = jnp.asarray(np.stack(wq), dtype=cfg.dtype)
-    layers["wk"] = jnp.asarray(np.stack(wk), dtype=cfg.dtype)
-    layers["wv"] = jnp.asarray(np.stack(wv), dtype=cfg.dtype)
+    layers = {ours: _stack_layer_weight(ours, np.stack(v), cfg, quantize)
+              for ours, v in rest.items()}
+    layers["wq"] = _stack_layer_weight("wq", np.stack(wq), cfg, quantize)
+    layers["wk"] = _stack_layer_weight("wk", np.stack(wk), cfg, quantize)
+    layers["wv"] = _stack_layer_weight("wv", np.stack(wv), cfg, quantize)
 
     params = {
         "embed": jnp.asarray(to_numpy(sd[prefix + "tok_embeddings.weight"]), dtype=cfg.dtype),
@@ -207,9 +229,11 @@ def load_state(checkpoint_dir: str) -> dict:
     return state
 
 
-def load_safetensors(checkpoint_dir: str, cfg: LLMConfig, prefix: str = "model.") -> dict:
+def load_safetensors(checkpoint_dir: str, cfg: LLMConfig, prefix: str = "model.",
+                     quantize: str | None = None) -> dict:
     """Load a (possibly sharded) safetensors checkpoint directory."""
-    return params_from_state_dict(load_state(checkpoint_dir), cfg, prefix=prefix)
+    return params_from_state_dict(load_state(checkpoint_dir), cfg, prefix=prefix,
+                                  quantize=quantize)
 
 
 # Architecture string (config.json ``architectures[0]``) -> family name, as
@@ -420,7 +444,8 @@ def _load_vision(family: str, state: dict, cfg_dict: dict, llm_cfg: LLMConfig):
     return None
 
 
-def load_checkpoint(checkpoint_dir: str, family: str | None = None, dtype=jnp.bfloat16):
+def load_checkpoint(checkpoint_dir: str, family: str | None = None, dtype=jnp.bfloat16,
+                    quantize: str | None = None):
     """Full checkpoint loader: config.json-driven geometry + family dispatch.
 
     The reference's equivalent surface is HF's ``from_pretrained`` inside
@@ -428,6 +453,12 @@ def load_checkpoint(checkpoint_dir: str, family: str | None = None, dtype=jnp.bf
     hub file layout (config.json + sharded safetensors) and returns a ready
     ``FrameFusionModel`` (with the vision tower attached when the checkpoint
     carries one).
+
+    ``quantize="int8"``: decoder matmul weights are quantized on the host
+    DURING import (per-output-channel symmetric, ops/quant semantics) so the
+    device never holds the bf16 originals — required to fit a real 7B
+    checkpoint beside long-video activations on one 16 GB chip. Vision
+    towers, embeddings, norms and lm_head keep ``dtype``.
     """
     from .interface import FAMILIES, FrameFusionModel
 
@@ -442,8 +473,10 @@ def load_checkpoint(checkpoint_dir: str, family: str | None = None, dtype=jnp.bf
 
     state = load_state(checkpoint_dir)
     if family == "internvl":
-        params = params_from_state_dict_internlm2(state, llm_cfg, prefix=spec.llm_prefix)
+        params = params_from_state_dict_internlm2(state, llm_cfg, prefix=spec.llm_prefix,
+                                                  quantize=quantize)
     else:
-        params = params_from_state_dict(state, llm_cfg, prefix=spec.llm_prefix)
+        params = params_from_state_dict(state, llm_cfg, prefix=spec.llm_prefix,
+                                        quantize=quantize)
     vision = _load_vision(family, state, cfg_dict, llm_cfg)
     return FrameFusionModel(family=family, cfg=llm_cfg, params=params, vision=vision)

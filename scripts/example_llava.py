@@ -28,6 +28,10 @@ def main():
     p.add_argument("--ratio-lower-bound", type=float, default=0.1)
     p.add_argument("--max-new-tokens", type=int, default=16)
     p.add_argument("--full-size", action="store_true", help="Qwen2-7B geometry with random weights")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 weight-only decoder (quantize-on-load for --checkpoint: "
+                        "a real 7B bf16 checkpoint is ~13.4 GB and must never fully "
+                        "materialize on a 16 GB chip)")
     args = p.parse_args()
 
     import jax
@@ -49,12 +53,17 @@ def main():
         # tower and mm_projector from the same hub-layout directory.
         from framefusion_tpu.weights import load_checkpoint
 
-        loaded = load_checkpoint(args.checkpoint, family="llava_video")
+        loaded = load_checkpoint(args.checkpoint, family="llava_video",
+                                 quantize="int8" if args.int8 else None)
         cfg, params = loaded.cfg, loaded.params
         vit_cfg = loaded.vision["cfg"] if loaded.vision else siglip.ViTConfig()
     elif args.full_size:
         cfg = qwen2_7b_config(vocab_size=32768)
         params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+        if args.int8:
+            from framefusion_tpu.ops.quant import quantize_params_int8
+
+            params = quantize_params_int8(params)
         vit_cfg = siglip.ViTConfig(num_layers=4)  # random tower; keep encode fast
     else:
         cfg = tiny_llm_config(num_layers=8, hidden_size=256, intermediate_size=512, num_heads=8)

@@ -245,6 +245,59 @@ def test_example_script_checkpoint_path(fixture_dirs, script, fam, extra):
     assert "speedup" in out.stdout, out.stdout
 
 
+def test_int8_on_load_matches_device_quantization(fixture_dirs):
+    """VERDICT r3 item 7: ``load_checkpoint(quantize="int8")`` quantizes on
+    the host during import (the device never holds the bf16 originals —
+    the only way a real 7B fits a 16 GB chip beside activations). The result
+    must equal quantizing a bf16-loaded model with ops/quant on device, and
+    still generate."""
+    from framefusion_tpu.ops.quant import QUANTIZED_LAYER_WEIGHTS, quantize_params_int8
+
+    ref = load_checkpoint(fixture_dirs["llava_video"], dtype=jnp.float32)
+    ref_params = quantize_params_int8(ref.params)
+
+    model = load_checkpoint(fixture_dirs["llava_video"], dtype=jnp.float32, quantize="int8")
+    for name in QUANTIZED_LAYER_WEIGHTS:
+        got = model.params["layers"].get(name)
+        want = ref_params["layers"].get(name)
+        if want is None:
+            assert got is None or not isinstance(got, dict)
+            continue
+        assert isinstance(got, dict), name
+        # XLA compiles /127.0 as a reciprocal multiply -> one-ulp scale drift
+        np.testing.assert_allclose(np.asarray(got["scale"]), np.asarray(want["scale"]),
+                                   rtol=1e-6, err_msg=name)
+        # round-half boundaries may land one ulp apart between XLA and numpy
+        # division; anything beyond +/-1 code is a real bug
+        dq = np.abs(np.asarray(got["q8"], np.int32) - np.asarray(want["q8"], np.int32))
+        assert dq.max() <= 1 and (dq != 0).mean() < 1e-3, (name, dq.max(), (dq != 0).mean())
+    # non-quantized entries keep the requested dtype
+    assert model.params["embed"].dtype == jnp.float32
+
+    ff_model = apply_framefusion(model, cost=0.6, similarity_lower_bound=0.9,
+                                 ratio_lower_bound=0.05)
+    ff_model.ff = ff_model.ff.replace(schedule_num_layers=model.cfg.num_layers)
+    tokens, res = ff_model.generate(_build_inputs(ff_model, "llava_video"), max_new_tokens=3)
+    assert len(tokens) == 3 and np.isfinite(np.asarray(res.logits)).all()
+
+
+def test_example_llava_int8_checkpoint_path(fixture_dirs):
+    """example_llava --checkpoint --int8 drives quantize-on-load end to end."""
+    import os
+    import subprocess
+    import sys
+
+    scripts_dir = os.path.join(os.path.dirname(__file__), "..", "scripts")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+    out = subprocess.run(
+        [sys.executable, "example_llava.py", "--checkpoint", fixture_dirs["llava_video"],
+         "--int8", "--num-frames", "4", "--max-new-tokens", "2", "--cost", "0.8"],
+        cwd=scripts_dir, env=env, capture_output=True, text=True, timeout=420,
+    )
+    assert out.returncode == 0, f"--int8 failed:\n{out.stdout}\n{out.stderr}"
+    assert "speedup" in out.stdout, out.stdout
+
+
 def test_config_detection_errors():
     with pytest.raises(NotImplementedError, match="Model not supported"):
         llm_config_from_hf({"architectures": ["GPT2LMHeadModel"]})
