@@ -46,6 +46,15 @@ def main():
                     help="draft_len=4 prompt-lookup speculation per slot")
     ap.add_argument("--int8", action="store_true", help="weight-only int8 decode")
     ap.add_argument("--tiny", action="store_true", help="tiny config (CPU smoke test)")
+    ap.add_argument("--fixed-budget", action="store_true",
+                    help="every request decodes exactly --new-tokens (default: "
+                         "uniform random in [new_tokens/2, new_tokens])")
+    ap.add_argument("--sequential-baseline", action="store_true",
+                    help="also serve the same requests through a 1-slot loop "
+                         "(the reference's bsz==1 contract, main.py:203) and "
+                         "report the continuous-batching speedup")
+    ap.add_argument("--json", type=str, default=None,
+                    help="write the measured numbers to this JSON file")
     args = ap.parse_args()
 
     on_tpu = jax.default_backend() == "tpu"
@@ -75,7 +84,8 @@ def main():
         inp = PrefillInputs(input_embeds=h, patch_type=pt, position_ids=pos,
                             patch_num=patch_num, image_token_start=img_start,
                             image_token_length=n_img)
-        budget = int(rng.integers(args.new_tokens // 2, args.new_tokens + 1))
+        budget = (args.new_tokens if args.fixed_budget
+                  else int(rng.integers(args.new_tokens // 2, args.new_tokens + 1)))
         reqs.append(ServeRequest(inp, max_new_tokens=budget))
 
     draft = 4 if args.speculative else 0
@@ -105,6 +115,42 @@ def main():
     mid = len(ids) // 2
     print(f"  latency: queue p50 {qs[mid]*1e3:.0f} ms / max {qs[-1]*1e3:.0f} ms; "
           f"serve p50 {ss[mid]*1e3:.0f} ms / max {ss[-1]*1e3:.0f} ms")
+    record = {
+        "requests": args.requests, "slots": args.slots, "chunk_steps": args.chunk,
+        "frames": frames, "prompt_tokens": int(len(reqs[0].inputs.patch_type)),
+        "backend": jax.default_backend(), "int8": bool(args.int8),
+        "total_tokens": total_toks, "wall_ms": round(dt * 1e3, 1),
+        "serving_tokens_per_s": round(total_toks / dt, 1),
+        "queue_ms_p50": round(qs[mid] * 1e3, 1), "queue_ms_max": round(qs[-1] * 1e3, 1),
+        "serve_ms_p50": round(ss[mid] * 1e3, 1), "serve_ms_max": round(ss[-1] * 1e3, 1),
+        "chunks": loop._chunk_idx, "compactions": loop.compactions,
+    }
+
+    if args.sequential_baseline:
+        # The reference serves one request at a time end to end (bsz==1,
+        # main.py:203). Same requests, same machinery, max_slots=1 — the
+        # honest baseline for what the batched slots buy. Warm its (1-slot)
+        # chunk program first so the A/B compares steady-state loops.
+        warm1 = ServingLoop(engine, max_slots=1, max_new_cap=args.new_tokens,
+                            chunk_steps=args.chunk, draft_len=0, prefix_cap=prefix_cap)
+        warm1.submit(ServeRequest(reqs[0].inputs, max_new_tokens=4))
+        warm1.run()
+        bloop = ServingLoop(engine, max_slots=1, max_new_cap=args.new_tokens,
+                            chunk_steps=args.chunk, draft_len=0, prefix_cap=prefix_cap)
+        bids = [bloop.submit(ServeRequest(r.inputs, max_new_tokens=r.max_new_tokens))
+                for r in reqs]
+        t0 = time.perf_counter()
+        bresults = bloop.run()
+        b1_dt = time.perf_counter() - t0
+        b1_toks = sum(len(bresults[i].tokens) for i in bids)
+        print(f"  sequential 1-slot baseline: {b1_dt*1e3:.0f} ms — {b1_toks} tokens, "
+              f"{b1_toks/b1_dt:.1f} tok/s; continuous-batching speedup "
+              f"{b1_dt/dt:.2f}x")
+        record.update({
+            "sequential_wall_ms": round(b1_dt * 1e3, 1),
+            "sequential_tokens_per_s": round(b1_toks / b1_dt, 1),
+            "batching_speedup": round(b1_dt / dt, 3),
+        })
     if args.speculative:
         # Oracle-seeded pass: re-serve the same requests with each one's own
         # plain output as its lookup history, so drafts hit — the measured
@@ -127,6 +173,11 @@ def main():
         print(f"  oracle-seeded speculative: {ds*1e3:.0f} ms — {stoks} tokens, "
               f"{stoks/ds:.1f} tok/s, {sloop._chunk_idx} chunks; "
               f"agreement {agree}/{total_toks} vs plain")
+        record.update({
+            "speculative_wall_ms": round(ds * 1e3, 1),
+            "speculative_tokens_per_s": round(stoks / ds, 1),
+            "speculative_agreement": f"{agree}/{total_toks}",
+        })
 
     for i in ids[: min(4, len(ids))]:
         r = results[i]
@@ -170,6 +221,14 @@ def main():
     agree = sum(a == b for a, b in zip(got, solo))
     print(f"parity: request 0 vs solo greedy — prefix {prefix}, "
           f"agreement {agree}/{len(solo)}")
+    record["parity_prefix"] = prefix
+
+    if args.json:
+        import json
+
+        with open(args.json, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {args.json}")
 
 
 if __name__ == "__main__":
