@@ -1,0 +1,53 @@
+"""Smoke tests for the measurement-artifact scripts (CPU-tiny).
+
+These drive the CLIs the round artifacts come from — example_serving.py
+(SERVING_rNN.json: continuous-batching throughput vs the reference's bsz==1
+serial contract, main.py:203) and accuracy_probe.py (ACCURACY_rNN.json: the
+trained-model compression-vs-accuracy sweep standing in for the reference's
+lmms-eval story, README.md:128-154)."""
+
+import json
+import os
+import subprocess
+import sys
+
+SCRIPTS = os.path.join(os.path.dirname(__file__), "..", "scripts")
+ENV = {**os.environ, "JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": ""}
+
+
+def run(args, timeout=600):
+    out = subprocess.run([sys.executable, *args], cwd=SCRIPTS, env=ENV,
+                         capture_output=True, text=True, timeout=timeout)
+    assert out.returncode == 0, f"{args} failed:\n{out.stdout}\n{out.stderr}"
+    return out.stdout
+
+
+def test_example_serving_artifact(tmp_path):
+    path = tmp_path / "serving.json"
+    out = run(["example_serving.py", "--tiny", "--requests", "3", "--slots", "2",
+               "--new-tokens", "8", "--fixed-budget", "--sequential-baseline",
+               "--json", str(path)])
+    assert "batching speedup" in out
+    rec = json.loads(path.read_text())
+    assert rec["requests"] == 3 and rec["total_tokens"] == 24
+    for key in ("serving_tokens_per_s", "sequential_tokens_per_s",
+                "batching_speedup", "queue_ms_p50", "serve_ms_p50",
+                "parity_prefix"):
+        assert key in rec, key
+    assert rec["parity_prefix"] >= 1
+
+
+def test_accuracy_probe_artifact(tmp_path):
+    path = tmp_path / "acc.json"
+    run(["accuracy_probe.py", "--steps", "60", "--batch", "16", "--eval", "8",
+         "--json", str(path)], timeout=900)
+    rec = json.loads(path.read_text())
+    assert rec["train_steps"] == 60 and rec["eval_instances"] == 8
+    assert 0.0 <= rec["dense_accuracy"] <= 1.0
+    assert len(rec["sweep"]) >= 3
+    # every feasible sweep point reports both the metric and the knob's effect
+    for pt in rec["sweep"]:
+        assert "infeasible" in pt or ("accuracy" in pt and "token_reduction" in pt)
+    # reductions grow with aggressiveness (schedule arithmetic, not the model)
+    reds = [pt["token_reduction"] for pt in rec["sweep"] if "token_reduction" in pt]
+    assert reds == sorted(reds)
