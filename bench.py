@@ -147,7 +147,7 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
 
     chain_k = [0]  # process-global rep counter: every chained input distinct
 
-    def timed(fn, reps=None, rounds=3, clean_out=False, max_chain=32):
+    def timed(fn, reps=None, rounds=3, clean_out=False, max_chain=32, x=None):
         """Per-run time as the SLOPE between two chain lengths.
 
         The relay's device->host read round-trip (L) is large, time-varying
@@ -170,11 +170,15 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
         stay live until executed, so cache-producing paths must cap it.
         ``reps`` is accepted for call-site compatibility and ignored.
         ``clean_out=True`` re-runs once on the unscaled input so returned
-        telemetry reflects the real prompt."""
+        telemetry reflects the real prompt. ``x`` overrides the chained input
+        (default: the resident prompt embeddings ``h``)."""
+        if x is None:
+            x = h
+
         def val(o):
             return o.logits if hasattr(o, "logits") else o
 
-        out = fn(h)
+        out = fn(x)
         force(val(out))  # warmup: compile + drain
         l_est = read_overhead()  # idle-queue read == the latency floor L
 
@@ -185,7 +189,7 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
             for _ in range(n):
                 chain_k[0] += 1
                 scale = jnp.float32(1.0 + (chain_k[0] % 97 + 1) * 2.0**-7)
-                out = fn(h * scale + eps)
+                out = fn(x * scale + eps)
                 eps = val(out).reshape(-1)[0].astype(jnp.float32) * jnp.float32(1e-30)
             force(val(out))
             return time.perf_counter() - t0
@@ -203,7 +207,7 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
         slopes.sort()
         t = slopes[len(slopes) // 2]
         if clean_out:
-            out = fn(h)
+            out = fn(x)
             force(val(out))
         return t, (out if clean_out else None)
 
@@ -409,6 +413,97 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                     max(ff_e2e * 1e3 - ff_best * 1e3, 0.0) / max(e2e_tokens - 1, 1), 1
                 ),
             })
+
+            # Vision-INCLUSIVE e2e (VERDICT r3 weak #4): pixels -> answer,
+            # dense vs FrameFusion, both sides paying the same in-repo
+            # SigLIP-so400m encode + LLaVA-Video projector + >=64 decode
+            # tokens — the apples-to-apples for the reference's 1.6-1.9x
+            # whole-``generate`` speedup (example_llava.py:129-167 includes
+            # ViT encode in the timed region). Must run BEFORE the int8
+            # section below: quantize_params_int8 consumes the bf16 params.
+            try:
+                from framefusion_tpu.models.vision import siglip
+                from framefusion_tpu.models.vision.llava_frontend import (
+                    encode_video, init_projector,
+                )
+
+                if backend == "cpu":
+                    vit_cfg = siglip.tiny_vit_config(image_size=56, patch_size=7,
+                                                     dtype=cfg.dtype)
+                    vis_new_tokens = 8
+                else:
+                    vit_cfg = siglip.ViTConfig(dtype=cfg.dtype)  # so400m geometry
+                    vis_new_tokens = 64
+                vit = siglip.init_params(vit_cfg, jax.random.PRNGKey(7))
+                proj = init_projector(jax.random.PRNGKey(8), vit_cfg.hidden_size,
+                                      cfg.hidden_size, cfg.dtype)
+                ps = vit_cfg.patches_per_side // 2  # 2x2 pooled side
+                vis_pn = ps * (ps + 1)  # +1 newline column per pooled row
+                n_vis = vis_pn * n_frames
+                vt_patch_type = np.full(35 + n_vis + 14, -1, np.int32)
+                vt_patch_type[35 : 35 + n_vis] = np.tile(np.arange(vis_pn), n_frames)
+                vt_pos = np.arange(len(vt_patch_type), dtype=np.int32)
+
+                # coherent synthetic pixels (adjacent frames mostly alike),
+                # resident on device — the reference also times generate on
+                # already-uploaded tensors
+                sz = vit_cfg.image_size
+                fr = rng.standard_normal((n_frames, sz, sz, 3)).astype(np.float32)
+                drift = rng.standard_normal(fr.shape).astype(np.float32)
+                for f in range(1, n_frames):
+                    fr[f] = fr[f - 1] * 0.98 + 0.2 * drift[f]
+                frames = jax.device_put(jnp.asarray(fr, cfg.dtype))
+                force(frames)
+                del fr, drift
+                text_pre = jax.device_put(jnp.asarray(
+                    rng.standard_normal((35, cfg.hidden_size)) * 0.05, cfg.dtype))
+                text_post = jax.device_put(jnp.asarray(
+                    rng.standard_normal((14, cfg.hidden_size)) * 0.05, cfg.dtype))
+
+                @jax.jit
+                def assemble(frs):
+                    toks = encode_video(vit, vit_cfg, proj, frs)
+                    # match the LLM-phase activation scale so compression
+                    # trajectories resemble the headline geometry
+                    toks = toks.astype(jnp.float32)
+                    toks = toks * (0.05 / (jnp.std(toks) + 1e-6))
+                    return jnp.concatenate(
+                        [text_pre, toks.astype(cfg.dtype), text_post])
+
+                def vis_dense(frs):
+                    r = engine.dense_prefill(assemble(frs), vt_pos)
+                    toks = engine.generate_device(r, max_new_tokens=vis_new_tokens)
+                    del r
+                    return toks
+
+                def vis_ff(frs):
+                    # measured cold path = the serving mode="auto" entry for a
+                    # never-seen geometry (exact first-merge pre-pass)
+                    r = engine.prefill_measured(
+                        assemble(frs), vt_patch_type, vt_pos, patch_num=vis_pn,
+                        image_token_start=35, image_token_length=n_vis)
+                    toks = engine.generate_device(r, max_new_tokens=vis_new_tokens)
+                    del r
+                    return toks
+
+                vis_dense_t, _ = timed(vis_dense, x=frames, max_chain=2)
+                gc.collect()
+                vis_ff_t, _ = timed(vis_ff, x=frames, max_chain=2)
+                gc.collect()
+                encode_t, _ = timed(lambda frs: assemble(frs), x=frames, max_chain=4)
+                detail.update({
+                    "e2e_with_vision_speedup": round(vis_dense_t / vis_ff_t, 3),
+                    "e2e_with_vision_dense_ms": round(vis_dense_t * 1e3, 1),
+                    "e2e_with_vision_framefusion_ms": round(vis_ff_t * 1e3, 1),
+                    "e2e_vision_new_tokens": vis_new_tokens,
+                    "e2e_vision_seq_len": int(len(vt_patch_type)),
+                    "vision_encode_ms": round(encode_t * 1e3, 1),
+                })
+                del vit, proj, frames, text_pre, text_post
+                gc.collect()
+            except Exception as e:  # noqa: BLE001 — vision e2e is best-effort
+                detail["e2e_vision_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+                gc.collect()
 
             # int8 weight-only serving decode (17.4 vs 24 ms/step measured,
             # DEVNOTES), guarded by greedy-token parity vs the bf16 run.
