@@ -289,8 +289,25 @@ def _prune_compact_program(
     return h_new, out["pos"], out["patch_type"]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl", "w8a8"))
-def _tail_program(params, start_layer, h, pos_tok, valid_len, *, cfg: LLMConfig, attn_impl: str, w8a8: bool = False):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "attn_impl", "w8a8", "with_pending_mlp"))
+def _tail_program(params, start_layer, h, pos_tok, valid_len,
+                  pending_mlp_layer=None, *, cfg: LLMConfig, attn_impl: str,
+                  w8a8: bool = False, with_pending_mlp: bool = False):
+    if with_pending_mlp:
+        # The phase deferred its compression-finishing layer's MLP
+        # (defer_final_mlp): apply it here at the COMPACTED bucket — pointwise
+        # per token, so value-identical to running it in-phase, at roughly
+        # half the rows. bf16 like the in-phase MLP would have been (the
+        # w8a8 flag governs only the tail layers proper).
+        live = jnp.arange(h.shape[0], dtype=jnp.int32) < valid_len
+
+        def apply_mlp(hh):
+            lp = qwen2.layer_slice(params["layers"],
+                                   jnp.maximum(pending_mlp_layer, 0))
+            return qwen2.layer_mlp(lp, hh, cfg, live=live)
+
+        h = jax.lax.cond(pending_mlp_layer >= 0, apply_mlp, lambda hh: hh, h)
     cos, sin = qwen2.positions_cos_sin(_pos_axes(pos_tok), cfg)
     h, k_all, v_all = qwen2.run_layers(
         params, h, cos, sin, cfg, start_layer=start_layer, attn_impl=attn_impl,
@@ -606,7 +623,7 @@ def _pack_control_vector(st):
     static_argnames=(
         "cfg", "attn_impl", "capture_num", "patch_num", "max_events",
         "pool_layers", "include_pre_event", "schedule_num_layers",
-        "collect_similarities",
+        "collect_similarities", "defer_final_mlp",
     ),
 )
 def _phase_program(
@@ -616,9 +633,19 @@ def _phase_program(
     *, cfg: LLMConfig, attn_impl: str, capture_num: int, patch_num: int,
     max_events: int, pool_layers: int, include_pre_event: bool,
     schedule_num_layers: int, collect_similarities: bool = False,
+    defer_final_mlp: bool = False,
 ):
     """Run decoder layers with in-place (mask-only) compression until both
     merging and pruning finish, the stack ends, or the KV pool fills.
+
+    ``defer_final_mlp``: when the event that FINISHES compression fires, skip
+    that layer's MLP and record the layer in ``st["mlp_pending"]`` — the
+    caller applies it after compaction (layer_mlp is pointwise per token, so
+    post-compaction application is value-identical for live tokens and runs
+    at the compacted bucket instead of the phase bucket: at bench geometry
+    the prune layer's MLP drops from 6528 to 3328 rows, ~7 ms of pure MXU
+    time). Only the planned path opts in; ``mlp_pending`` is -1 when every
+    MLP ran in-phase (e.g. the pool filled before compression finished).
 
     Decision parity: FrameFusion.forward (reference main.py:40-140) with the
     fp32 schedule twin. All shapes static; merged/pruned tokens are masked
@@ -676,6 +703,8 @@ def _phase_program(
     )
     if collect_similarities:
         st["sim_log"] = jnp.zeros((n_ev_slots, s), jnp.float32)
+    if defer_final_mlp:
+        st["mlp_pending"] = jnp.int32(-1)
 
     if include_pre_event:
         # Layer-0 pre-attention merge (reference modeling_qwen2.py:44-47) —
@@ -710,7 +739,17 @@ def _phase_program(
             lambda s_: prune_event(s_, h_mid, importance, l),
             st,
         )
-        st["h"] = qwen2.layer_mlp(lp, st["h"], cfg, live=st["live"])
+        if defer_final_mlp:
+            done_now = st["fm"] & st["fp"]
+            st["mlp_pending"] = jnp.where(done_now, l, st["mlp_pending"])
+            st["h"] = jax.lax.cond(
+                done_now,
+                lambda hh: hh,
+                lambda hh: qwen2.layer_mlp(lp, hh, cfg, live=st["live"]),
+                st["h"],
+            )
+        else:
+            st["h"] = qwen2.layer_mlp(lp, st["h"], cfg, live=st["live"])
         st["layer"] = l + 1
         return st
 
@@ -1568,7 +1607,7 @@ class CompressionEngine:
                 jnp.int32(image_token_length), sparsity_d, n_events_d, fm_d, fp_d,
                 jnp.int32(0), jnp.float32(ff.cost),
                 jnp.float32(ff.similarity_lower_bound), jnp.float32(ff.ratio_lower_bound),
-                include_pre_event=False, **phase_common,
+                include_pre_event=False, defer_final_mlp=True, **phase_common,
             )
             pos_for_compact, pt_for_compact = pos1, pt1
         else:
@@ -1581,17 +1620,21 @@ class CompressionEngine:
                 jnp.int32(0), jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
                 jnp.float32(ff.cost), jnp.float32(ff.similarity_lower_bound),
                 jnp.float32(ff.ratio_lower_bound),
-                include_pre_event=True, **phase_common,
+                include_pre_event=True, defer_final_mlp=True, **phase_common,
             )
             pos_for_compact, pt_for_compact = pos_tok, pt
 
         # Device-side composition: no host values needed below this line.
+        # The compression-finishing layer's MLP was deferred by the phase
+        # (defer_final_mlp) and runs inside the tail program at the compacted
+        # bucket — value-identical, roughly half the rows.
         h2, pos2, pt2 = _compact_state_program(
             st["h"], pos_for_compact, pt_for_compact, st["live"], st["n_live"], new_len=plan_len
         )
         logits, k_tail, v_tail = _tail_program(
-            self.params, st["layer"], h2, pos2, st["n_live"],
+            self.params, st["layer"], h2, pos2, st["n_live"], st["mlp_pending"],
             cfg=cfg, attn_impl=self.attn_impl, w8a8=self.tail_w8a8,
+            with_pending_mlp=True,
         )
 
         # Post-hoc control reads (telemetry + cache bookkeeping), off the

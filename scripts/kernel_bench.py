@@ -1014,10 +1014,168 @@ def bench_quant():
             print(f"  {name:26s}: {type(e).__name__}: {str(e)[:100]}")
 
 
+def slope_timed(fn, x, rounds=3, max_chain=8):
+    """Per-run time as the slope between two dependency-chained run counts
+    (bench.py timed(), condensed): cancels the relay's latency-overlap term
+    and defeats identical-input elision via per-rep bf16-visible scales.
+    ``fn(x_like) -> array``; the returned array must depend on every heavy
+    output of the stage being timed."""
+    k = [0]
+    out = fn(x)
+    force(out)
+    l_est = read_overhead()
+
+    def chain(n):
+        nonlocal out
+        t0 = time.perf_counter()
+        eps = jnp.float32(0.0)
+        for _ in range(n):
+            k[0] += 1
+            scale = jnp.asarray(1.0 + (k[0] % 97 + 1) * 2.0**-7, x.dtype)
+            out = fn(x * scale + eps.astype(x.dtype))
+            eps = out.reshape(-1)[0].astype(jnp.float32) * jnp.float32(1e-30)
+        force(out)
+        return time.perf_counter() - t0
+
+    n, total = 2, chain(2)
+    while total < max(3.0 * l_est, 2.0) and n < max_chain:
+        n *= 2
+        total = chain(n)
+    lo, hi = max(n // 2, 1), n
+    slopes = []
+    for _ in range(rounds):
+        e_lo, e_hi = chain(lo), chain(hi)
+        slopes.append(max((e_hi - e_lo) / (hi - lo), 1e-9))
+    slopes.sort()
+    return slopes[len(slopes) // 2]
+
+
+def bench_ledger():
+    """Speed-of-light ledger of the PLANNED prefill at bench geometry: each
+    stage slope-timed in isolation next to its analytic floor (the evidence
+    base for pushing the bf16 headline — DEVNOTES r4)."""
+    import common  # noqa: F401
+    import bench as benchmod
+    from framefusion_tpu.config import FrameFusionConfig, qwen2_7b_config
+    from framefusion_tpu.core.schedule import compute_pruning_ratio
+    from framefusion_tpu.models import qwen2
+    from framefusion_tpu.runtime import engine as eng
+
+    cfg = qwen2_7b_config(vocab_size=32768)
+    ff = FrameFusionConfig(cost=0.3, similarity_lower_bound=0.6, ratio_lower_bound=0.1)
+    params = qwen2.init_params(cfg, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    h_np, patch_type, img_start, n_img = benchmod.build_video_prompt(
+        rng, cfg.hidden_size, n_frames=64)
+    pos = np.arange(len(patch_type), dtype=np.int32)
+    e = eng.CompressionEngine(params, cfg, ff, attn_impl="pallas")
+    h, pt, pos_tok, orig_len = e._prep_inputs(
+        jnp.asarray(h_np, cfg.dtype), patch_type, pos)
+    frame_tok0 = int(np.sum(patch_type != -1))
+    pre_plan, plan = 6528, 3328  # the probe-autotuned bench buckets
+    max_events = ff.schedule_num_layers
+    budget0 = compute_pruning_ratio([], ff.cost, ff.schedule_num_layers)
+
+    def pre_event(hv):
+        o = eng._pre_event_program(
+            hv, pos_tok, pt, jnp.int32(orig_len), jnp.int32(frame_tok0),
+            jnp.float32(budget0), jnp.float32(ff.similarity_lower_bound),
+            jnp.float32(ff.ratio_lower_bound), patch_num=182,
+            max_events=max_events, schedule_num_layers=ff.schedule_num_layers,
+            plan_len=pre_plan)
+        return o[0][:1, :1] + o[9][5]  # h1 + control join
+
+    t_pre = slope_timed(pre_event, h)
+
+    # clean stage outputs feeding the next stages
+    (h1, pos1, pt1, n_live_d, frame_tok_d, sparsity_d, n_events_d, fm_d, fp_d,
+     _ctl) = eng._pre_event_program(
+        h, pos_tok, pt, jnp.int32(orig_len), jnp.int32(frame_tok0),
+        jnp.float32(budget0), jnp.float32(ff.similarity_lower_bound),
+        jnp.float32(ff.ratio_lower_bound), patch_num=182,
+        max_events=max_events, schedule_num_layers=ff.schedule_num_layers,
+        plan_len=pre_plan)
+    live1 = jnp.arange(pre_plan, dtype=jnp.int32) < n_live_d
+    phase_common = dict(
+        cfg=cfg, attn_impl="pallas", capture_num=ff.num_importance_queries,
+        patch_num=182, max_events=max_events,
+        pool_layers=min(e.pool_layers, cfg.num_layers),
+        schedule_num_layers=ff.schedule_num_layers)
+
+    def phase(hv):
+        st = eng._phase_program(
+            params, hv, pos1, pt1, live1, n_live_d, frame_tok_d,
+            jnp.int32(orig_len), n_live_d, jnp.int32(img_start),
+            jnp.int32(n_img), sparsity_d, n_events_d, fm_d, fp_d,
+            jnp.int32(0), jnp.float32(ff.cost),
+            jnp.float32(ff.similarity_lower_bound),
+            jnp.float32(ff.ratio_lower_bound), include_pre_event=False,
+            **phase_common)
+        return (st["h"][:1, :1] + st["k_pool"][-1, :1, :1, 0]
+                + st["control"][0])
+
+    t_phase = slope_timed(phase, h1)
+
+    st = eng._phase_program(
+        params, h1, pos1, pt1, live1, n_live_d, frame_tok_d,
+        jnp.int32(orig_len), n_live_d, jnp.int32(img_start), jnp.int32(n_img),
+        sparsity_d, n_events_d, fm_d, fp_d, jnp.int32(0), jnp.float32(ff.cost),
+        jnp.float32(ff.similarity_lower_bound), jnp.float32(ff.ratio_lower_bound),
+        include_pre_event=False, **phase_common)
+    layer_end = int(np.asarray(st["control"])[0])
+
+    def compact(hv):
+        o = eng._compact_state_program(hv, pos1, pt1, st["live"], st["n_live"],
+                                       new_len=plan)
+        return o[0][:1, :1]
+
+    t_compact = slope_timed(compact, st["h"])
+
+    h2, pos2, pt2 = eng._compact_state_program(
+        st["h"], pos1, pt1, st["live"], st["n_live"], new_len=plan)
+
+    def tail(hv):
+        logits, k_tail, v_tail = eng._tail_program(
+            params, layer_end, hv, pos2, st["n_live"], cfg=cfg,
+            attn_impl="pallas")
+        return logits[:1] + k_tail[-1, :1, 0, 0] + v_tail[-1, :1, 0, 0]
+
+    t_tail = slope_timed(tail, h2)
+
+    def pack(kv):
+        kp, vp, lens = eng._pack_caches_program(kv, st["v_pool"], st["cache_live"])
+        return kp[-1, :1, 0, 0] + vp[-1, :1, 0, 0] + lens[0].astype(kv.dtype)
+
+    t_pack = slope_timed(pack, st["k_pool"])
+
+    # analytic floors at 185 TF/s bf16 (measured sustained, DEVNOTES)
+    p_layer = 2 * cfg.hidden_size * (cfg.num_heads + 2 * cfg.num_kv_heads) * cfg.head_dim_ \
+        + cfg.hidden_size * cfg.num_heads * cfg.head_dim_ \
+        + 3 * cfg.hidden_size * cfg.intermediate_size
+    tf = 185e12
+    n_tail = cfg.num_layers - layer_end
+    sol_tail = n_tail * 2 * plan * p_layer / tf
+    sol_phase = layer_end * 2 * pre_plan * p_layer / tf
+    sol_logits = 2 * plan * 0 + 2 * 1 * cfg.hidden_size * cfg.vocab_size / tf
+
+    total = t_pre + t_phase + t_compact + t_tail + t_pack
+    print(f"planned-prefill ledger (pre_plan {pre_plan}, plan {plan}, "
+          f"tail layers {n_tail}):")
+    print(f"  pre-event (full-S merge+compact): {t_pre*1e3:7.1f} ms")
+    print(f"  phase ({layer_end} layers @ {pre_plan}):   {t_phase*1e3:7.1f} ms"
+          f"   (matmul floor {sol_phase*1e3:.1f})")
+    print(f"  compact -> {plan}:                {t_compact*1e3:7.1f} ms")
+    print(f"  tail ({n_tail} layers @ {plan}):    {t_tail*1e3:7.1f} ms"
+          f"   (matmul floor {sol_tail*1e3:.1f}, +logits {sol_logits*1e3:.2f})")
+    print(f"  pack phase caches:               {t_pack*1e3:7.1f} ms")
+    print(f"  SUM of stages:                   {total*1e3:7.1f} ms")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--what", default="all",
-                    choices=["attn", "engine", "quant", "decode", "decodestep", "all"])
+                    choices=["attn", "engine", "quant", "decode", "decodestep",
+                             "ledger", "all"])
     ap.add_argument("--check", action="store_true",
                     help="compile-and-verify every kernel dispatch regime; "
                          "non-zero exit on mismatch or compile failure")
@@ -1036,6 +1194,8 @@ def main():
         bench_decode()
     if args.what == "decodestep":
         bench_decodestep()
+    if args.what == "ledger":
+        bench_ledger()
     if args.what in ("engine", "all"):
         bench_engine()
 
