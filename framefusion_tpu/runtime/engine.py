@@ -988,9 +988,21 @@ def _phase_program_batch(
             seq_st, h_mid, importance, patch_type, valid0, image_start, image_len, l
         )
         st.update(new_seq)
-        st["h"] = qwen2.layer_mlp(lp, st["h"], cfg, live=st["live"])
+        # Defer the loop-ending iteration's MLP (every sequence is done, so
+        # the loop exits next cond): the caller applies it after compaction
+        # at the plan bucket — pointwise per token, value-identical (the
+        # batched twin of the solo defer_final_mlp).
+        done_all = jnp.all(st["fm"] & st["fp"])
+        st["mlp_pending"] = jnp.where(done_all, l, jnp.int32(-1))
+        st["h"] = jax.lax.cond(
+            done_all,
+            lambda hh: hh,
+            lambda hh: qwen2.layer_mlp(lp, hh, cfg, live=st["live"]),
+            st["h"],
+        )
         return l + 1, st
 
+    st["mlp_pending"] = jnp.int32(-1)
     layer, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
     st["layer"] = layer  # shared exit layer (= tail start for every sequence)
     pack_seq = {key: st[key] for key in SEQ_KEYS}
@@ -999,8 +1011,11 @@ def _phase_program_batch(
     return st
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "attn_impl"))
-def _tail_program_batch(params, start_layer, h, pos_tok, valid_len, *, cfg: LLMConfig, attn_impl: str):
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "attn_impl", "with_pending_mlp"))
+def _tail_program_batch(params, start_layer, h, pos_tok, valid_len,
+                        pending_mlp_layer=None, *, cfg: LLMConfig,
+                        attn_impl: str, with_pending_mlp: bool = False):
     """Batched tail: every remaining layer at the (shared) plan bucket.
     Matmuls batched, attention per sequence (see _attn_core_batch)."""
     b, sp = h.shape[:2]
@@ -1012,6 +1027,16 @@ def _tail_program_batch(params, start_layer, h, pos_tok, valid_len, *, cfg: LLMC
     all_live = jnp.ones((b, sp), bool)
 
     live_rows = jnp.arange(sp, dtype=jnp.int32)[None, :] < valid_len[:, None]  # (B, S)
+
+    if with_pending_mlp:
+        # The batched phase deferred its final iteration's MLP (see
+        # _phase_program_batch): apply it here at the compacted bucket.
+        def apply_mlp(hh):
+            lp = qwen2.layer_slice(params["layers"],
+                                   jnp.maximum(pending_mlp_layer, 0))
+            return qwen2.layer_mlp(lp, hh, cfg, live=live_rows)
+
+        h = jax.lax.cond(pending_mlp_layer >= 0, apply_mlp, lambda hh: hh, h)
 
     def body(l, carry):
         h, k_all, v_all = carry
@@ -1823,8 +1848,8 @@ class CompressionEngine:
             functools.partial(_compact_state_program, new_len=plan_len)
         )(st["h"], pos1, pt1, st["live"], st["n_live"])
         logits_b, k_tail, v_tail = _tail_program_batch(
-            self.params, st["layer"], h2, pos2, st["n_live"],
-            cfg=cfg, attn_impl=self.attn_impl,
+            self.params, st["layer"], h2, pos2, st["n_live"], st["mlp_pending"],
+            cfg=cfg, attn_impl=self.attn_impl, with_pending_mlp=True,
         )
 
         # Packed caches for the phase layers, per sequence.
