@@ -69,6 +69,35 @@ class TextPipeline:
     image_token: str = "<image>"
     chat_template: Optional[str] = None
 
+    @classmethod
+    def from_checkpoint(cls, checkpoint_dir: str, cost: float = 0.3,
+                        similarity_lower_bound: Optional[float] = None,
+                        ratio_lower_bound: float = 0.1,
+                        quantize: Optional[str] = None, dtype=jnp.bfloat16,
+                        tokenizer=None) -> "TextPipeline":
+        """Hub-layout checkpoint dir -> an ``ask()``-able pipeline in one call
+        — the standalone twin of the reference's from_pretrained + processor
+        setup (example_llava.py:94-113). The tokenizer loads from the SAME
+        directory via transformers.AutoTokenizer (local files, no network)
+        unless one is passed; S_th defaults to the family's per-script value
+        (interface.FAMILIES). ``quantize="int8"`` quantizes decoder weights
+        on the host during import (see weights.load_checkpoint)."""
+        from .interface import FAMILIES, apply_framefusion
+        from .weights import load_checkpoint
+
+        model = load_checkpoint(checkpoint_dir, dtype=dtype, quantize=quantize)
+        if similarity_lower_bound is None:
+            similarity_lower_bound = FAMILIES[model.family].default_similarity_lower_bound
+        model = apply_framefusion(model, cost, similarity_lower_bound, ratio_lower_bound)
+        if tokenizer is None:
+            from transformers import AutoTokenizer
+
+            tokenizer = AutoTokenizer.from_pretrained(checkpoint_dir)
+        vision = model.vision or {}
+        return cls(model=model, tokenizer=tokenizer,
+                   vit_params=vision.get("params"), vit_cfg=vision.get("cfg"),
+                   projector=vision.get("projector"))
+
     def _template(self) -> str:
         if self.chat_template is not None:
             return self.chat_template

@@ -236,6 +236,31 @@ def _internlm2_state(rng, prefix="language_model.model.", scale=0.05):
     return sd
 
 
+def _write_tokenizer(path):
+    """Tiny character-level fast tokenizer in the hub layout (tokenizer.json +
+    tokenizer_config.json) — loads offline via AutoTokenizer, ids < the
+    fixtures' vocab_size, chat special tokens atomic."""
+    from tokenizers import Regex, Tokenizer
+    from tokenizers.models import WordLevel
+    from tokenizers.pre_tokenizers import Split
+
+    import string
+
+    specials = ["<unk>", "<|im_start|>", "<|im_end|>", "<|endoftext|>",
+                "<image>", "<|vision_start|>", "<|video_pad|>", "<|vision_end|>"]
+    vocab = {s: i for i, s in enumerate(specials)}
+    for ch in string.ascii_letters + string.digits + " .,?!:\n<>|_()-/":
+        if ch not in vocab and len(vocab) < TINY_TEXT["vocab_size"] - 1:
+            vocab[ch] = len(vocab)
+    tok = Tokenizer(WordLevel(vocab, unk_token="<unk>"))
+    tok.pre_tokenizer = Split(Regex("."), behavior="isolated")
+    tok.add_special_tokens(specials)
+    tok.save(str(path / "tokenizer.json"))
+    with open(path / "tokenizer_config.json", "w") as f:
+        json.dump({"tokenizer_class": "PreTrainedTokenizerFast",
+                   "eos_token": "<|im_end|>", "unk_token": "<unk>"}, f)
+
+
 def _write_checkpoint(path, config: dict, state: dict, shards: int = 2):
     """bf16 sharded safetensors + index json + config.json — the hub layout."""
     import torch
@@ -244,6 +269,10 @@ def _write_checkpoint(path, config: dict, state: dict, shards: int = 2):
     path.mkdir(parents=True, exist_ok=True)
     with open(path / "config.json", "w") as f:
         json.dump(config, f)
+    try:
+        _write_tokenizer(path)
+    except ImportError:
+        pass  # tokenizers not installed: checkpoint tests still run
     keys = sorted(state)
     per = -(-len(keys) // shards)
     weight_map = {}

@@ -298,6 +298,31 @@ def test_example_llava_int8_checkpoint_path(fixture_dirs):
     assert "speedup" in out.stdout, out.stdout
 
 
+def test_pipeline_from_checkpoint(fixture_dirs):
+    """TextPipeline.from_checkpoint: hub dir -> ask()-able pipeline in one
+    call, tokenizer included (AutoTokenizer over the fixture's tokenizer.json,
+    no network) — the standalone twin of the reference's from_pretrained +
+    processor setup (example_llava.py:94-113)."""
+    from framefusion_tpu.pipeline import TextPipeline
+
+    pipe = TextPipeline.from_checkpoint(
+        fixture_dirs["llava_video"], cost=0.8, dtype=jnp.float32)
+    pipe.model.ff = pipe.model.ff.replace(
+        schedule_num_layers=pipe.model.cfg.num_layers)
+    assert pipe.model.family == "llava_video" and pipe.vit_params is not None
+    assert pipe.tokenizer.eos_token_id is not None
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((1, 28, 28, 3)).astype(np.float32)
+    frames = np.concatenate([base + 0.02 * rng.standard_normal(base.shape)
+                             for _ in range(4)])
+    text = pipe.ask("What happens?", frames=frames, max_new_tokens=4)
+    assert isinstance(text, str)
+    # int8 quantize-on-load rides the same one-call path
+    pipe8 = TextPipeline.from_checkpoint(
+        fixture_dirs["llava_video"], cost=0.8, dtype=jnp.float32, quantize="int8")
+    assert isinstance(pipe8.model.params["layers"]["wq"], dict)
+
+
 def test_config_detection_errors():
     with pytest.raises(NotImplementedError, match="Model not supported"):
         llm_config_from_hf({"architectures": ["GPT2LMHeadModel"]})
