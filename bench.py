@@ -469,27 +469,30 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                     rng.standard_normal((14, cfg.hidden_size)) * 0.05, cfg.dtype))
 
                 @jax.jit
-                def assemble(frs):
-                    # chunked ViT under lax.map: ONE tower instance in the
-                    # HLO instead of n_frames/16 unrolled copies — the
-                    # unrolled form's remote compile is slow enough to break
-                    # the relay's compile transport at 64 frames
+                def _assemble(vit_p, proj_p, pre, post, frs):
+                    # Tower params enter as ARGUMENTS: a closure would bake
+                    # the ~0.8 GB so400m weights into the HLO as constants
+                    # and the relay's remote compiler rejects the payload
+                    # (HTTP 413). Chunked under lax.map so the HLO carries
+                    # ONE tower instance, not n_frames/16 unrolled copies.
                     fb = min(16, frs.shape[0])
                     if frs.shape[0] > fb and frs.shape[0] % fb == 0:
                         chunks = frs.reshape(frs.shape[0] // fb, fb, *frs.shape[1:])
                         toks = jax.lax.map(
-                            lambda c: encode_video(vit, vit_cfg, proj, c,
+                            lambda c: encode_video(vit_p, vit_cfg, proj_p, c,
                                                    frame_batch=fb),
                             chunks)
                         toks = toks.reshape(-1, toks.shape[-1])
                     else:
-                        toks = encode_video(vit, vit_cfg, proj, frs)
+                        toks = encode_video(vit_p, vit_cfg, proj_p, frs)
                     # match the LLM-phase activation scale so compression
                     # trajectories resemble the headline geometry
                     toks = toks.astype(jnp.float32)
                     toks = toks * (0.05 / (jnp.std(toks) + 1e-6))
-                    return jnp.concatenate(
-                        [text_pre, toks.astype(cfg.dtype), text_post])
+                    return jnp.concatenate([pre, toks.astype(cfg.dtype), post])
+
+                def assemble(frs):
+                    return _assemble(vit, proj, text_pre, text_post, frs)
 
                 def vis_dense(frs):
                     r = engine.dense_prefill(assemble(frs), vt_pos)

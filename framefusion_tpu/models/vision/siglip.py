@@ -148,14 +148,16 @@ def encode(params: dict, pixels: jnp.ndarray, cfg: ViTConfig, feature_layer: int
         (B, num_patches, D) features.
     """
     b = pixels.shape[0]
-    patches = jax.lax.conv_general_dilated(
-        pixels.astype(cfg.dtype),
-        params["patch_kernel"],
-        window_strides=(cfg.patch_size, cfg.patch_size),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    x = patches.reshape(b, cfg.num_patches, cfg.hidden_size) + params["patch_bias"]
+    # Patch embedding as unfold + matmul — mathematically identical to the
+    # stride-14 VALID conv (same 0..side*ps-1 coverage, same HWIO flatten
+    # order), but it lowers straight onto the MXU; the conv form made the
+    # relay's remote compiler hang/crash at so400m geometry (r4 bench).
+    ps, side = cfg.patch_size, cfg.patches_per_side
+    crop = pixels[:, : side * ps, : side * ps, :].astype(cfg.dtype)
+    px = crop.reshape(b, side, ps, side, ps, 3).transpose(0, 1, 3, 2, 4, 5)
+    px = px.reshape(b, cfg.num_patches, ps * ps * 3)
+    w = params["patch_kernel"].reshape(ps * ps * 3, cfg.hidden_size)
+    x = px @ w + params["patch_bias"]
     x = x + params["pos_embed"][None]
 
     n_keep = cfg.num_layers + feature_layer + 1 if feature_layer < 0 else feature_layer
