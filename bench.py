@@ -523,10 +523,13 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                     "e2e_vision_seq_len": int(len(vt_patch_type)),
                     "vision_encode_ms": round(encode_t * 1e3, 1),
                 })
-                del vit, proj, frames, text_pre, text_post
-                gc.collect()
             except Exception as e:  # noqa: BLE001 — vision e2e is best-effort
                 detail["e2e_vision_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+            finally:
+                # Free the tower (+frames) UNCONDITIONALLY: a failed vision
+                # phase that kept its ~0.9 GB resident degraded the int8
+                # decode phases that follow on the 16 GB chip (r4 runs).
+                vit = proj = frames = text_pre = text_post = None  # noqa: F841
                 gc.collect()
 
             # int8 weight-only serving decode (17.4 vs 24 ms/step measured,
