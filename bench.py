@@ -642,7 +642,9 @@ def main():
     # produce a second line.
     print_lock = threading.Lock()
     printed = [False]
-    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "1500"))
+    # 2200 s default: a fully-warm-cache run with the vision phase takes
+    # ~20 min end to end (r4); 1500 s left no headroom for relay drift.
+    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", "2200"))
 
     def _emit(record) -> bool:
         with print_lock:
