@@ -501,11 +501,15 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                     return toks
 
                 def vis_ff(frs):
-                    # measured cold path = the serving mode="auto" entry for a
-                    # never-seen geometry (exact first-merge pre-pass)
-                    r = engine.prefill_measured(
+                    # serving mode="auto": the first rep runs the measured
+                    # cold path (exact first-merge pre-pass) and seeds
+                    # PlanHistory; later reps ride the sync-free planned
+                    # path — matching the reference's warmed-repeat A/B
+                    # (example_llava.py:129-167 times a warmed prompt).
+                    r = engine.prefill(
                         assemble(frs), vt_patch_type, vt_pos, patch_num=vis_pn,
-                        image_token_start=35, image_token_length=n_vis)
+                        image_token_start=35, image_token_length=n_vis,
+                        mode="auto")
                     toks = engine.generate_device(r, max_new_tokens=vis_new_tokens)
                     del r
                     return toks
