@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -849,6 +850,77 @@ def _pack_caches_program(k_pool, v_pool, cache_live):
     return k_packed, v_packed, jnp.sum(cache_live, axis=1).astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "attn_impl", "capture_num", "patch_num", "max_events",
+        "pool_layers", "schedule_num_layers", "pre_plan_len", "plan_len",
+        "two_stage", "w8a8",
+    ),
+)
+def _planned_pipeline_program(
+    params, h, pos_tok, patch_type, orig_len, frame_tok0, budget0,
+    image_start, image_len, cost, s_th, r_min,
+    *, cfg: LLMConfig, attn_impl: str, capture_num: int, patch_num: int,
+    max_events: int, pool_layers: int, schedule_num_layers: int,
+    pre_plan_len: int, plan_len: int, two_stage: bool, w8a8: bool,
+):
+    """The planned prefill's ENTIRE sync-free critical path as ONE XLA
+    program: [pre-event merge + compact to the pre-plan bucket ->] mask-only
+    phase -> post-phase compaction -> tail (pending MLP first) -> phase-cache
+    pack.
+
+    One relay dispatch per prefill instead of five. Beyond the dispatch
+    round trips, a single module lets XLA fuse the post-phase compaction
+    gather into the first tail layer's consumers and keeps the UNPACKED
+    phase pools internal — only the packed caches leave the program. The
+    composed sub-programs are the exact jitted functions the staged path
+    runs (same HLO subgraphs, so fp32 decision arithmetic is unchanged);
+    the control vectors come back as device arrays for the caller's
+    post-hoc (tail-overlapped) host read.
+    """
+    phase_common = dict(
+        cfg=cfg, attn_impl=attn_impl, capture_num=capture_num,
+        patch_num=patch_num, max_events=max_events, pool_layers=pool_layers,
+        schedule_num_layers=schedule_num_layers,
+    )
+    if two_stage:
+        (h1, pos1, pt1, n_live_d, frame_tok_d, sparsity_d, n_events_d, fm_d,
+         fp_d, pre_ctl) = _pre_event_program(
+            h, pos_tok, patch_type, orig_len, frame_tok0, budget0, s_th, r_min,
+            patch_num=patch_num, max_events=max_events,
+            schedule_num_layers=schedule_num_layers, plan_len=pre_plan_len,
+        )
+        live1 = jnp.arange(pre_plan_len, dtype=jnp.int32) < n_live_d
+        st = _phase_program(
+            params, h1, pos1, pt1, live1, n_live_d, frame_tok_d, orig_len,
+            n_live_d, image_start, image_len, sparsity_d, n_events_d, fm_d,
+            fp_d, jnp.int32(0), cost, s_th, r_min,
+            include_pre_event=False, defer_final_mlp=True, **phase_common,
+        )
+        pos_c, pt_c = pos1, pt1
+    else:
+        pre_ctl = jnp.zeros((6,), jnp.float32)
+        live = jnp.arange(h.shape[0], dtype=jnp.int32) < orig_len
+        st = _phase_program(
+            params, h, pos_tok, patch_type, live, orig_len, frame_tok0,
+            orig_len, orig_len, image_start, image_len,
+            jnp.zeros((max_events,), jnp.float32), jnp.int32(0),
+            jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
+            cost, s_th, r_min,
+            include_pre_event=True, defer_final_mlp=True, **phase_common,
+        )
+        pos_c, pt_c = pos_tok, patch_type
+    h2, pos2, _ = _compact_state_program(
+        st["h"], pos_c, pt_c, st["live"], st["n_live"], new_len=plan_len)
+    logits, k_tail, v_tail = _tail_program(
+        params, st["layer"], h2, pos2, st["n_live"], st["mlp_pending"],
+        cfg=cfg, attn_impl=attn_impl, w8a8=w8a8, with_pending_mlp=True)
+    k_packed, v_packed, _ = _pack_caches_program(
+        st["k_pool"], st["v_pool"], st["cache_live"])
+    return logits, k_tail, v_tail, k_packed, v_packed, st["control"], pre_ctl
+
+
 # ---------------------------------------------------------------------------
 # Lockstep-batched phase + tail (batched serving prefill)
 
@@ -1163,6 +1235,12 @@ class CompressionEngine:
         # merge/prune decision happens BEFORE the tail, so this perturbs
         # logits only (solo executors; the batched tail stays weight-only).
         self.tail_w8a8 = tail_w8a8
+        # Planned prefill as ONE jitted program (pre-event + phase + compact +
+        # tail + cache pack) instead of five chained dispatches: one relay
+        # round trip, and XLA fuses the cross-stage gathers. Decisions are
+        # identical (same traced subgraphs). FF_PLANNED_STAGED=1 restores the
+        # staged composition for per-stage attribution.
+        self.planned_one_dispatch = os.environ.get("FF_PLANNED_STAGED") != "1"
 
     # -- prefill -----------------------------------------------------------
 
@@ -1615,52 +1693,70 @@ class CompressionEngine:
             # The phase runs at the pre-plan bucket; survivors only shrink
             # from there, so the final compaction never needs to be larger.
             plan_len = min(plan_len, pre_plan_len)
-            budget0 = compute_pruning_ratio([], ff.cost, ff.schedule_num_layers)
-            h1, pos1, pt1, n_live_d, frame_tok_d, sparsity_d, n_events_d, fm_d, fp_d, pre_ctl_dev = (
-                _pre_event_program(
+        budget0 = compute_pruning_ratio([], ff.cost, ff.schedule_num_layers)
+        if self.planned_one_dispatch:
+            (logits, k_tail, v_tail, k_packed, v_packed, control_dev,
+             pre_ctl_dev) = _planned_pipeline_program(
+                self.params, h, pos_tok, pt, jnp.int32(orig_len),
+                jnp.int32(frame_tok0), jnp.float32(budget0),
+                jnp.int32(image_token_start), jnp.int32(image_token_length),
+                jnp.float32(ff.cost), jnp.float32(ff.similarity_lower_bound),
+                jnp.float32(ff.ratio_lower_bound),
+                pre_plan_len=pre_plan_len if two_stage else 0,
+                plan_len=plan_len, two_stage=two_stage, w8a8=self.tail_w8a8,
+                **phase_common,
+            )
+        else:
+            if two_stage:
+                (h1, pos1, pt1, n_live_d, frame_tok_d, sparsity_d, n_events_d,
+                 fm_d, fp_d, pre_ctl_dev) = _pre_event_program(
                     h, pos_tok, pt, jnp.int32(orig_len), jnp.int32(frame_tok0),
                     jnp.float32(budget0), jnp.float32(ff.similarity_lower_bound),
                     jnp.float32(ff.ratio_lower_bound),
                     patch_num=patch_num, max_events=max_events,
                     schedule_num_layers=ff.schedule_num_layers, plan_len=pre_plan_len,
                 )
-            )
-            live1 = jnp.arange(pre_plan_len, dtype=jnp.int32) < n_live_d
-            st = _phase_program(
-                self.params, h1, pos1, pt1, live1, n_live_d, frame_tok_d,
-                jnp.int32(orig_len), n_live_d, jnp.int32(image_token_start),
-                jnp.int32(image_token_length), sparsity_d, n_events_d, fm_d, fp_d,
-                jnp.int32(0), jnp.float32(ff.cost),
-                jnp.float32(ff.similarity_lower_bound), jnp.float32(ff.ratio_lower_bound),
-                include_pre_event=False, defer_final_mlp=True, **phase_common,
-            )
-            pos_for_compact, pt_for_compact = pos1, pt1
-        else:
-            live = jnp.arange(s_b, dtype=jnp.int32) < orig_len
-            st = _phase_program(
-                self.params, h, pos_tok, pt, live, jnp.int32(orig_len),
-                jnp.int32(frame_tok0), jnp.int32(orig_len), jnp.int32(orig_len),
-                jnp.int32(image_token_start),
-                jnp.int32(image_token_length), jnp.zeros((max_events,), jnp.float32),
-                jnp.int32(0), jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
-                jnp.float32(ff.cost), jnp.float32(ff.similarity_lower_bound),
-                jnp.float32(ff.ratio_lower_bound),
-                include_pre_event=True, defer_final_mlp=True, **phase_common,
-            )
-            pos_for_compact, pt_for_compact = pos_tok, pt
+                live1 = jnp.arange(pre_plan_len, dtype=jnp.int32) < n_live_d
+                st = _phase_program(
+                    self.params, h1, pos1, pt1, live1, n_live_d, frame_tok_d,
+                    jnp.int32(orig_len), n_live_d, jnp.int32(image_token_start),
+                    jnp.int32(image_token_length), sparsity_d, n_events_d, fm_d, fp_d,
+                    jnp.int32(0), jnp.float32(ff.cost),
+                    jnp.float32(ff.similarity_lower_bound), jnp.float32(ff.ratio_lower_bound),
+                    include_pre_event=False, defer_final_mlp=True, **phase_common,
+                )
+                pos_for_compact, pt_for_compact = pos1, pt1
+            else:
+                pre_ctl_dev = None
+                live = jnp.arange(s_b, dtype=jnp.int32) < orig_len
+                st = _phase_program(
+                    self.params, h, pos_tok, pt, live, jnp.int32(orig_len),
+                    jnp.int32(frame_tok0), jnp.int32(orig_len), jnp.int32(orig_len),
+                    jnp.int32(image_token_start),
+                    jnp.int32(image_token_length), jnp.zeros((max_events,), jnp.float32),
+                    jnp.int32(0), jnp.bool_(False), jnp.bool_(False), jnp.int32(0),
+                    jnp.float32(ff.cost), jnp.float32(ff.similarity_lower_bound),
+                    jnp.float32(ff.ratio_lower_bound),
+                    include_pre_event=True, defer_final_mlp=True, **phase_common,
+                )
+                pos_for_compact, pt_for_compact = pos_tok, pt
 
-        # Device-side composition: no host values needed below this line.
-        # The compression-finishing layer's MLP was deferred by the phase
-        # (defer_final_mlp) and runs inside the tail program at the compacted
-        # bucket — value-identical, roughly half the rows.
-        h2, pos2, pt2 = _compact_state_program(
-            st["h"], pos_for_compact, pt_for_compact, st["live"], st["n_live"], new_len=plan_len
-        )
-        logits, k_tail, v_tail = _tail_program(
-            self.params, st["layer"], h2, pos2, st["n_live"], st["mlp_pending"],
-            cfg=cfg, attn_impl=self.attn_impl, w8a8=self.tail_w8a8,
-            with_pending_mlp=True,
-        )
+            # Device-side composition: no host values needed below this line.
+            # The compression-finishing layer's MLP was deferred by the phase
+            # (defer_final_mlp) and runs inside the tail program at the
+            # compacted bucket — value-identical, roughly half the rows.
+            h2, pos2, pt2 = _compact_state_program(
+                st["h"], pos_for_compact, pt_for_compact, st["live"], st["n_live"], new_len=plan_len
+            )
+            logits, k_tail, v_tail = _tail_program(
+                self.params, st["layer"], h2, pos2, st["n_live"], st["mlp_pending"],
+                cfg=cfg, attn_impl=self.attn_impl, w8a8=self.tail_w8a8,
+                with_pending_mlp=True,
+            )
+            control_dev = st["control"]
+            k_packed, v_packed, _ = _pack_caches_program(
+                st["k_pool"], st["v_pool"], st["cache_live"]
+            )
 
         # Post-hoc control reads (telemetry + cache bookkeeping), off the
         # logits' critical path — they overlap the tail's execution.
@@ -1685,7 +1781,7 @@ class CompressionEngine:
             ))
             valid = n_after_pre
 
-        packed = np.asarray(st["control"])
+        packed = np.asarray(control_dev)
         n_ev_slots = max_events + 2
         layer_end = int(packed[0])
         n_live_final = int(packed[3])
@@ -1714,7 +1810,6 @@ class CompressionEngine:
         def phase_cache_len(l: int) -> int:
             return valid - int(sum(int(r) for lay, r in zip(ev_layer[:n_ev], ev_removed[:n_ev]) if lay < l))
 
-        k_packed, v_packed, _ = _pack_caches_program(st["k_pool"], st["v_pool"], st["cache_live"])
         layer_caches: list = [None] * cfg.num_layers
         for i in range(min(self.pool_layers, cfg.num_layers)):
             if i < layer_end:
