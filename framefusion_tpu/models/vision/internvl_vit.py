@@ -271,14 +271,21 @@ def _rmsnorm(x, w, eps=1e-6):
     return (xf * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w
 
 
-def encode(params: dict, pixels: jnp.ndarray, cfg: InternViTConfig) -> jnp.ndarray:
+def encode(params: dict, pixels: jnp.ndarray, cfg: InternViTConfig,
+           attn_impl: str = "auto") -> jnp.ndarray:
     """Encode images to last hidden states (CLS + patches).
 
     Args:
         pixels: (B, H, W, 3).
+        attn_impl: "auto" (fused Pallas bidirectional kernel on TPU, einsum
+            elsewhere), "pallas", "einsum", or "interpret" — the einsum path
+            round-trips the (B·H, N, N) fp32 scores/probs through HBM every
+            layer (see ops/kernels/bidir_attention.py).
     Returns:
         (B, num_patches + 1, D).
     """
+    if attn_impl == "auto":
+        attn_impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
     b = pixels.shape[0]
     patches = jax.lax.conv_general_dilated(
         pixels.astype(cfg.dtype),
@@ -293,7 +300,7 @@ def encode(params: dict, pixels: jnp.ndarray, cfg: InternViTConfig) -> jnp.ndarr
 
     nh, hd = cfg.num_heads, cfg.head_dim
     n = x.shape[1]
-    scale = jnp.float32(1.0 / hd ** 0.5)
+    scale = 1.0 / hd ** 0.5  # python float: stays static under jit
 
     def block(x, lp):
         z = _layernorm(x, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps)
@@ -307,10 +314,16 @@ def encode(params: dict, pixels: jnp.ndarray, cfg: InternViTConfig) -> jnp.ndarr
         q = q.reshape(b, n, nh, hd)
         k = k.reshape(b, n, nh, hd)
         v = v.reshape(b, n, nh, hd)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * scale
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+        if attn_impl in ("pallas", "interpret"):
+            from ...ops.kernels.bidir_attention import flash_bidir_attention
+
+            out = flash_bidir_attention(q, k, v, scale=scale,
+                                        interpret=attn_impl == "interpret")
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32) * jnp.float32(scale)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(b, n, cfg.hidden_size).astype(x.dtype)
         x = x + lp["lambda1"] * (out @ lp["wo"] + lp["bo"])
         z = _layernorm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)

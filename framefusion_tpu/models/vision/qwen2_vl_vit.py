@@ -186,26 +186,32 @@ def _apply_vision_rope(x, cos, sin):
     return (xf * c + _rotate_half(xf) * s).astype(x.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_t", "grid_h", "grid_w", "cfg"))
+@functools.partial(jax.jit, static_argnames=("grid_t", "grid_h", "grid_w", "cfg", "attn_impl"))
 def encode_video(params: dict, patches: jnp.ndarray, grid_t: int, grid_h: int,
-                 grid_w: int, cfg: Qwen2VLViTConfig) -> jnp.ndarray:
+                 grid_w: int, cfg: Qwen2VLViTConfig, attn_impl: str = "auto") -> jnp.ndarray:
     """Encode one video's pixel patches to LLM embedding rows.
 
     Args:
         patches: (grid_t*grid_h*grid_w, C*tp*p*p) flattened pixel patches in
             the HF processor layout (t-major, merge-block order, each row
             (C, tp, p, p)-flattened).
+        attn_impl: "auto" (fused Pallas bidirectional kernel on TPU, einsum
+            elsewhere), "pallas", "einsum", or "interpret" — per-frame
+            non-causal attention maps onto ops/kernels/bidir_attention.py
+            with B = grid_t, N = grid_h*grid_w.
     Returns:
         (grid_t * grid_h * grid_w / merge^2, hidden_size) — one row per
         merged 2x2 patch, the layout ``masked_scatter``'d into the prompt by
         the reference (qwenvl/modeling_qwen2_vl.py:95-111).
     """
+    if attn_impl == "auto":
+        attn_impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
     n = grid_t * grid_h * grid_w
     assert patches.shape == (n, cfg.patch_dim), patches.shape
     hw = grid_h * grid_w
     hd = cfg.head_dim
     nh = cfg.num_heads
-    scale = jnp.float32(1.0 / hd ** 0.5)
+    scale = 1.0 / hd ** 0.5  # python float: stays static under jit
 
     x = patches.astype(cfg.dtype) @ params["patch_proj"]  # (N, D)
     cos, sin = vision_rope_cos_sin(grid_h, grid_w, cfg)
@@ -220,10 +226,16 @@ def encode_video(params: dict, patches: jnp.ndarray, grid_t: int, grid_h: int,
         k = _apply_vision_rope(k, cos, sin)
         # Full (non-causal) attention within each frame: HF splits the
         # sequence at cu_seqlens = multiples of h*w (one chunk per frame).
-        scores = jnp.einsum("tqhd,tkhd->thqk", q, k, preferred_element_type=jnp.float32) * scale
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("thqk,tkhd->tqhd", probs.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
+        if attn_impl in ("pallas", "interpret"):
+            from ...ops.kernels.bidir_attention import flash_bidir_attention
+
+            out = flash_bidir_attention(q, k, v, scale=scale,
+                                        interpret=attn_impl == "interpret")
+        else:
+            scores = jnp.einsum("tqhd,tkhd->thqk", q, k, preferred_element_type=jnp.float32) * jnp.float32(scale)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("thqk,tkhd->tqhd", probs.astype(v.dtype), v,
+                             preferred_element_type=jnp.float32)
         out = out.reshape(n, cfg.embed_dim).astype(x.dtype)
         x = x + (out @ lp["wo"] + lp["bo"])
         z = _layernorm(x, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)

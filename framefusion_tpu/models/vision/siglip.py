@@ -122,19 +122,33 @@ def _layernorm(x, w, b, eps):
     return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w + b
 
 
-def _mha(lp, x, num_heads):
-    n, d = x.shape
+def _mha(lp, x, num_heads, attn_impl="einsum"):
+    """Batched bidirectional MHA: x (B, N, D) -> (B, N, D).
+
+    ``attn_impl="pallas"`` rides the fused non-causal kernel
+    (ops/kernels/bidir_attention.py): the einsum path materialises the
+    (B·H, N, N) fp32 scores AND probabilities in HBM every layer — ~2x the
+    tower's matmul floor at so400m/64-frame geometry (DEVNOTES r4).
+    ``"interpret"`` runs the same kernel interpreted (CPU parity tests)."""
+    b, n, d = x.shape
     hd = d // num_heads
-    q = (x @ lp["wq"] + lp["bq"]).reshape(n, num_heads, hd)
-    k = (x @ lp["wk"] + lp["bk"]).reshape(n, num_heads, hd)
-    v = (x @ lp["wv"] + lp["bv"]).reshape(n, num_heads, hd)
-    scores = jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(scores / jnp.sqrt(hd).astype(jnp.float32), axis=-1)
-    out = jnp.einsum("hqk,khd->qhd", probs.astype(v.dtype), v, preferred_element_type=jnp.float32)
-    return out.reshape(n, d).astype(x.dtype) @ lp["wo"] + lp["bo"]
+    q = (x @ lp["wq"] + lp["bq"]).reshape(b, n, num_heads, hd)
+    k = (x @ lp["wk"] + lp["bk"]).reshape(b, n, num_heads, hd)
+    v = (x @ lp["wv"] + lp["bv"]).reshape(b, n, num_heads, hd)
+    if attn_impl in ("pallas", "interpret"):
+        from ...ops.kernels.bidir_attention import flash_bidir_attention
+
+        out = flash_bidir_attention(q, k, v, interpret=attn_impl == "interpret")
+    else:
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+        probs = jax.nn.softmax(scores / jnp.sqrt(hd).astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+    return out.reshape(b, n, d).astype(x.dtype) @ lp["wo"] + lp["bo"]
 
 
-def encode(params: dict, pixels: jnp.ndarray, cfg: ViTConfig, feature_layer: int = -1):
+def encode(params: dict, pixels: jnp.ndarray, cfg: ViTConfig, feature_layer: int = -1,
+           attn_impl: str = "auto"):
     """Encode images.
 
     Args:
@@ -143,10 +157,15 @@ def encode(params: dict, pixels: jnp.ndarray, cfg: ViTConfig, feature_layer: int
             last block; -2 = penultimate — LLaVA's default vision feature).
             The final ``post_layernorm`` is NOT applied to intermediate
             features, matching HF hidden_states semantics.
+        attn_impl: "auto" (fused Pallas kernel on TPU, einsum elsewhere),
+            "pallas", "einsum", or "interpret" (kernel in interpreter mode,
+            for CPU parity tests).
 
     Returns:
         (B, num_patches, D) features.
     """
+    if attn_impl == "auto":
+        attn_impl = "pallas" if jax.default_backend() == "tpu" else "einsum"
     b = pixels.shape[0]
     # Patch embedding as unfold + matmul — mathematically identical to the
     # stride-14 VALID conv (same 0..side*ps-1 coverage, same HWIO flatten
@@ -163,16 +182,14 @@ def encode(params: dict, pixels: jnp.ndarray, cfg: ViTConfig, feature_layer: int
     n_keep = cfg.num_layers + feature_layer + 1 if feature_layer < 0 else feature_layer
 
     def block(x, lp):
-        def one(xi):
-            h = xi + _mha(lp, _layernorm(xi, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps), cfg.num_heads)
-            z = _layernorm(h, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
-            z = jax.nn.gelu(z @ lp["w_fc1"] + lp["b_fc1"], approximate=True)
-            return h + z @ lp["w_fc2"] + lp["b_fc2"]
-
-        return jax.vmap(one)(x), None
+        h = x + _mha(lp, _layernorm(x, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps),
+                     cfg.num_heads, attn_impl)
+        z = _layernorm(h, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
+        z = jax.nn.gelu(z @ lp["w_fc1"] + lp["b_fc1"], approximate=True)
+        return h + z @ lp["w_fc2"] + lp["b_fc2"], None
 
     sliced = jax.tree.map(lambda a: a[:n_keep], params["layers"])
     x, _ = jax.lax.scan(block, x, sliced)
     if feature_layer == -1:
-        x = jax.vmap(lambda xi: _layernorm(xi, params["post_ln_w"], params["post_ln_b"], cfg.layer_norm_eps))(x)
+        x = _layernorm(x, params["post_ln_w"], params["post_ln_b"], cfg.layer_norm_eps)
     return x

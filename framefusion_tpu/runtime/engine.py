@@ -854,6 +854,67 @@ def _pack_caches_program(k_pool, v_pool, cache_live):
     jax.jit,
     static_argnames=(
         "cfg", "attn_impl", "capture_num", "patch_num", "max_events",
+        "pool_layers", "schedule_num_layers", "pre_plan_len",
+    ),
+)
+def _planned_front_program(
+    params, h, pos_tok, patch_type, orig_len, frame_tok0, budget0,
+    image_start, image_len, cost, s_th, r_min,
+    *, cfg: LLMConfig, attn_impl: str, capture_num: int, patch_num: int,
+    max_events: int, pool_layers: int, schedule_num_layers: int,
+    pre_plan_len: int,
+):
+    """Two-stage planned prefill's FRONT half as one program: pre-event merge
+    + compact to the pre-plan bucket + mask-only phase. The phase control
+    vector is an output HERE, one dispatch before the tail — so the caller's
+    post-hoc host read of it overlaps the back program's execution (through
+    a high-latency relay that read costs ~35-130 ms; hidden behind the
+    ~285 ms tail, it costs nothing — the single-program pipeline measured
+    +75-90 ms per prefill for exactly this reason)."""
+    (h1, pos1, pt1, n_live_d, frame_tok_d, sparsity_d, n_events_d, fm_d,
+     fp_d, pre_ctl) = _pre_event_program(
+        h, pos_tok, patch_type, orig_len, frame_tok0, budget0, s_th, r_min,
+        patch_num=patch_num, max_events=max_events,
+        schedule_num_layers=schedule_num_layers, plan_len=pre_plan_len,
+    )
+    live1 = jnp.arange(pre_plan_len, dtype=jnp.int32) < n_live_d
+    st = _phase_program(
+        params, h1, pos1, pt1, live1, n_live_d, frame_tok_d, orig_len,
+        n_live_d, image_start, image_len, sparsity_d, n_events_d, fm_d,
+        fp_d, jnp.int32(0), cost, s_th, r_min,
+        cfg=cfg, attn_impl=attn_impl, capture_num=capture_num,
+        patch_num=patch_num, max_events=max_events, pool_layers=pool_layers,
+        schedule_num_layers=schedule_num_layers,
+        include_pre_event=False, defer_final_mlp=True,
+    )
+    return st, pos1, pt1, pre_ctl
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "attn_impl", "w8a8", "plan_len"))
+def _planned_back_program(
+    params, start_layer, h, pos_tok, patch_type, live, n_live, mlp_pending,
+    k_pool, v_pool, cache_live,
+    *, cfg: LLMConfig, attn_impl: str, w8a8: bool, plan_len: int,
+):
+    """Planned prefill's BACK half as one program: post-phase compaction +
+    tail (pending MLP first) + phase-cache pack. Fusing these lets XLA feed
+    the compaction gather straight into the first tail layer's consumers and
+    drops two relay dispatches; the control vector already left with the
+    front program, so the caller's host read overlaps all of this."""
+    h2, pos2, _ = _compact_state_program(
+        h, pos_tok, patch_type, live, n_live, new_len=plan_len)
+    logits, k_tail, v_tail = _tail_program(
+        params, start_layer, h2, pos2, n_live, mlp_pending,
+        cfg=cfg, attn_impl=attn_impl, w8a8=w8a8, with_pending_mlp=True)
+    k_packed, v_packed, _ = _pack_caches_program(k_pool, v_pool, cache_live)
+    return logits, k_tail, v_tail, k_packed, v_packed
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "attn_impl", "capture_num", "patch_num", "max_events",
         "pool_layers", "schedule_num_layers", "pre_plan_len", "plan_len",
         "two_stage", "w8a8",
     ),
@@ -1235,12 +1296,25 @@ class CompressionEngine:
         # merge/prune decision happens BEFORE the tail, so this perturbs
         # logits only (solo executors; the batched tail stays weight-only).
         self.tail_w8a8 = tail_w8a8
-        # Planned prefill as ONE jitted program (pre-event + phase + compact +
-        # tail + cache pack) instead of five chained dispatches: one relay
-        # round trip, and XLA fuses the cross-stage gathers. Decisions are
-        # identical (same traced subgraphs). FF_PLANNED_STAGED=1 restores the
-        # staged composition for per-stage attribution.
-        self.planned_one_dispatch = os.environ.get("FF_PLANNED_STAGED") != "1"
+        # Planned-prefill dispatch granularity (decisions identical in all
+        # three — same traced subgraphs; pinned by
+        # test_engine::test_planned_dispatch_modes_match):
+        #   "staged" (default): five chained dispatches, one per stage. The
+        #     relay queues them back-to-back (device-side cost identical to
+        #     the fused forms), and the control vector materialises after the
+        #     PHASE dispatch, so its host read overlaps the tail — measured
+        #     343-355 ms, tied-or-better vs "split" and 75-90 ms better than
+        #     "one" through this relay.
+        #   "split": TWO programs — front (pre-event+phase, control out)
+        #     then back (compact+tail+pack fused). Same read-overlap
+        #     property; XLA fuses the compaction gather into the tail but it
+        #     measured a wash (353-355 ms).
+        #   "one": the whole critical path as ONE program — for directly-
+        #     attached hosts (sub-ms reads) where dispatch round trips, not
+        #     read landing, dominate; through this relay the control read
+        #     can only land after the ENTIRE program finishes (+75-90 ms).
+        # Env override: FF_PLANNED_DISPATCH=staged|split|one.
+        self.planned_dispatch = os.environ.get("FF_PLANNED_DISPATCH", "staged")
 
     # -- prefill -----------------------------------------------------------
 
@@ -1694,7 +1768,7 @@ class CompressionEngine:
             # from there, so the final compaction never needs to be larger.
             plan_len = min(plan_len, pre_plan_len)
         budget0 = compute_pruning_ratio([], ff.cost, ff.schedule_num_layers)
-        if self.planned_one_dispatch:
+        if self.planned_dispatch == "one":
             (logits, k_tail, v_tail, k_packed, v_packed, control_dev,
              pre_ctl_dev) = _planned_pipeline_program(
                 self.params, h, pos_tok, pt, jnp.int32(orig_len),
@@ -1707,7 +1781,17 @@ class CompressionEngine:
                 **phase_common,
             )
         else:
-            if two_stage:
+            split = self.planned_dispatch == "split"
+            if two_stage and split:
+                st, pos_for_compact, pt_for_compact, pre_ctl_dev = _planned_front_program(
+                    self.params, h, pos_tok, pt, jnp.int32(orig_len),
+                    jnp.int32(frame_tok0), jnp.float32(budget0),
+                    jnp.int32(image_token_start), jnp.int32(image_token_length),
+                    jnp.float32(ff.cost), jnp.float32(ff.similarity_lower_bound),
+                    jnp.float32(ff.ratio_lower_bound),
+                    pre_plan_len=pre_plan_len, **phase_common,
+                )
+            elif two_stage:
                 (h1, pos1, pt1, n_live_d, frame_tok_d, sparsity_d, n_events_d,
                  fm_d, fp_d, pre_ctl_dev) = _pre_event_program(
                     h, pos_tok, pt, jnp.int32(orig_len), jnp.int32(frame_tok0),
@@ -1745,18 +1829,27 @@ class CompressionEngine:
             # The compression-finishing layer's MLP was deferred by the phase
             # (defer_final_mlp) and runs inside the tail program at the
             # compacted bucket — value-identical, roughly half the rows.
-            h2, pos2, pt2 = _compact_state_program(
-                st["h"], pos_for_compact, pt_for_compact, st["live"], st["n_live"], new_len=plan_len
-            )
-            logits, k_tail, v_tail = _tail_program(
-                self.params, st["layer"], h2, pos2, st["n_live"], st["mlp_pending"],
-                cfg=cfg, attn_impl=self.attn_impl, w8a8=self.tail_w8a8,
-                with_pending_mlp=True,
-            )
             control_dev = st["control"]
-            k_packed, v_packed, _ = _pack_caches_program(
-                st["k_pool"], st["v_pool"], st["cache_live"]
-            )
+            if split:
+                logits, k_tail, v_tail, k_packed, v_packed = _planned_back_program(
+                    self.params, st["layer"], st["h"], pos_for_compact,
+                    pt_for_compact, st["live"], st["n_live"], st["mlp_pending"],
+                    st["k_pool"], st["v_pool"], st["cache_live"],
+                    cfg=cfg, attn_impl=self.attn_impl, w8a8=self.tail_w8a8,
+                    plan_len=plan_len,
+                )
+            else:
+                h2, pos2, pt2 = _compact_state_program(
+                    st["h"], pos_for_compact, pt_for_compact, st["live"], st["n_live"], new_len=plan_len
+                )
+                logits, k_tail, v_tail = _tail_program(
+                    self.params, st["layer"], h2, pos2, st["n_live"], st["mlp_pending"],
+                    cfg=cfg, attn_impl=self.attn_impl, w8a8=self.tail_w8a8,
+                    with_pending_mlp=True,
+                )
+                k_packed, v_packed, _ = _pack_caches_program(
+                    st["k_pool"], st["v_pool"], st["cache_live"]
+                )
 
         # Post-hoc control reads (telemetry + cache bookkeeping), off the
         # logits' critical path — they overlap the tail's execution.

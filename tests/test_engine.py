@@ -252,33 +252,39 @@ class TestPlannedMode:
                 rtol=2e-3, atol=2e-3, err_msg=f"layer {l}",
             )
 
-    def test_one_dispatch_matches_staged(self, setup):
-        """The single-program planned pipeline (one relay dispatch) and the
-        staged five-dispatch composition make identical decisions and produce
-        matching logits/caches — they trace the same jitted subgraphs."""
+    def test_planned_dispatch_modes_match(self, setup):
+        """All three planned dispatch granularities — "split" (front/back,
+        default), "one" (single program), "staged" (five dispatches) — make
+        identical decisions and produce matching logits/caches: they trace
+        the same jitted subgraphs."""
         cfg, params, ff = setup
         h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.8)
-        eng = CompressionEngine(params, cfg, ff, attn_impl="einsum")
-        assert eng.planned_one_dispatch  # the default
-        res_one = eng.prefill_planned(h, pt, pos, 6, img_start, n_img)
-        eng_staged = CompressionEngine(params, cfg, ff, attn_impl="einsum")
-        eng_staged.planned_one_dispatch = False
-        res_st = eng_staged.prefill_planned(h, pt, pos, 6, img_start, n_img)
-        assert res_one.mode == res_st.mode == "planned"
-        assert res_one.valid_len == res_st.valid_len
-        got_one = [(e.layer, e.kind, e.tokens_removed) for e in res_one.telemetry.events]
-        got_st = [(e.layer, e.kind, e.tokens_removed) for e in res_st.telemetry.events]
-        assert got_one == got_st
-        np.testing.assert_allclose(
-            np.asarray(res_one.logits), np.asarray(res_st.logits), rtol=2e-3, atol=2e-3
-        )
-        for l, (c_one, c_st) in enumerate(zip(res_one.layer_caches, res_st.layer_caches)):
-            assert c_one[2] == c_st[2], f"layer {l}"
+        results = {}
+        for mode in ("staged", "split", "one"):
+            eng = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+            if mode == "split":
+                assert eng.planned_dispatch == "staged"  # the default
+            eng.planned_dispatch = mode
+            results[mode] = eng.prefill_planned(h, pt, pos, 6, img_start, n_img)
+        base = results["staged"]
+        assert base.mode == "planned"
+        ev_base = [(e.layer, e.kind, e.tokens_removed) for e in base.telemetry.events]
+        for mode in ("one", "split"):
+            res = results[mode]
+            assert res.mode == "planned", mode
+            assert res.valid_len == base.valid_len, mode
+            got = [(e.layer, e.kind, e.tokens_removed) for e in res.telemetry.events]
+            assert got == ev_base, mode
             np.testing.assert_allclose(
-                np.asarray(c_one[0][: c_one[2]], np.float32),
-                np.asarray(c_st[0][: c_st[2]], np.float32),
-                rtol=2e-3, atol=2e-3, err_msg=f"layer {l}",
+                np.asarray(res.logits), np.asarray(base.logits), rtol=2e-3, atol=2e-3
             )
+            for l, (c_m, c_b) in enumerate(zip(res.layer_caches, base.layer_caches)):
+                assert c_m[2] == c_b[2], f"{mode} layer {l}"
+                np.testing.assert_allclose(
+                    np.asarray(c_m[0][: c_m[2]], np.float32),
+                    np.asarray(c_b[0][: c_b[2]], np.float32),
+                    rtol=2e-3, atol=2e-3, err_msg=f"{mode} layer {l}",
+                )
 
     def test_planned_decode_matches(self, setup):
         cfg, params, _ = setup

@@ -52,6 +52,34 @@ class TestSiglipVsHF:
         ours = np.asarray(siglip.encode(params, jnp.asarray(pixels), cfg, feature_layer=-2))
         np.testing.assert_allclose(ours, hs[-2].numpy(), rtol=2e-4, atol=2e-4)
 
+    def test_pallas_attention_matches_einsum(self):
+        """The fused bidirectional kernel (interpret mode) == the einsum tower
+        path, at a geometry that exercises BOTH pads (N=16 not a lane
+        multiple, hd=16 -> 128) and the in-kernel head loop."""
+        model, cfg = make_hf_siglip()
+        params = import_hf_vit(model, cfg)
+        rng = np.random.default_rng(2)
+        pixels = jnp.asarray(rng.standard_normal((3, 28, 28, 3)).astype(np.float32))
+        ref = np.asarray(siglip.encode(params, pixels, cfg, attn_impl="einsum"))
+        got = np.asarray(siglip.encode(params, pixels, cfg, attn_impl="interpret"))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+    def test_bidir_kernel_vs_reference_softmax(self):
+        """Kernel (interpret) vs plain softmax attention across head counts
+        that hit heads_per_step paths (h=4 one step, h=2 reduced hb)."""
+        from framefusion_tpu.ops.kernels.bidir_attention import flash_bidir_attention
+
+        rng = np.random.default_rng(3)
+        for b, n, h, hd in [(2, 9, 4, 16), (1, 130, 2, 8)]:
+            q = jnp.asarray(rng.standard_normal((b, n, h, hd)).astype(np.float32))
+            k = jnp.asarray(rng.standard_normal((b, n, h, hd)).astype(np.float32))
+            v = jnp.asarray(rng.standard_normal((b, n, h, hd)).astype(np.float32))
+            s = np.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(hd)
+            p = jax.nn.softmax(jnp.asarray(s), axis=-1)
+            ref = np.einsum("bhqk,bkhd->bqhd", np.asarray(p), v)
+            got = np.asarray(flash_bidir_attention(q, k, v, interpret=True))
+            np.testing.assert_allclose(got, ref, rtol=2e-5, atol=2e-5)
+
 
 def make_hf_qwen2vl_tower():
     from transformers import Qwen2VLConfig
@@ -104,6 +132,19 @@ class TestQwen2VLViTVsHF:
             hf = tower(torch.tensor(patches), grid_thw=torch.tensor([[gt, gh, gw]])).numpy()
         ours = np.asarray(vit.encode_video(params, jnp.asarray(patches), gt, gh, gw, cfg))
         np.testing.assert_allclose(ours, hf, rtol=2e-4, atol=2e-4)
+
+    def test_pallas_attention_matches_einsum(self):
+        from framefusion_tpu.models.vision import qwen2_vl_vit as vit
+
+        _, params, cfg = make_hf_qwen2vl_tower()
+        rng = np.random.default_rng(2)
+        frames = rng.standard_normal((4, 28, 28, 3)).astype(np.float32)
+        patches, (gt, gh, gw) = vit.pixels_to_patches(frames, cfg)
+        ref = np.asarray(vit.encode_video(params, jnp.asarray(patches), gt, gh, gw, cfg,
+                                          attn_impl="einsum"))
+        got = np.asarray(vit.encode_video(params, jnp.asarray(patches), gt, gh, gw, cfg,
+                                          attn_impl="interpret"))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
     def test_patch_layout_matches_hf_processor(self):
         """pixels_to_patches must emit the HF Qwen2VLImageProcessor layout
@@ -277,6 +318,16 @@ class TestInternVLViTVsHF:
     """InternViT + pixel-shuffle feature extraction (the reference's
     ``extract_feature``, modeling_internvl_chat.py:19-33) vs the HF-format
     InternVL port."""
+
+    def test_pallas_attention_matches_einsum(self):
+        from framefusion_tpu.models.vision import internvl_vit as ivit
+
+        _, vit_params, _, cfg = make_hf_internvl_model()
+        rng = np.random.default_rng(3)
+        pixels = jnp.asarray(rng.standard_normal((2, 28, 28, 3)).astype(np.float32))
+        ref = np.asarray(ivit.encode(vit_params, pixels, cfg, attn_impl="einsum"))
+        got = np.asarray(ivit.encode(vit_params, pixels, cfg, attn_impl="interpret"))
+        np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
     def test_tower_last_hidden_matches(self):
         from transformers import InternVLVisionConfig
