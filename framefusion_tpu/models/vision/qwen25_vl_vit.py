@@ -14,13 +14,20 @@ tests/test_vision.py::TestQwen25VLViTVsHF):
     (gate/up/down, silu);
   * patch embed / 2D rotary / PatchMerger otherwise as Qwen2-VL.
 
-TPU formulation: the window/frame raggedness becomes a SEGMENT-ID mask on
-one batched attention einsum — segment ids are computed host-side per grid
-shape (static) and compared inside the kernel (seg[i] == seg[j]), so the
-whole forward stays one jitted program with static shapes. For
-production-scale grids the natural next step is padded-window batched
-attention (windows padded to the modal 64-token size, one (n_windows, 64)
-batch einsum); the segment mask is the shape-agnostic baseline.
+TPU formulation: two attention paths, identical decisions (same token sets
+attend; parity pinned in tests/test_vision.py::TestQwen25VLViTVsHF):
+
+  * ``attn_impl="masked"``: the window/frame raggedness becomes a SEGMENT-ID
+    mask on one batched (N, N) attention einsum — segment ids are computed
+    host-side per grid shape (static) and compared in-graph. Shape-agnostic
+    oracle; O(N^2) score materialisation makes it tiny-grid-only.
+  * ``attn_impl="windowed"`` (default): padded-window batched attention —
+    tokens gather into a STATIC (n_windows, window_cap) layout (host-side
+    per-grid indices; ragged edge windows key-masked), one batched einsum
+    over 64-token windows, scatter-free un-gather. Full-attention blocks
+    reshape per frame and ride the fused bidirectional Pallas kernel on TPU
+    (ops/kernels/bidir_attention.py; batched einsum elsewhere). Compute and
+    HBM are O(N * window_cap) for window blocks — production-grid viable.
 """
 
 from __future__ import annotations
@@ -189,6 +196,46 @@ def window_layout(grid_t: int, grid_h: int, grid_w: int, cfg: Qwen25VLViTConfig)
     return window_index, token_perm, inv_perm, seg_window, seg_full
 
 
+def padded_window_layout(grid_t: int, grid_h: int, grid_w: int,
+                         cfg: Qwen25VLViTConfig):
+    """Host-side indices for the padded-window attention layout.
+
+    Windows are contiguous, variable-length spans of the PERMUTED token
+    order (``window_layout``'s invariant). Padding each to the
+    ``window_cap`` = (window_size/merge/patch)^2 * merge_unit token maximum
+    (64 at production geometry) turns the ragged per-window attention into
+    ONE static batched einsum; edge windows are key-masked.
+
+    Returns (win_gather (nw, cap) indices into the permuted array with ``n``
+    as the pad slot, win_valid (nw, cap) bool, back_idx (n,) mapping
+    permuted position -> flat padded index). Gather/back-gather are
+    inverse row gathers — no scatters (scatters serialize on TPU).
+    """
+    m = cfg.spatial_merge_size
+    win = cfg.window_size // m // cfg.patch_size
+    mu = cfg.merge_unit
+    n = grid_t * grid_h * grid_w
+    llm_h, llm_w = grid_h // m, grid_w // m
+    pad_h, pad_w = win - llm_h % win, win - llm_w % win
+    nwh, nww = (llm_h + pad_h) // win, (llm_w + pad_w) // win
+    padded = np.zeros((grid_t, llm_h + pad_h, llm_w + pad_w), np.int64)
+    padded[:, :llm_h, :llm_w] = 1
+    padded = padded.reshape(grid_t, nwh, win, nww, win).transpose(0, 1, 3, 2, 4)
+    tok_lens = padded.reshape(grid_t * nwh * nww, -1).sum(axis=1) * mu
+    starts = np.concatenate([[0], np.cumsum(tok_lens)])[:-1]
+    keep = tok_lens > 0  # HF's always-pad quirk yields fully-empty windows
+    starts, tok_lens = starts[keep], tok_lens[keep]
+    cap = win * win * mu
+    slots = np.arange(cap, dtype=np.int64)
+    win_valid = slots[None, :] < tok_lens[:, None]
+    win_gather = np.where(win_valid, starts[:, None] + slots[None, :], n)
+    # Valid slots enumerate permuted positions 0..n-1 in order (windows tile
+    # the permuted sequence contiguously), so the inverse is a flat gather.
+    back_idx = np.flatnonzero(win_valid.reshape(-1))
+    assert back_idx.shape == (n,)
+    return win_gather, win_valid, back_idx
+
+
 def _vision_rope(grid_h, grid_w, cfg: Qwen25VLViTConfig):
     """(h*w, head_dim) cos/sin in merge-block order — identical construction
     to qwen2_vl_vit.vision_rope_cos_sin (HF shares ``rot_pos_emb``)."""
@@ -202,22 +249,33 @@ def _vision_rope(grid_h, grid_w, cfg: Qwen25VLViTConfig):
     return vision_rope_cos_sin(grid_h, grid_w, proxy)
 
 
-@functools.partial(jax.jit, static_argnames=("grid_t", "grid_h", "grid_w", "cfg"))
+@functools.partial(jax.jit, static_argnames=("grid_t", "grid_h", "grid_w", "cfg", "attn_impl"))
 def encode_video(params: dict, patches: jnp.ndarray, grid_t: int, grid_h: int,
-                 grid_w: int, cfg: Qwen25VLViTConfig) -> jnp.ndarray:
+                 grid_w: int, cfg: Qwen25VLViTConfig, attn_impl: str = "auto") -> jnp.ndarray:
     """(grid_t*grid_h*grid_w, C*tp*p*p) pixel patches (HF processor layout,
     same as Qwen2-VL) -> (N/merge_unit, out_hidden_size) embedding rows in
-    the ORIGINAL (pre-window-permutation) merged order."""
+    the ORIGINAL (pre-window-permutation) merged order.
+
+    ``attn_impl``: "auto" = "windowed" (full-attention blocks ride the fused
+    Pallas kernel on TPU, batched einsum elsewhere); "windowed-interpret"
+    runs that kernel interpreted (CPU tests); "masked" is the O(N^2)
+    segment-mask oracle (module docstring).
+    """
     n = grid_t * grid_h * grid_w
     assert patches.shape == (n, cfg.patch_dim), patches.shape
     nh, hd = cfg.num_heads, cfg.head_dim
-    scale = jnp.float32(1.0 / hd ** 0.5)
+    scale = 1.0 / hd ** 0.5
     mu = cfg.merge_unit
+    if attn_impl == "auto":
+        attn_impl = "windowed"
+    full_impl = "einsum"
+    if attn_impl == "windowed" and jax.default_backend() == "tpu":
+        full_impl = "pallas"
+    elif attn_impl == "windowed-interpret":
+        attn_impl, full_impl = "windowed", "interpret"
 
     window_index, token_perm, _, seg_window, seg_full = window_layout(grid_t, grid_h, grid_w, cfg)
     token_perm = jnp.asarray(token_perm)
-    seg_w = jnp.asarray(seg_window)
-    seg_f = jnp.asarray(seg_full)
 
     x = patches.astype(cfg.dtype) @ params["patch_proj"]  # (N, D)
     cos1, sin1 = _vision_rope(grid_h, grid_w, cfg)  # (hw, hd) one frame
@@ -225,10 +283,59 @@ def encode_video(params: dict, patches: jnp.ndarray, grid_t: int, grid_h: int,
     sin = jnp.tile(sin1, (grid_t, 1))[token_perm]
     x = x[token_perm]
 
-    seg_masks = {
-        False: seg_w[:, None] == seg_w[None, :],
-        True: seg_f[:, None] == seg_f[None, :],
-    }
+    hw = grid_h * grid_w
+    if attn_impl == "masked":
+        seg_w, seg_f = jnp.asarray(seg_window), jnp.asarray(seg_full)
+        seg_masks = {
+            False: seg_w[:, None] == seg_w[None, :],
+            True: seg_f[:, None] == seg_f[None, :],
+        }
+    else:
+        wg, wv, back = padded_window_layout(grid_t, grid_h, grid_w, cfg)
+        win_gather = jnp.asarray(wg.reshape(-1))
+        key_ok = jnp.asarray(wv)[:, None, None, :]  # (nw, 1, 1, cap)
+        back_idx = jnp.asarray(back)
+        nw, cap = wv.shape
+
+    def attend(q, k, v, full_att: bool):
+        """(N, nh, hd) q/k/v in permuted order -> (N, nh, hd) context."""
+        if full_att and full_impl in ("pallas", "interpret"):
+            from ...ops.kernels.bidir_attention import flash_bidir_attention
+
+            out = flash_bidir_attention(
+                q.reshape(grid_t, hw, nh, hd), k.reshape(grid_t, hw, nh, hd),
+                v.reshape(grid_t, hw, nh, hd), scale=scale,
+                interpret=full_impl == "interpret")
+            return out.reshape(n, nh, hd)
+        if attn_impl == "masked":
+            scores = jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32)
+            scores = jnp.where(seg_masks[full_att][None], scores * jnp.float32(scale),
+                               jnp.float32(-1e30))
+            probs = jax.nn.softmax(scores, axis=-1)
+            return jnp.einsum("hqk,khd->qhd", probs.astype(v.dtype), v,
+                              preferred_element_type=jnp.float32).astype(q.dtype)
+        if full_att:
+            qf = q.reshape(grid_t, hw, nh, hd)
+            kf = k.reshape(grid_t, hw, nh, hd)
+            vf = v.reshape(grid_t, hw, nh, hd)
+            scores = jnp.einsum("tqhd,tkhd->thqk", qf, kf,
+                                preferred_element_type=jnp.float32) * jnp.float32(scale)
+            probs = jax.nn.softmax(scores, axis=-1)
+            out = jnp.einsum("thqk,tkhd->tqhd", probs.astype(v.dtype), vf,
+                             preferred_element_type=jnp.float32)
+            return out.reshape(n, nh, hd).astype(q.dtype)
+        # Padded-window batch: row-gather into (nw, cap), attend, un-gather.
+        pad = jnp.zeros((1, nh, hd), q.dtype)
+        qw = jnp.take(jnp.concatenate([q, pad]), win_gather, axis=0).reshape(nw, cap, nh, hd)
+        kw = jnp.take(jnp.concatenate([k, pad]), win_gather, axis=0).reshape(nw, cap, nh, hd)
+        vw = jnp.take(jnp.concatenate([v, pad]), win_gather, axis=0).reshape(nw, cap, nh, hd)
+        scores = jnp.einsum("wqhd,wkhd->whqk", qw, kw,
+                            preferred_element_type=jnp.float32) * jnp.float32(scale)
+        scores = jnp.where(key_ok, scores, jnp.float32(-1e30))
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("whqk,wkhd->wqhd", probs.astype(v.dtype), vw,
+                         preferred_element_type=jnp.float32)
+        return jnp.take(out.reshape(nw * cap, nh, hd), back_idx, axis=0).astype(q.dtype)
 
     def block(x, lp, full_att: bool):
         z = _rmsnorm(x, lp["ln1_w"], cfg.rms_norm_eps)
@@ -238,12 +345,7 @@ def encode_video(params: dict, patches: jnp.ndarray, grid_t: int, grid_h: int,
         s = sin[:, None, :]
         q = (q.astype(jnp.float32) * c + _rotate_half(q.astype(jnp.float32)) * s).astype(x.dtype)
         k = (k.astype(jnp.float32) * c + _rotate_half(k.astype(jnp.float32)) * s).astype(x.dtype)
-        scores = jnp.einsum("qhd,khd->hqk", q, k, preferred_element_type=jnp.float32) * scale
-        scores = jnp.where(seg_masks[full_att][None], scores, jnp.float32(-1e30))
-        probs = jax.nn.softmax(scores, axis=-1)
-        out = jnp.einsum("hqk,khd->qhd", probs.astype(v.dtype), v,
-                         preferred_element_type=jnp.float32)
-        out = out.reshape(n, cfg.hidden_size).astype(x.dtype)
+        out = attend(q, k, v, full_att).reshape(n, cfg.hidden_size).astype(x.dtype)
         x = x + (out @ lp["wo"] + lp["bo"])
         z = _rmsnorm(x, lp["ln2_w"], cfg.rms_norm_eps)
         gated = jax.nn.silu(z @ lp["w_gate"] + lp["b_gate"]) * (z @ lp["w_up"] + lp["b_up"])

@@ -252,6 +252,24 @@ class TestQwen25VLViTVsHF:
         ours = np.asarray(vit25.encode_video(params, jnp.asarray(patches), gt, gh, gw, cfg))
         np.testing.assert_allclose(ours, hf, rtol=3e-4, atol=3e-4)
 
+    def test_windowed_matches_masked_oracle(self):
+        """Padded-window batched attention (the production path, incl. the
+        full-attention blocks through the interpreted Pallas kernel) ==
+        the O(N^2) segment-mask oracle, on a grid with ragged edge windows."""
+        from framefusion_tpu.models.vision import qwen25_vl_vit as vit25
+        from framefusion_tpu.models.vision.qwen2_vl_vit import pixels_to_patches
+
+        _, params, cfg = make_hf_qwen25vl_tower()
+        rng = np.random.default_rng(7)
+        frames = rng.standard_normal((6, 42, 56, 3)).astype(np.float32)
+        patches, (gt, gh, gw) = pixels_to_patches(frames, cfg)
+        ref = np.asarray(vit25.encode_video(params, jnp.asarray(patches), gt, gh, gw, cfg,
+                                            attn_impl="masked"))
+        for impl in ("windowed", "windowed-interpret"):
+            got = np.asarray(vit25.encode_video(params, jnp.asarray(patches), gt, gh, gw,
+                                                cfg, attn_impl=impl))
+            np.testing.assert_allclose(got, ref, rtol=3e-4, atol=3e-4, err_msg=impl)
+
     def test_pixels_to_answer_through_pipeline(self):
         import jax
 
