@@ -478,6 +478,27 @@ def check_kernels() -> int:
         lambda: sink_flash_attention(q, k, v, 8, 1024),
         lambda: causal_attention_chunked(q, k, v, sink=(8, 1024)))
 
+    # bidirectional vision-tower kernel: so400m geometry (N=729 pads to 768,
+    # hd=72 pads to 128, in-kernel head loop) + the InternViT hd=64/N=1025
+    # shape that exercises the VMEM-aware heads_per_step reduction
+    from framefusion_tpu.ops.kernels.bidir_attention import flash_bidir_attention
+
+    def bidir_ref(q4, k4, v4):
+        s = jnp.einsum("bqhd,bkhd->bhqk", q4, k4,
+                       preferred_element_type=jnp.float32) / np.sqrt(q4.shape[-1])
+        p = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("bhqk,bkhd->bqhd", p.astype(v4.dtype), v4,
+                          preferred_element_type=jnp.float32)
+
+    for name, b, nn, hh, dd in [("bidir so400m (729x16x72)", 4, 729, 16, 72),
+                                ("bidir internvit (1025x16x64)", 2, 1025, 16, 64)]:
+        q4 = jnp.asarray(rng.standard_normal((b, nn, hh, dd)) * 0.1, jnp.bfloat16)
+        k4 = jnp.asarray(rng.standard_normal((b, nn, hh, dd)) * 0.1, jnp.bfloat16)
+        v4 = jnp.asarray(rng.standard_normal((b, nn, hh, dd)) * 0.1, jnp.bfloat16)
+        run(name,
+            lambda q4=q4, k4=k4, v4=v4: jax.jit(flash_bidir_attention)(q4, k4, v4),
+            lambda q4=q4, k4=k4, v4=v4: bidir_ref(q4, k4, v4))
+
     # ragged decode kernel
     from framefusion_tpu.ops.attention import decode_attention
     from framefusion_tpu.ops.kernels.decode_attention import ragged_decode_attention
