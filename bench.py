@@ -702,6 +702,26 @@ def main():
             break  # CPU geometry is fixed; no point re-running the ladder
 
     if record is None:
+        # A claim poisoned at process start (claiming while another TPU
+        # process was inside its ~100 s exit hang) stays poisoned for THIS
+        # process's lifetime — every in-process retry then fails with
+        # ResourceExhausted/Aborted TPU backend errors (two full ladders
+        # lost to this on 2026-08-19). A fresh process claims cleanly:
+        # re-exec (bounded) after letting the stale holder finish dying.
+        claim_poisoned = all(
+            ("RESOURCE_EXHAUSTED" in e or "ABORTED" in e) and "TPU backend error" in e
+            for e in errors
+        ) and errors
+        reexecs = int(os.environ.get("BENCH_CLAIM_REEXECS", "0"))
+        if claim_poisoned and backend == "tpu" and reexecs < 2:
+            os.environ["BENCH_CLAIM_REEXECS"] = str(reexecs + 1)
+            sys.stderr.write(
+                f"bench: TPU claim poisoned ({errors[0][:80]}...); "
+                f"re-exec {reexecs + 1}/2 in 120s\n")
+            sys.stderr.flush()
+            done.set()  # disarm the watchdog; the new process re-arms its own
+            time.sleep(120.0)
+            os.execv(sys.executable, [sys.executable, os.path.abspath(__file__)])
         record = {
             "metric": "llm_prefill_speedup_64frames",
             "value": None,
