@@ -1,0 +1,195 @@
+"""Speculative-decode probe on a TRAINED model: acceptance that means something.
+
+The r4 bench withheld its speculative-serving wall-clock because on
+random-init weights one bf16 near-tie flip desynchronizes the lookup
+history and the acceptance rate reflects the input, not the machinery
+(DEVNOTES r4). This probe supplies the missing signal the way
+scripts/accuracy_probe.py does for quality: train a tiny stack on a task
+whose decode output is a verbatim prompt n-gram — "echo frames q and q+1"
+over the same redundant synthetic video — which is exactly the workload
+prompt-lookup drafting targets (the reference's decode story has no
+speculation at all; its decode is HF ``generate`` one token at a time,
+/root/reference/script/playground/example_llava.py:146).
+
+Reported per configuration (dense prefill / FrameFusion-compressed prefill;
+solo / batched):
+  * greedy_match   — speculative output == plain greedy (the invariant);
+  * echo_accuracy  — the trained model actually performs the task;
+  * acceptance     — accepted / drafted;
+  * tokens_per_weight_pass — decode tokens per verify pass
+    (1.0 = plain decode, draft_len+1 = perfect speculation). This is the
+    hardware-independent win: each verify pass streams the weights once.
+
+Usage:
+  python scripts/spec_probe.py --json SPEC_r04.json     # full run
+  python scripts/spec_probe.py --steps 200 --eval 8     # smoke
+"""
+
+import argparse
+import json
+
+import common  # noqa: F401  (sys.path + compile cache)
+import numpy as np
+
+import jax.numpy as jnp
+
+from accuracy_probe import (
+    BOS,
+    N_FRAMES,
+    PATCH_NUM,
+    QUERY_BASE,
+    VOCAB,
+    train,
+)
+
+
+def make_echo_instance(rng):
+    """Prompt = [BOS] video query(q); answer = video[q] ++ video[q+1]
+    (10 tokens, one CONTIGUOUS prompt substring — q < N_FRAMES-1)."""
+    from accuracy_probe import make_instance
+
+    ids, _, _ = make_instance(rng)  # reuse the video generator
+    video = ids[1 : 1 + N_FRAMES * PATCH_NUM].reshape(N_FRAMES, PATCH_NUM)
+    q = int(rng.integers(0, N_FRAMES - 1))
+    answer = np.concatenate([video[q], video[q + 1]])
+    full = np.concatenate([[BOS], video.reshape(-1), [QUERY_BASE + q], answer])
+    return full.astype(np.int32), q, answer
+
+
+def build_prompt(full, n_answer):
+    prompt = full[: len(full) - n_answer]
+    patch_type = np.full(len(prompt), -1, np.int32)
+    patch_type[1 : 1 + N_FRAMES * PATCH_NUM] = np.tile(np.arange(PATCH_NUM), N_FRAMES)
+    pos = np.arange(len(prompt), dtype=np.int32)
+    return prompt, patch_type, pos
+
+
+def run_config(engine, params, cfg, instances, *, compressed, draft_len, batched):
+    from framefusion_tpu.models import qwen2
+
+    n_ans = 2 * PATCH_NUM
+    results, prompts, answers, greedy = [], [], [], []
+    for full, _, answer in instances:
+        prompt, patch_type, pos = build_prompt(full, n_ans)
+        h = qwen2.embed(params, jnp.asarray(prompt), cfg)
+        if compressed:
+            res = engine.prefill(h, patch_type, pos, patch_num=PATCH_NUM,
+                                 image_token_start=1,
+                                 image_token_length=N_FRAMES * PATCH_NUM)
+        else:
+            res = engine.dense_prefill(h, pos)
+        greedy.append(engine.generate_greedy(res, n_ans))
+        # fresh prefill: decode consumed the result's pools
+        if compressed:
+            res = engine.prefill(h, patch_type, pos, patch_num=PATCH_NUM,
+                                 image_token_start=1,
+                                 image_token_length=N_FRAMES * PATCH_NUM)
+        else:
+            res = engine.dense_prefill(h, pos)
+        results.append(res)
+        prompts.append([int(t) for t in prompt])
+        answers.append(answer)
+
+    if batched:
+        toks, stats = engine.generate_spec_batch(
+            results, n_ans, draft_len=draft_len, prompt_ids=prompts,
+            return_stats=True)
+        spec = [[int(t) for t in row] for row in np.asarray(toks)]
+    else:
+        spec, macro, drafted, accepted = [], 0, 0, 0
+        for res, prompt in zip(results, prompts):
+            t, st = engine.generate_spec(res, n_ans, draft_len=draft_len,
+                                         prompt_ids=prompt, return_stats=True)
+            spec.append([int(x) for x in t])
+            macro += int(st["macro_steps"])
+            drafted += int(st["drafted"])
+            accepted += int(st["accepted"])
+        stats = {"macro_steps": macro, "drafted": drafted, "accepted": accepted}
+
+    def total(v):
+        # batched stats are per-sequence lists/arrays; solo are scalars
+        return int(np.sum(np.asarray(v)))
+
+    stats = {k: total(v) for k, v in stats.items() if k in
+             ("macro_steps", "drafted", "accepted")}
+    n = len(instances)
+    match = all(s == g for s, g in zip(spec, greedy))
+    echo_acc = float(np.mean([
+        np.mean(np.asarray(s) == a) for s, a in zip(spec, answers)]))
+    macro = int(stats["macro_steps"])
+    return {
+        "greedy_match": bool(match),
+        "echo_accuracy": round(echo_acc, 3),
+        "acceptance": round(int(stats["accepted"]) / max(int(stats["drafted"]), 1), 3),
+        "tokens_per_weight_pass": round(n * (n_ans - 1) / max(macro, 1), 2),
+        "macro_steps": macro,
+        "plain_decode_steps": n * (n_ans - 1),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=3000)
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--eval", type=int, default=16)
+    ap.add_argument("--draft-len", type=int, default=4)
+    ap.add_argument("--json", type=str, default=None)
+    args = ap.parse_args()
+
+    from framefusion_tpu.config import FrameFusionConfig, tiny_llm_config
+    from framefusion_tpu.runtime.engine import CompressionEngine
+
+    # Monkey-patch the training stream to the echo task: train() draws via
+    # accuracy_probe.make_batch, which stacks make_instance()[0] rows — give
+    # it the echo builder instead (same vocab, longer targets).
+    import accuracy_probe as ap_mod
+
+    def echo_batch(rng, batch):
+        return np.stack([make_echo_instance(rng)[0] for _ in range(batch)])
+
+    ap_mod.make_batch = echo_batch
+
+    cfg = tiny_llm_config(vocab_size=VOCAB)
+    print(f"training {cfg.num_layers}L/d{cfg.hidden_size} on two-frame echo "
+          f"({args.steps} steps x {args.batch}) ...")
+    params, loss = train(cfg, args.steps, args.batch, args.lr)
+    print(f"final loss {loss:.4f}")
+
+    rng = np.random.default_rng(4321)
+    instances = [make_echo_instance(rng) for _ in range(args.eval)]
+
+    dense_engine = CompressionEngine(params, cfg, FrameFusionConfig(), attn_impl="einsum")
+    ff = FrameFusionConfig(cost=0.8, similarity_lower_bound=0.6,
+                           ratio_lower_bound=0.05,
+                           schedule_num_layers=cfg.num_layers)
+    ff_engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+
+    record = {
+        "task": "echo frames q,q+1 (10-token contiguous prompt substring) over "
+                "redundant synthetic video",
+        "model": f"qwen2-tiny {cfg.num_layers}L d{cfg.hidden_size} vocab {VOCAB}",
+        "train_steps": args.steps, "final_loss": round(loss, 4),
+        "eval_instances": args.eval, "draft_len": args.draft_len,
+    }
+    for name, eng, compressed, batched in [
+        ("dense_solo", dense_engine, False, False),
+        ("dense_batched", dense_engine, False, True),
+        ("framefusion_solo", ff_engine, True, False),
+        ("framefusion_batched", ff_engine, True, True),
+    ]:
+        r = run_config(eng, params, cfg, instances, compressed=compressed,
+                       draft_len=args.draft_len, batched=batched)
+        record[name] = r
+        print(f"  {name:22s} match={r['greedy_match']} echo_acc={r['echo_accuracy']:.3f} "
+              f"acceptance={r['acceptance']:.3f} tok/pass={r['tokens_per_weight_pass']:.2f}")
+
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(record, f, indent=1)
+        print(f"wrote {args.json}")
+    return record
+
+
+if __name__ == "__main__":
+    main()
