@@ -486,8 +486,8 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                 text_post = jax.device_put(jnp.asarray(
                     rng.standard_normal((14, cfg.hidden_size)) * 0.05, cfg.dtype))
 
-                @jax.jit
-                def _assemble(vit_p, proj_p, pre, post, frs):
+                @functools.partial(jax.jit, static_argnames="w8a8")
+                def _assemble(vit_p, proj_p, pre, post, frs, w8a8=False):
                     # Tower params enter as ARGUMENTS: a closure would bake
                     # the ~0.8 GB so400m weights into the HLO as constants
                     # and the relay's remote compiler rejects the payload
@@ -498,11 +498,11 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                         chunks = frs.reshape(frs.shape[0] // fb, fb, *frs.shape[1:])
                         toks = jax.lax.map(
                             lambda c: encode_video(vit_p, vit_cfg, proj_p, c,
-                                                   frame_batch=fb),
+                                                   frame_batch=fb, w8a8=w8a8),
                             chunks)
                         toks = toks.reshape(-1, toks.shape[-1])
                     else:
-                        toks = encode_video(vit_p, vit_cfg, proj_p, frs)
+                        toks = encode_video(vit_p, vit_cfg, proj_p, frs, w8a8=w8a8)
                     # match the LLM-phase activation scale so compression
                     # trajectories resemble the headline geometry
                     toks = toks.astype(jnp.float32)
@@ -561,6 +561,61 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                     "e2e_vision_seq_len": int(len(vt_patch_type)),
                     "vision_encode_ms": round(encode_t * 1e3, 1),
                 })
+
+                # W8A8 tower variant (this framework's own serving feature,
+                # like int8 decode below): quantize the encoder matmuls to
+                # int8·int8 MXU pairs — the tower is compute-bound, and BOTH
+                # sides share it, so quantization shifts the constant encode
+                # term without favoring either side. Gated by time budget:
+                # the quantized tower is a fresh (cold-cache ~7 min) compile.
+                try:
+                    if time.perf_counter() - t_start > watchdog_s - 600:
+                        raise TimeoutError("skipped: insufficient time budget left")
+                    vit = siglip.quantize_tower_int8(vit)
+
+                    def assemble_q(frs):
+                        return _assemble(vit, proj, text_pre, text_post, frs, w8a8=True)
+
+                    def vis_dense_q(frs):
+                        r = engine.dense_prefill(assemble_q(frs), vt_pos)
+                        toks = engine.generate_device(r, max_new_tokens=vis_new_tokens)
+                        del r
+                        return toks
+
+                    def vis_ff_q(frs):
+                        r = engine.prefill(
+                            assemble_q(frs), vt_patch_type, vt_pos, patch_num=vis_pn,
+                            image_token_start=35, image_token_length=n_vis,
+                            mode="auto")
+                        toks = engine.generate_device(r, max_new_tokens=vis_new_tokens)
+                        del r
+                        return toks
+
+                    encode_q_t, _ = timed(assemble_q, x=frames, max_chain=4, rounds=2)
+                    gc.collect()
+                    vis_dense_q_t, _ = timed(vis_dense_q, x=frames, max_chain=2, rounds=2)
+                    gc.collect()
+                    vis_ff_q_t, _ = timed(vis_ff_q, x=frames, max_chain=2, rounds=2)
+                    gc.collect()
+                    q_retimed = False
+                    if vis_ff_q_t > vis_dense_q_t:  # same plausibility rule as bf16
+                        q_retimed = True
+                        t2, _ = timed(vis_ff_q, x=frames, max_chain=1, rounds=2)
+                        gc.collect()
+                        d2, _ = timed(vis_dense_q, x=frames, max_chain=1, rounds=2)
+                        gc.collect()
+                        vis_ff_q_t = min(vis_ff_q_t, t2)
+                        vis_dense_q_t = min(vis_dense_q_t, d2)
+                    detail.update({
+                        "e2e_with_vision_w8a8_tower_speedup": round(
+                            vis_dense_q_t / vis_ff_q_t, 3),
+                        "e2e_with_vision_w8a8_tower_retimed": q_retimed,
+                        "e2e_with_vision_w8a8_tower_dense_ms": round(vis_dense_q_t * 1e3, 1),
+                        "e2e_with_vision_w8a8_tower_framefusion_ms": round(vis_ff_q_t * 1e3, 1),
+                        "vision_encode_w8a8_ms": round(encode_q_t * 1e3, 1),
+                    })
+                except Exception as e:  # noqa: BLE001 — optional sub-phase
+                    detail["e2e_vision_w8a8_error"] = f"{type(e).__name__}: {str(e)[:200]}"
             except Exception as e:  # noqa: BLE001 — vision e2e is best-effort
                 detail["e2e_vision_error"] = f"{type(e).__name__}: {str(e)[:200]}"
             finally:

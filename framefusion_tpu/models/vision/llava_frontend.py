@@ -53,17 +53,21 @@ def encode_video(
     feature_layer: int = -2,
     pool_stride: int = 2,
     frame_batch: int = 16,
+    attn_impl: str = "auto",
+    w8a8: bool = False,
 ) -> jnp.ndarray:
     """(n_frames, H, W, 3) pixels -> (n_frames * patch_num, llm_dim) tokens.
 
     patch_num = pooled_side * (pooled_side + 1): each pooled row is followed
     by the learned newline token. Frames are encoded in batches of
     ``frame_batch`` — the ViT's full-attention activations for 64 frames at
-    384px would not fit next to a resident 7B LLM.
+    384px would not fit next to a resident 7B LLM. ``w8a8`` rides int8
+    encoder matmuls (siglip.quantize_tower_int8 params required).
     """
 
     def encode_batch(batch):
-        feats = siglip.encode(vit_params, batch, vit_cfg, feature_layer=feature_layer)
+        feats = siglip.encode(vit_params, batch, vit_cfg, feature_layer=feature_layer,
+                              attn_impl=attn_impl, w8a8=w8a8)
         feats = project(proj, feats)
         grid, pooled_side = pool_2d(feats, vit_cfg.patches_per_side, pool_stride)
         b, ps, d = grid.shape[0], pooled_side, grid.shape[-1]

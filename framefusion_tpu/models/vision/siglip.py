@@ -17,6 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..qwen2 import mm
 from ...weights import to_numpy
 
 
@@ -115,6 +116,35 @@ def params_from_hf(state_dict, cfg: ViTConfig, prefix: str = "vision_model."):
     }
 
 
+#: Stacked (L, K, O) encoder matmul weights eligible for int8 quantization.
+#: Norms, biases, the patch embedding, and the position table stay bf16
+#: (tiny, and the patch embed's K=3·ps² is narrow — no MXU win).
+QUANTIZED_TOWER_WEIGHTS = ("wq", "wk", "wv", "wo", "w_fc1", "w_fc2")
+
+
+def quantize_tower_int8(params: dict) -> dict:
+    """Quantize the encoder matmul stacks to per-output-channel int8.
+
+    Same math/leaf-pair convention as the LLM path (ops/quant.quantize_weight:
+    ``{"q8", "scale"}``; models/qwen2.mm dispatches on it). CONSUMES ``params``
+    like quantize_params_int8 — the so400m tower is ~0.8 GB bf16 and is
+    quantized while a 13 GB LLM is resident, so bf16 originals are dropped
+    per tensor. ViT encoders are int8-robust: both A/B sides share the
+    encoder, so tower quantization never skews the dense-vs-FF comparison.
+    """
+    from ...ops.quant import quantize_weight
+
+    layers = params["layers"]
+    for name in QUANTIZED_TOWER_WEIGHTS:
+        w = layers.get(name)
+        if w is not None and not isinstance(w, dict):
+            layers[name] = None
+            layers[name] = quantize_weight(w)
+            del w
+            float(jnp.sum(layers[name]["scale"][..., :1]))  # drain the free queue
+    return params
+
+
 def _layernorm(x, w, b, eps):
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)
@@ -122,19 +152,24 @@ def _layernorm(x, w, b, eps):
     return ((xf - mu) * jax.lax.rsqrt(var + eps)).astype(x.dtype) * w + b
 
 
-def _mha(lp, x, num_heads, attn_impl="einsum"):
+def _mha(lp, x, num_heads, attn_impl="einsum", w8a8=False):
     """Batched bidirectional MHA: x (B, N, D) -> (B, N, D).
 
     ``attn_impl="pallas"`` rides the fused non-causal kernel
     (ops/kernels/bidir_attention.py): the einsum path materialises the
     (B·H, N, N) fp32 scores AND probabilities in HBM every layer — ~2x the
     tower's matmul floor at so400m/64-frame geometry (DEVNOTES r4).
-    ``"interpret"`` runs the same kernel interpreted (CPU parity tests)."""
+    ``"interpret"`` runs the same kernel interpreted (CPU parity tests).
+
+    Weights may be int8 pairs (quantize_tower_int8); ``w8a8=True``
+    additionally quantizes activations per row and contracts int8·int8 on
+    the MXU (models/qwen2.mm semantics — the tower is compute-bound, so the
+    ~1.5x int8 matmul rate is a real encode win)."""
     b, n, d = x.shape
     hd = d // num_heads
-    q = (x @ lp["wq"] + lp["bq"]).reshape(b, n, num_heads, hd)
-    k = (x @ lp["wk"] + lp["bk"]).reshape(b, n, num_heads, hd)
-    v = (x @ lp["wv"] + lp["bv"]).reshape(b, n, num_heads, hd)
+    q = (mm(x, lp["wq"], w8a8) + lp["bq"]).reshape(b, n, num_heads, hd)
+    k = (mm(x, lp["wk"], w8a8) + lp["bk"]).reshape(b, n, num_heads, hd)
+    v = (mm(x, lp["wv"], w8a8) + lp["bv"]).reshape(b, n, num_heads, hd)
     if attn_impl in ("pallas", "interpret"):
         from ...ops.kernels.bidir_attention import flash_bidir_attention
 
@@ -144,11 +179,11 @@ def _mha(lp, x, num_heads, attn_impl="einsum"):
         probs = jax.nn.softmax(scores / jnp.sqrt(hd).astype(jnp.float32), axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32)
-    return out.reshape(b, n, d).astype(x.dtype) @ lp["wo"] + lp["bo"]
+    return mm(out.reshape(b, n, d).astype(x.dtype), lp["wo"], w8a8) + lp["bo"]
 
 
 def encode(params: dict, pixels: jnp.ndarray, cfg: ViTConfig, feature_layer: int = -1,
-           attn_impl: str = "auto"):
+           attn_impl: str = "auto", w8a8: bool = False):
     """Encode images.
 
     Args:
@@ -160,6 +195,7 @@ def encode(params: dict, pixels: jnp.ndarray, cfg: ViTConfig, feature_layer: int
         attn_impl: "auto" (fused Pallas kernel on TPU, einsum elsewhere),
             "pallas", "einsum", or "interpret" (kernel in interpreter mode,
             for CPU parity tests).
+        w8a8: int8·int8 MXU matmuls (requires quantize_tower_int8 params).
 
     Returns:
         (B, num_patches, D) features.
@@ -183,10 +219,10 @@ def encode(params: dict, pixels: jnp.ndarray, cfg: ViTConfig, feature_layer: int
 
     def block(x, lp):
         h = x + _mha(lp, _layernorm(x, lp["ln1_w"], lp["ln1_b"], cfg.layer_norm_eps),
-                     cfg.num_heads, attn_impl)
+                     cfg.num_heads, attn_impl, w8a8)
         z = _layernorm(h, lp["ln2_w"], lp["ln2_b"], cfg.layer_norm_eps)
-        z = jax.nn.gelu(z @ lp["w_fc1"] + lp["b_fc1"], approximate=True)
-        return h + z @ lp["w_fc2"] + lp["b_fc2"], None
+        z = jax.nn.gelu(mm(z, lp["w_fc1"], w8a8) + lp["b_fc1"], approximate=True)
+        return h + mm(z, lp["w_fc2"], w8a8) + lp["b_fc2"], None
 
     sliced = jax.tree.map(lambda a: a[:n_keep], params["layers"])
     x, _ = jax.lax.scan(block, x, sliced)

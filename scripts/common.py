@@ -23,21 +23,37 @@ import numpy as np
 
 
 def load_video_frames(path: str, num_frames: int, size: int):
-    """Uniformly sample frames; decord then av fallbacks (reference
-    example_llava.py:69-86 uses decord)."""
-    try:
-        import decord
+    """Uniformly sample frames; a directory of image files (sorted by name,
+    loaded with PIL — works with no video decoder installed), then decord,
+    then av (reference example_llava.py:69-86 uses decord)."""
+    if os.path.isdir(path):
+        import PIL.Image as Image
 
-        vr = decord.VideoReader(path)
-        idx = np.linspace(0, len(vr) - 1, num_frames).astype(int)
-        frames = vr.get_batch(idx).asnumpy()
-    except Exception:
-        import av  # may also be absent; caller handles failure
+        names = sorted(
+            n for n in os.listdir(path)
+            if n.lower().endswith((".png", ".jpg", ".jpeg", ".bmp", ".webp"))
+        )
+        if not names:
+            raise FileNotFoundError(f"no image files in frame directory {path}")
+        idx = np.linspace(0, len(names) - 1, num_frames).astype(int)
+        frames = np.stack([
+            np.asarray(Image.open(os.path.join(path, names[i])).convert("RGB"))
+            for i in idx
+        ])
+    else:
+        try:
+            import decord
 
-        container = av.open(path)
-        all_frames = [f.to_ndarray(format="rgb24") for f in container.decode(video=0)]
-        idx = np.linspace(0, len(all_frames) - 1, num_frames).astype(int)
-        frames = np.stack([all_frames[i] for i in idx])
+            vr = decord.VideoReader(path)
+            idx = np.linspace(0, len(vr) - 1, num_frames).astype(int)
+            frames = vr.get_batch(idx).asnumpy()
+        except Exception:
+            import av  # may also be absent; caller handles failure
+
+            container = av.open(path)
+            all_frames = [f.to_ndarray(format="rgb24") for f in container.decode(video=0)]
+            idx = np.linspace(0, len(all_frames) - 1, num_frames).astype(int)
+            frames = np.stack([all_frames[i] for i in idx])
     # center-crop + resize to (size, size), normalize to [-1, 1]
     import PIL.Image as Image
 

@@ -37,6 +37,49 @@ def test_example_serving_artifact(tmp_path):
     assert rec["parity_prefix"] >= 1
 
 
+def test_load_video_frames_from_directory(tmp_path):
+    """Real pixels with no video decoder: a directory of image files is a
+    first-class --video argument (the reference ships an .mp4 and uses
+    decord, example_llava.py:69-86; offline runners have PIL only)."""
+    import numpy as np
+    import PIL.Image as Image
+
+    sys.path.insert(0, SCRIPTS)
+    try:
+        from common import load_video_frames
+    finally:
+        sys.path.remove(SCRIPTS)
+
+    rng = np.random.default_rng(0)
+    for i in range(6):
+        arr = rng.integers(0, 255, size=(20, 24, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"frame_{i:03d}.png")
+    frames = load_video_frames(str(tmp_path), num_frames=4, size=16)
+    assert frames.shape == (4, 16, 16, 3)
+    assert frames.min() >= -1.0 and frames.max() <= 1.0
+    # uniform sampling keeps name order: first sampled frame is frame_000
+    first_direct = np.asarray(
+        Image.open(tmp_path / "frame_000.png").resize((16, 16)), np.float32
+    ) / 127.5 - 1.0
+    np.testing.assert_allclose(frames[0], first_direct, atol=1e-6)
+
+
+def test_spec_probe_smoke(tmp_path):
+    """spec_probe.py (SPEC_rNN.json): speculative decode on a TRAINED echo
+    task — greedy parity must hold and acceptance must beat chance even at
+    smoke training scale."""
+    path = tmp_path / "spec.json"
+    run(["spec_probe.py", "--steps", "60", "--batch", "16", "--eval", "4",
+         "--json", str(path)], timeout=900)
+    rec = json.loads(path.read_text())
+    for name in ("dense_solo", "dense_batched", "framefusion_solo",
+                 "framefusion_batched"):
+        r = rec[name]
+        assert r["greedy_match"] is True, name
+        assert 0.0 <= r["acceptance"] <= 1.0
+        assert r["tokens_per_weight_pass"] >= 1.0
+
+
 def test_accuracy_probe_artifact(tmp_path):
     path = tmp_path / "acc.json"
     run(["accuracy_probe.py", "--steps", "60", "--batch", "16", "--eval", "8",

@@ -64,6 +64,38 @@ class TestSiglipVsHF:
         got = np.asarray(siglip.encode(params, pixels, cfg, attn_impl="interpret"))
         np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
 
+    def test_int8_tower_close_and_w8a8_runs(self):
+        """quantize_tower_int8 + encode(w8a8=): int8 rounding perturbs the
+        features slightly (both A/B sides share the encoder, so this never
+        skews the dense-vs-FF comparison); the structure must match the LLM
+        quant convention ({"q8" int8, "scale" f32} pairs, models/qwen2.mm)."""
+        model, cfg = make_hf_siglip()
+        params = import_hf_vit(model, cfg)
+        rng = np.random.default_rng(3)
+        pixels = jnp.asarray(rng.standard_normal((2, 28, 28, 3)).astype(np.float32))
+        ref = np.asarray(siglip.encode(params, pixels, cfg, feature_layer=-2))
+
+        qparams = siglip.quantize_tower_int8(jax.tree.map(jnp.asarray, params))
+        for name in siglip.QUANTIZED_TOWER_WEIGHTS:
+            leaf = qparams["layers"][name]
+            assert leaf["q8"].dtype == jnp.int8 and leaf["q8"].shape[0] == cfg.num_layers
+        for got_impl in ("einsum", "interpret"):
+            got = np.asarray(siglip.encode(qparams, pixels, cfg, feature_layer=-2,
+                                           attn_impl=got_impl))
+            rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+            assert rel < 0.05, f"weight-only int8 rel err {rel} ({got_impl})"
+        got = np.asarray(siglip.encode(qparams, pixels, cfg, feature_layer=-2, w8a8=True))
+        rel = np.linalg.norm(got - ref) / np.linalg.norm(ref)
+        assert rel < 0.10, f"w8a8 rel err {rel}"
+        # frontend pass-through: shapes + finite
+        proj = init_projector(jax.random.PRNGKey(1), cfg.hidden_size, 32)
+        toks = encode_video(qparams, cfg, proj, jnp.asarray(
+            np.random.default_rng(4).standard_normal((2, 28, 28, 3)).astype(np.float32)),
+            w8a8=True)
+        side = cfg.patches_per_side // 2
+        assert toks.shape == (2 * side * (side + 1), 32)
+        assert bool(jnp.all(jnp.isfinite(toks)))
+
     def test_bidir_kernel_vs_reference_softmax(self):
         """Kernel (interpret) vs plain softmax attention across head counts
         that hit heads_per_step paths (h=4 one step, h=2 reduced hb)."""
