@@ -59,6 +59,75 @@ class FakeInstance:
         self.args = (context, gen_kwargs, lambda doc: [], doc_id, "videomme", "test")
 
 
+def test_lmms_adapter_recorded_requests(monkeypatch):
+    """Recorded-request regression (VERDICT r4 item 8): frozen lmms-eval
+    Instance fixtures driven through LmmsEvalAdapter with a SCRIPTED model,
+    asserting the returned strings byte-for-byte. This pins the adapter's
+    whole request-handling contract — args-tuple parsing, per-request
+    max_new_tokens, the default fallback, eos forwarding, and every shape of
+    ``until`` (absent, bare string, list, multiple stops, stop-not-present,
+    stop at position 0) — independent of model numerics, so the day real
+    lmms-eval + checkpoints appear only the download path is untested
+    (reference README.md:128-154)."""
+    import sys
+    import types
+
+    monkeypatch.setitem(sys.modules, "lmms_eval", types.ModuleType("lmms_eval"))
+    from framefusion_tpu.evaluation.harness import LmmsEvalAdapter
+
+    # Scripted decode stream: token i of doc d is 100*d + i; the tokenizer
+    # renders "t<id>" space-joined. Deterministic by construction.
+    class ScriptedModel:
+        def __init__(self):
+            self.calls = []  # (doc_id, max_new, eos) actually requested
+
+        def generate(self, inputs, max_new, eos_token_id=None):
+            doc_id = inputs  # the frontend below passes the doc id through
+            self.calls.append((doc_id, max_new, eos_token_id))
+            return [100 * doc_id + i for i in range(max_new)], None
+
+    class Tok:
+        eos_token_id = 7
+
+        def decode(self, ids):
+            return " ".join(f"t{i}" for i in ids)
+
+    model = ScriptedModel()
+    adapter = LmmsEvalAdapter(model, Tok(), lambda req: req.args[3], max_new_tokens=4)
+
+    # Frozen request fixtures (context, gen_kwargs, doc_id) and the exact
+    # expected output strings. Do not regenerate these programmatically —
+    # they are the recorded contract.
+    fixtures = [
+        # no gen_kwargs keys: default max_new_tokens=4, no truncation
+        (FakeInstance("q0", {}, 0), "t0 t1 t2 t3"),
+        # per-request max_new_tokens honored
+        (FakeInstance("q1", {"max_new_tokens": 2}, 1), "t100 t101"),
+        # bare-string until (the contract allows a non-list)
+        (FakeInstance("q2", {"max_new_tokens": 4, "until": "t202"}, 2),
+         "t200 t201 "),
+        # list until, stop mid-string: cut at the FIRST occurrence
+        (FakeInstance("q3", {"max_new_tokens": 4, "until": ["t302"]}, 3),
+         "t300 t301 "),
+        # multiple stops: every stop applies (earliest surviving cut wins)
+        (FakeInstance("q4", {"max_new_tokens": 4, "until": ["t403", "t401"]}, 4),
+         "t400 "),
+        # stop string not present: output unchanged
+        (FakeInstance("q5", {"max_new_tokens": 3, "until": ["zzz"]}, 5),
+         "t500 t501 t502"),
+        # stop at position 0: empty output is the contract
+        (FakeInstance("q6", {"max_new_tokens": 2, "until": ["t600"]}, 6), ""),
+        # until=None (explicit null in gen_kwargs) behaves like absent
+        (FakeInstance("q7", {"max_new_tokens": 2, "until": None}, 7),
+         "t700 t701"),
+    ]
+    outs = adapter.generate_until([f for f, _ in fixtures])
+    assert outs == [want for _, want in fixtures]
+    # eos id + budgets were forwarded verbatim to the model
+    assert model.calls == [(0, 4, 7), (1, 2, 7), (2, 4, 7), (3, 4, 7),
+                           (4, 4, 7), (5, 3, 7), (6, 2, 7), (7, 2, 7)]
+
+
 def test_lmms_adapter_against_mock_harness(monkeypatch):
     """Drive LmmsEvalAdapter through a mock lmms-eval (VERDICT r2 item 9):
     the shim's request parsing, per-request max_new_tokens, eos handling and
