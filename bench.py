@@ -622,10 +622,13 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
             except Exception as e:  # noqa: BLE001 — vision e2e is best-effort
                 detail["e2e_vision_error"] = f"{type(e).__name__}: {str(e)[:200]}"
             finally:
-                # Free the tower (+frames) UNCONDITIONALLY: a failed vision
-                # phase that kept its ~0.9 GB resident degraded the int8
-                # decode phases that follow on the 16 GB chip (r4 runs).
-                vit = proj = frames = text_pre = text_post = None  # noqa: F841
+                # Free the tower UNCONDITIONALLY: a failed vision phase that
+                # kept its ~0.9 GB resident degraded the int8 decode phases
+                # that follow on the 16 GB chip (r4 runs). The frames (~57 MB)
+                # + text stubs + geometry stay alive for the all-int8 vision
+                # A/B below (the quantized tower is rebuilt there).
+                vit = proj = None  # noqa: F841
+                vision_ready = "e2e_with_vision_speedup" in detail
                 gc.collect()
 
             # int8 weight-only serving decode (17.4 vs 24 ms/step measured,
@@ -709,6 +712,71 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                 })
                 del res_w8
                 gc.collect()
+
+                # ALL-int8 vision e2e (VERDICT r4 item 1): the full serving
+                # configuration this framework ships beyond the reference —
+                # W8A8 tower + int8-weight LLM (W8A8 tail on the FF side) +
+                # int8 streamed decode — composed into ONE pixels->answer
+                # A/B. The comparison stays fair: BOTH sides ride the same
+                # quantized tower and the same int8 decode; only the prefill
+                # differs (dense int8 weight-only vs compressed W8A8 tail).
+                try:
+                    if not vision_ready:
+                        raise RuntimeError("bf16 vision phase unavailable")
+                    if time.perf_counter() - t_start > watchdog_s - 300:
+                        raise TimeoutError("skipped: insufficient time budget left")
+                    engine_w8.plan_history = engine.plan_history
+                    vit_q = siglip.quantize_tower_int8(
+                        siglip.init_params(vit_cfg, jax.random.PRNGKey(7)))
+                    proj_q = init_projector(jax.random.PRNGKey(8), vit_cfg.hidden_size,
+                                            cfg.hidden_size, cfg.dtype)
+
+                    def assemble_i8(frs):
+                        return _assemble(vit_q, proj_q, text_pre, text_post, frs,
+                                         w8a8=True)
+
+                    def vis_dense_i8(frs):
+                        r = engine_q.dense_prefill(assemble_i8(frs), vt_pos)
+                        toks = engine_q.generate_device(r, max_new_tokens=vis_new_tokens)
+                        del r
+                        return toks
+
+                    def vis_ff_i8(frs):
+                        r = engine_w8.prefill(
+                            assemble_i8(frs), vt_patch_type, vt_pos, patch_num=vis_pn,
+                            image_token_start=35, image_token_length=n_vis,
+                            mode="auto")
+                        toks = engine_w8.generate_device(r, max_new_tokens=vis_new_tokens)
+                        del r
+                        return toks
+
+                    vis_d8_t, _ = timed(vis_dense_i8, x=frames, max_chain=2, rounds=2)
+                    gc.collect()
+                    vis_f8_t, _ = timed(vis_ff_i8, x=frames, max_chain=2, rounds=2)
+                    gc.collect()
+                    i8_retimed = False
+                    if vis_f8_t > vis_d8_t:  # same plausibility rule as bf16
+                        i8_retimed = True
+                        t2, _ = timed(vis_ff_i8, x=frames, max_chain=1, rounds=2)
+                        gc.collect()
+                        d2, _ = timed(vis_dense_i8, x=frames, max_chain=1, rounds=2)
+                        gc.collect()
+                        vis_f8_t = min(vis_f8_t, t2)
+                        vis_d8_t = min(vis_d8_t, d2)
+                    detail.update({
+                        "e2e_with_vision_int8_speedup": round(vis_d8_t / vis_f8_t, 3),
+                        "e2e_with_vision_int8_retimed": i8_retimed,
+                        "e2e_with_vision_int8_dense_ms": round(vis_d8_t * 1e3, 1),
+                        "e2e_with_vision_int8_framefusion_ms": round(vis_f8_t * 1e3, 1),
+                        "e2e_with_vision_int8_config": (
+                            "w8a8 tower + int8 LLM weights + w8a8 FF tail + "
+                            "int8 decode, both sides"),
+                    })
+                except Exception as e:  # noqa: BLE001 — optional sub-phase
+                    detail["e2e_vision_int8_error"] = f"{type(e).__name__}: {str(e)[:200]}"
+                finally:
+                    vit_q = proj_q = frames = None  # noqa: F841
+                    gc.collect()
         except Exception as e:  # noqa: BLE001 — e2e is best-effort
             detail["e2e_error"] = f"{type(e).__name__}: {str(e)[:200]}"
             gc.collect()

@@ -16,6 +16,8 @@ both ``lax.scan``/``fori_loop`` whole-stack programs and per-layer programs
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -146,11 +148,79 @@ def mv_stacked(x: jnp.ndarray, w_stack, l) -> jnp.ndarray:
     ``mm``."""
     from ..ops.kernels.matvec_q8 import matvec_stacked
 
+    interp = jax.default_backend() == "cpu"  # pallas on CPU = interpret only
     if isinstance(w_stack, dict):
-        y = matvec_stacked(x, w_stack["q8"], l)
+        y = matvec_stacked(x, w_stack["q8"], l, interpret=interp)
         s = jax.lax.dynamic_index_in_dim(w_stack["scale"], l, 0, keepdims=False)
         return (y * s).astype(x.dtype)
-    return matvec_stacked(x, w_stack, l).astype(x.dtype)
+    return matvec_stacked(x, w_stack, l, interpret=interp).astype(x.dtype)
+
+
+def _decode_fused_enabled() -> bool:
+    # Kill switch for the fused decode kernels (qkv + gate-up): they change
+    # launch structure, not math — but a relay remote-compile regression
+    # must be routable around without a code change.
+    return os.environ.get("FF_DECODE_FUSED", "1") != "0"
+
+
+def _verify_use_mv() -> bool:
+    """Should the speculative-verify / serving-chunk weight pass stream its
+    projections through the pallas matvec kernels? Default: yes on TPU (the
+    pass is weight-bandwidth-bound like decode — K<=32 activation rows
+    share one stream; XLA's dequant matmul caps at ~185 GB/s on the small
+    projections, kernel_bench --what decode). Off on CPU so the suite's
+    exact-parity pins keep one canonical reduction order; FF_VERIFY_MV
+    overrides either way."""
+    env = os.environ.get("FF_VERIFY_MV")
+    if env is not None:
+        return env != "0"
+    return jax.default_backend() == "tpu"
+
+
+def mv_stacked_qkv(x: jnp.ndarray, wq, wk, wv, l):
+    """q/k/v decode matvecs in ONE pallas launch (shared activation row,
+    three weight streams — ops/kernels/matvec_q8.matvec_stacked_qkv); falls
+    back to three mv_stacked calls when fused decode is disabled or the
+    stacks mix quantization states."""
+    from ..ops.kernels.matvec_q8 import matvec_stacked_qkv
+
+    interp = jax.default_backend() == "cpu"
+    quantized = isinstance(wq, dict)
+    if not _decode_fused_enabled() or any(
+        isinstance(w, dict) != quantized for w in (wk, wv)
+    ):
+        return mv_stacked(x, wq, l), mv_stacked(x, wk, l), mv_stacked(x, wv, l)
+    if quantized:
+        q, k, v = matvec_stacked_qkv(x, wq["q8"], wk["q8"], wv["q8"], l,
+                                     interpret=interp)
+        outs = []
+        for y, w in ((q, wq), (k, wk), (v, wv)):
+            s = jax.lax.dynamic_index_in_dim(w["scale"], l, 0, keepdims=False)
+            outs.append((y * s).astype(x.dtype))
+        return tuple(outs)
+    q, k, v = matvec_stacked_qkv(x, wq, wk, wv, l, interpret=interp)
+    return q.astype(x.dtype), k.astype(x.dtype), v.astype(x.dtype)
+
+
+def mv_stacked_gateup(x: jnp.ndarray, wg, wu, l) -> jnp.ndarray:
+    """Fused SwiGLU gate for decode: silu(x@wg)*(x@wu) with both MLP stacks
+    streamed in one pallas launch and the dequant+silu epilogue in VMEM
+    (matvec_stacked_gateup). Same math as silu(mv(wg))*mv(wu) — the
+    per-channel scales multiply before the nonlinearity, exactly as ``mm``
+    orders them."""
+    from ..ops.kernels.matvec_q8 import matvec_stacked_gateup
+
+    interp = jax.default_backend() == "cpu"
+    quantized = isinstance(wg, dict)
+    if not _decode_fused_enabled() or isinstance(wu, dict) != quantized:
+        return (jax.nn.silu(mv_stacked(x, wg, l)) * mv_stacked(x, wu, l)).astype(x.dtype)
+    if quantized:
+        y = matvec_stacked_gateup(x, wg["q8"], wu["q8"], wg["scale"], wu["scale"], l,
+                                  interpret=interp)
+    else:
+        ones = jnp.ones((1, wg.shape[2]), jnp.float32)
+        y = matvec_stacked_gateup(x, wg, wu, ones, ones, l, interpret=interp)
+    return y.astype(x.dtype)
 
 
 def _project_qkv(lp: dict, x: jnp.ndarray, cfg: LLMConfig, w8a8: bool = False):
@@ -500,9 +570,8 @@ def decode_step(
             lp = layer_slice(layers, l)
             x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
             if use_mv:
-                q = mv_stacked(x, layers["wq"], l)
-                k = mv_stacked(x, layers["wk"], l)
-                v = mv_stacked(x, layers["wv"], l)
+                q, k, v = mv_stacked_qkv(x, layers["wq"], layers["wk"],
+                                         layers["wv"], l)
                 if cfg.qkv_bias:
                     q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
                 q = q.reshape(1, cfg.num_heads, hd)
@@ -542,8 +611,7 @@ def decode_step(
                 h = moe_decode_mlp(lp, h, cfg)
             elif use_mv:
                 x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
-                gated = jax.nn.silu(mv_stacked(x2, layers["w_gate"], l)) * mv_stacked(
-                    x2, layers["w_up"], l)
+                gated = mv_stacked_gateup(x2, layers["w_gate"], layers["w_up"], l)
                 h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
             else:
                 h = layer_mlp(lp, h, cfg)
@@ -602,25 +670,46 @@ def verify_step(
     cos, sin = positions_cos_sin(pos, cfg)
     h = token_embeds  # (K, D)
 
+    use_mv = _verify_use_mv() and not cfg.is_moe
+    layers = params["layers"]
+    hd = cfg.head_dim_
+
     def make_body(s_view):
         def body(l, carry):
             h, k_pool, v_pool = carry
-            lp = layer_slice(params["layers"], l)
+            lp = layer_slice(layers, l)
             x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
-            q, k, v = _project_qkv(lp, x, cfg)
+            if use_mv:
+                # Streamed-matvec weight pass (K<=32 rows share one weight
+                # stream — the same bandwidth argument as decode_step).
+                q, k, v = mv_stacked_qkv(x, layers["wq"], layers["wk"],
+                                         layers["wv"], l)
+                if cfg.qkv_bias:
+                    q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+                q = q.reshape(kq, cfg.num_heads, hd)
+                k = k.reshape(kq, cfg.num_kv_heads, hd)
+                v = v.reshape(kq, cfg.num_kv_heads, hd)
+            else:
+                q, k, v = _project_qkv(lp, x, cfg)
             q, k = apply_rope(q, k, cos, sin)
             length = cache_lens[l]
             k_pool = jax.lax.dynamic_update_slice(k_pool, k.astype(cfg.dtype)[None], (l, length, 0, 0))
             v_pool = jax.lax.dynamic_update_slice(v_pool, v.astype(cfg.dtype)[None], (l, length, 0, 0))
             attn = verify_attention(
                 q, _pool_view(k_pool, l, s_view), _pool_view(v_pool, l, s_view), length)
-            h = h + mm(attn.reshape(kq, -1), lp["wo"])
-            if cfg.is_moe:
-                # Row-wise exact expert gather — same math as decode's
-                # moe_decode_mlp, so accepted rows match plain decode.
-                h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(h)
+            if use_mv:
+                h = h + mv_stacked(attn.reshape(kq, -1).astype(h.dtype), layers["wo"], l)
+                x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
+                gated = mv_stacked_gateup(x2, layers["w_gate"], layers["w_up"], l)
+                h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
             else:
-                h = layer_mlp(lp, h, cfg)
+                h = h + mm(attn.reshape(kq, -1), lp["wo"])
+                if cfg.is_moe:
+                    # Row-wise exact expert gather — same math as decode's
+                    # moe_decode_mlp, so accepted rows match plain decode.
+                    h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(h)
+                else:
+                    h = layer_mlp(lp, h, cfg)
             return h, k_pool, v_pool
         return body
 
@@ -711,9 +800,8 @@ def decode_step_batch(
             len_l = cache_lens[l]  # (B,)
             x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
             if use_mv:
-                q = mv_stacked(x, layers["wq"], l)
-                k = mv_stacked(x, layers["wk"], l)
-                v = mv_stacked(x, layers["wv"], l)
+                q, k, v = mv_stacked_qkv(x, layers["wq"], layers["wk"],
+                                         layers["wv"], l)
                 if cfg.qkv_bias:
                     q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
                 q = q.reshape(b, cfg.num_heads, hd)
@@ -772,8 +860,7 @@ def decode_step_batch(
                 h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(h)  # (B, D)
             elif use_mv:
                 x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
-                gated = jax.nn.silu(mv_stacked(x2, layers["w_gate"], l)) * mv_stacked(
-                    x2, layers["w_up"], l)
+                gated = mv_stacked_gateup(x2, layers["w_gate"], layers["w_up"], l)
                 h = h + mv_stacked(gated.astype(h.dtype), layers["w_down"], l)
             else:
                 h = layer_mlp(lp, h, cfg)
@@ -866,6 +953,8 @@ def verify_step_batch(
     rope_b = jax.vmap(apply_rope)  # over B: (K,H,hd) x (K,hd)
     layers = params["layers"]
 
+    use_mv = _verify_use_mv() and not cfg.is_moe and b * kq <= 64
+
     def make_body(seg):
         def body(l, carry):
             h, k_new, v_new = carry  # h (B,K,D)
@@ -874,7 +963,15 @@ def verify_step_batch(
             v_l = jax.lax.dynamic_index_in_dim(v_pool, l, 0, keepdims=False)
             len_l = cache_lens[l]  # (B,)
             x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
-            q, k, v = _project_qkv(lp, x.reshape(b * kq, -1), cfg)
+            if use_mv:
+                # Streamed weight pass: all B*K candidate rows share one
+                # weight stream (the serving chunk's bandwidth term).
+                q, k, v = mv_stacked_qkv(x.reshape(b * kq, -1), layers["wq"],
+                                         layers["wk"], layers["wv"], l)
+                if cfg.qkv_bias:
+                    q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+            else:
+                q, k, v = _project_qkv(lp, x.reshape(b * kq, -1), cfg)
             q = q.reshape(b, kq, cfg.num_heads, hd)
             k = k.reshape(b, kq, hk, hd)
             v = v.reshape(b, kq, hk, hd)
@@ -923,14 +1020,23 @@ def verify_step_batch(
                        + jnp.einsum("bhgnm,bmhd->bhgnd", p_cur, v.astype(jnp.float32)))
                 out = out / denom
             out = out.transpose(0, 3, 1, 2, 4).reshape(b, kq, hk * g * hd)
-            h = h + mm(out.astype(h.dtype), lp["wo"])
-            if cfg.is_moe:
+            if use_mv:
+                h = h + mv_stacked(out.reshape(b * kq, -1).astype(h.dtype),
+                                   layers["wo"], l).reshape(b, kq, -1)
+                x2 = rmsnorm(h, lp["ln2"], cfg.rms_norm_eps)
+                gated = mv_stacked_gateup(x2.reshape(b * kq, -1),
+                                          layers["w_gate"], layers["w_up"], l)
+                h = h + mv_stacked(gated.astype(h.dtype),
+                                   layers["w_down"], l).reshape(b, kq, -1)
+            elif cfg.is_moe:
+                h = h + mm(out.astype(h.dtype), lp["wo"])
                 # Row-exact expert gather, flattened over (B, K) — accepted rows
                 # match plain decode (see verify_step).
                 h = jax.vmap(lambda row: moe_decode_mlp(lp, row, cfg))(
                     h.reshape(b * kq, -1)
                 ).reshape(b, kq, -1)
             else:
+                h = h + mm(out.astype(h.dtype), lp["wo"])
                 h = layer_mlp(lp, h, cfg)
             k_new = jax.lax.dynamic_update_index_in_dim(k_new, k.astype(cfg.dtype), l, 0)
             v_new = jax.lax.dynamic_update_index_in_dim(v_new, v.astype(cfg.dtype), l, 0)

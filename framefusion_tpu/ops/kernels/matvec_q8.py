@@ -52,7 +52,7 @@ def _pick_block(dim: int, candidates) -> int:
 @functools.partial(jax.jit, static_argnames=("block_k", "block_n", "interpret"))
 def _matvec(x, w, *, block_k=None, block_n=None, interpret=False):
     (rows, k_dim) = x.shape
-    assert rows <= 32, "matvec: few activation rows (decode batch), not a GEMM"
+    assert rows <= 64, "matvec: few activation rows (decode/verify batch), not a GEMM"
     k_w, n_dim = w.shape
     assert k_w == k_dim
     bk = block_k or _pick_block(k_dim, (4736, 4096, 3584, 2368, 2048, 1024, 512, 256))
@@ -110,6 +110,40 @@ def matvec_bf16(
     return _matvec(x, w, block_k=block_k, block_n=block_n, interpret=interpret)
 
 
+def _pick_tile(k_dim: int, n_dim: int, itemsize: int, budget: int,
+               n_weights: int = 1) -> tuple[int, int]:
+    """Largest (bk, bn) dividing (K, N) with n_weights * bk * bn * itemsize
+    <= budget, preferring whole-K/whole-N tiles (fewest grid steps). bn must
+    stay lane-aligned (multiple of 128); bk sublane-aligned (multiple of 32
+    covers every dtype here). Grid-step count is the decode loop's fixed
+    overhead (~1 us/step measured via the r4 floor gap), so bigger tiles win
+    until the double-buffered pair nears the 16 MB scoped-VMEM limit."""
+
+    def divisors(dim, align):
+        return [d for d in range(align, dim + 1, align) if dim % d == 0]
+
+    bns = [n for n in divisors(n_dim, 128)] or [n_dim]
+    bks = [k for k in divisors(k_dim, 32)] or [k_dim]
+    best = (bks[0], bns[0])
+    best_steps = (k_dim // best[0]) * (n_dim // best[1])
+    best_bytes = n_weights * best[0] * best[1] * itemsize
+    for bn in bns:
+        for bk in bks:
+            if n_weights * bk * bn * itemsize > budget:
+                continue
+            steps = (k_dim // bk) * (n_dim // bn)
+            tile = n_weights * bk * bn * itemsize
+            if steps < best_steps or (steps == best_steps and tile < best_bytes):
+                best, best_steps, best_bytes = (bk, bn), steps, tile
+    return best
+
+
+# Per-weight tile budget: double-buffered pairs must clear the ~16 MB scoped
+# VMEM with >= 3 MB margin (DEVNOTES r2: keep new kernel tiles >= 3 MB under
+# the limit; accumulators/x blocks ride alongside).
+_TILE_BUDGET = 4_800_000
+
+
 def _matvec_stacked_kernel(l_ref, x_ref, w_ref, o_ref):
     del l_ref  # consumed by the index_maps
     ki = pl.program_id(1)
@@ -147,11 +181,12 @@ def matvec_stacked(
     (models/qwen2.mm_decode) — they factor out of the contraction exactly.
     """
     (rows, k_dim) = x.shape
-    assert rows <= 32, "matvec: few activation rows (decode batch), not a GEMM"
+    assert rows <= 64, "matvec: few activation rows (decode/verify batch), not a GEMM"
     n_layers, k_w, n_dim = w_stack.shape
     assert k_w == k_dim
-    bk = block_k or _pick_block(k_dim, (4736, 4096, 3584, 2368, 2048, 1024, 512, 256))
-    bn = block_n or _pick_block(n_dim, (512, 256, 128))
+    auto_bk, auto_bn = _pick_tile(k_dim, n_dim, w_stack.dtype.itemsize, _TILE_BUDGET)
+    bk = block_k or auto_bk
+    bn = block_n or auto_bn
     assert k_dim % bk == 0 and n_dim % bn == 0, (k_dim, bk, n_dim, bn)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -172,3 +207,177 @@ def matvec_stacked(
         ),
         interpret=interpret,
     )(jnp.reshape(layer, (1,)).astype(jnp.int32), x.astype(jnp.bfloat16), w_stack)
+
+
+def _qkv_stacked_kernel(l_ref, x_ref, wq_ref, wk_ref, wv_ref,
+                        oq_ref, ok_ref, ov_ref):
+    del l_ref
+    ki = pl.program_id(0)
+
+    @pl.when(ki == 0)
+    def _():
+        oq_ref[...] = jnp.zeros_like(oq_ref)
+        ok_ref[...] = jnp.zeros_like(ok_ref)
+        ov_ref[...] = jnp.zeros_like(ov_ref)
+
+    x = x_ref[...]  # (rows, bk)
+    for w_ref, o_ref in ((wq_ref, oq_ref), (wk_ref, ok_ref), (wv_ref, ov_ref)):
+        w = w_ref[0].astype(jnp.bfloat16)
+        o_ref[...] += jax.lax.dot_general(
+            x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def matvec_stacked_qkv(
+    x: jnp.ndarray,
+    wq_stack: jnp.ndarray,
+    wk_stack: jnp.ndarray,
+    wv_stack: jnp.ndarray,
+    layer,
+    *,
+    block_k: int | None = None,
+    interpret: bool = False,
+):
+    """Fused q/k/v decode matvecs: ONE pallas launch streaming all three
+    weight stacks for ``layer`` (whole-N output blocks, grid over K only).
+
+    The decode step's gap over its weight-stream floor is per-launch +
+    per-grid-step fixed cost (~1 us/step x ~3.3k steps/step at r4 tiles ~=
+    the measured 3 ms gap); q/k/v share the activation row, so fusing them
+    cuts 3 launches to 1 and rides larger DMA tiles. Scales are applied by
+    the caller (they factor out of the contraction exactly).
+    """
+    (rows, k_dim) = x.shape
+    assert rows <= 64, "matvec: few activation rows (decode/verify batch), not a GEMM"
+    nq, nk, nv = wq_stack.shape[2], wk_stack.shape[2], wv_stack.shape[2]
+    assert wq_stack.shape[1] == wk_stack.shape[1] == wv_stack.shape[1] == k_dim
+    itemsize = wq_stack.dtype.itemsize
+    if block_k is None:
+        # one K-slab of all three weights per grid step
+        per_k = (nq + nk + nv) * itemsize
+        block_k = k_dim
+        while block_k * per_k > _TILE_BUDGET and block_k % 2 == 0 and block_k > 32:
+            block_k //= 2
+    assert k_dim % block_k == 0, (k_dim, block_k)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(k_dim // block_k,),
+        in_specs=[
+            pl.BlockSpec((rows, block_k), lambda k, l_ref: (0, k)),
+            pl.BlockSpec((1, block_k, nq), lambda k, l_ref: (l_ref[0], k, 0)),
+            pl.BlockSpec((1, block_k, nk), lambda k, l_ref: (l_ref[0], k, 0)),
+            pl.BlockSpec((1, block_k, nv), lambda k, l_ref: (l_ref[0], k, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((rows, nq), lambda k, l_ref: (0, 0)),
+            pl.BlockSpec((rows, nk), lambda k, l_ref: (0, 0)),
+            pl.BlockSpec((rows, nv), lambda k, l_ref: (0, 0)),
+        ],
+    )
+    return pl.pallas_call(
+        _qkv_stacked_kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, nq), jnp.float32),
+            jax.ShapeDtypeStruct((rows, nk), jnp.float32),
+            jax.ShapeDtypeStruct((rows, nv), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+        ),
+        interpret=interpret,
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x.astype(jnp.bfloat16),
+      wq_stack, wk_stack, wv_stack)
+
+
+def _gateup_stacked_kernel(n_k: int, l_ref, x_ref, wg_ref, wu_ref,
+                           sg_ref, su_ref, o_ref, g_acc, u_acc):
+    del l_ref
+    ki = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        g_acc[...] = jnp.zeros_like(g_acc)
+        u_acc[...] = jnp.zeros_like(u_acc)
+
+    x = x_ref[...]
+    g_acc[...] += jax.lax.dot_general(
+        x, wg_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    u_acc[...] += jax.lax.dot_general(
+        x, wu_ref[0].astype(jnp.bfloat16), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(ki == n_k - 1)
+    def _():
+        g = g_acc[...] * sg_ref[0]
+        u = u_acc[...] * su_ref[0]
+        o_ref[...] = g * jax.lax.logistic(g) * u  # silu(g) * u, f32
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "block_n", "interpret"))
+def matvec_stacked_gateup(
+    x: jnp.ndarray,
+    wg_stack: jnp.ndarray,
+    wu_stack: jnp.ndarray,
+    sg,
+    su,
+    layer,
+    *,
+    block_k: int | None = None,
+    block_n: int | None = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused SwiGLU gate: silu(x @ wg * sg) * (x @ wu * su) in ONE pallas
+    launch streaming both MLP stacks for ``layer`` — the two largest decode
+    weights (2 x 67.9 MB int8/layer at 7B) ride one grid with the dequant +
+    silu epilogue in VMEM. ``sg``/``su`` are the per-output-channel quant
+    scales (L, N) f32, or (1, N) ones for bf16 stacks. Returns (rows, N) f32.
+    """
+    (rows, k_dim) = x.shape
+    assert rows <= 64, "matvec: few activation rows (decode/verify batch), not a GEMM"
+    n_dim = wg_stack.shape[2]
+    assert wg_stack.shape == wu_stack.shape and wg_stack.shape[1] == k_dim
+    itemsize = wg_stack.dtype.itemsize
+    auto_bk, auto_bn = _pick_tile(k_dim, n_dim, itemsize, _TILE_BUDGET, n_weights=2)
+    bk = block_k or auto_bk
+    bn = block_n or auto_bn
+    assert k_dim % bk == 0 and n_dim % bn == 0, (k_dim, bk, n_dim, bn)
+    n_k = k_dim // bk
+
+    def scale_spec(s):
+        if s.shape[0] == 1:  # shared (bf16 ones): every layer maps to row 0
+            return pl.BlockSpec((1, bn), lambda n, k, l_ref: (0, n))
+        return pl.BlockSpec((1, bn), lambda n, k, l_ref: (l_ref[0], n))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(n_dim // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((rows, bk), lambda n, k, l_ref: (0, k)),
+            pl.BlockSpec((1, bk, bn), lambda n, k, l_ref: (l_ref[0], k, n)),
+            pl.BlockSpec((1, bk, bn), lambda n, k, l_ref: (l_ref[0], k, n)),
+            scale_spec(sg),
+            scale_spec(su),
+        ],
+        out_specs=pl.BlockSpec((rows, bn), lambda n, k, l_ref: (0, n)),
+        scratch_shapes=[
+            pltpu.VMEM((rows, bn), jnp.float32),
+            pltpu.VMEM((rows, bn), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_gateup_stacked_kernel, n_k),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((rows, n_dim), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(jnp.reshape(layer, (1,)).astype(jnp.int32), x.astype(jnp.bfloat16),
+      wg_stack, wu_stack, jnp.asarray(sg, jnp.float32),
+      jnp.asarray(su, jnp.float32))

@@ -1424,6 +1424,10 @@ class CompressionEngine:
                 input_embeds, patch_type, position_ids, patch_num,
                 image_token_start, image_token_length,
             )
+        if mode == "dense":
+            # Uncompressed passthrough: lets compression-agnostic callers
+            # (e.g. a ServingLoop A/B baseline) ride the same entry point.
+            return self.dense_prefill(input_embeds, position_ids)
         if mode == "fused":
             return self._prefill_fused(
                 input_embeds, patch_type, position_ids, patch_num,

@@ -133,6 +133,141 @@ def engine_reduction(res):
     return float(res.telemetry.vision_token_reduction)
 
 
+def baseline_pareto(params, cfg, instances, ff_sweep, targets=(0.3, 0.5, 0.7)):
+    """Accuracy-vs-reduction curves for the paper's comparison methods at
+    MATCHED token reductions — the offline counterpart of the reference's
+    central claim that FrameFusion dominates FastV / StreamingLLM / fixed
+    merging at equal budget (/root/reference/README.md:13,21-28; the
+    baselines library modeling_qwen2_baseline.py exists for exactly this
+    comparison).
+
+    Matching semantics per method (all evaluated on the SAME trained stack
+    and eval instances as the FrameFusion sweep):
+      * framefusion — the sweep point whose achieved reduction is closest to
+        each target (reduction is data-dependent through ``cost``).
+      * fastv — ``fastv_r = target`` removes exactly round(target * img)
+        image tokens at layer ``fastv_k`` (reference :221-397).
+      * prefill_merge — fixed similarity-merge schedule over the first two
+        layers with per-layer sparsity ``1 - sqrt(1 - target)`` so the total
+        removal matches the target (reference :860-1335).
+      * streamingllm — no tokens are removed; the matched budget is the
+        attention window, ``length_rate = 1 - target`` (reference :579-859).
+        Its "reduction" column is the attention-budget cut, not token
+        removal — kept in the table because the paper compares it at equal
+        compute budget.
+    """
+    import math
+
+    from framefusion_tpu.baselines import BaselineEngine, compute_density_overhead
+
+    def cost_from_events(res, img0):
+        """Normalized per-layer image-token density (the reference's cost
+        unit, main.py:321-343 / compute_density_overhead) reconstructed from
+        a prefill's event telemetry: mean over layers of the image density
+        in force at that layer (the layer "-1" pre-attention event counts
+        from layer 0 on)."""
+        img_at = []
+        img = img0
+        ev = sorted(res.telemetry.events, key=lambda e: e.layer)
+        i = 0
+        for l in range(cfg.num_layers):
+            while i < len(ev) and ev[i].layer <= l:
+                img -= ev[i].tokens_removed
+                i += 1
+            img_at.append(img / img0)
+        return float(np.mean(img_at))
+
+    def eval_engine(engine):
+        hits, reductions, costs = 0, [], []
+        for ids, _, answer in instances:
+            prompt, patch_type, pos = build_prompt(ids)
+            h = qwen2_embed(params, prompt, cfg)
+            res = engine.prefill(h, patch_type, pos, PATCH_NUM, 1,
+                                 N_FRAMES * PATCH_NUM)
+            reductions.append(float(res.telemetry.vision_token_reduction))
+            costs.append(cost_from_events(res, N_FRAMES * PATCH_NUM))
+            tok = engine.generate_greedy(res, 1)[0]
+            hits += int(tok == answer)
+        return hits / len(instances), float(np.mean(reductions)), float(np.mean(costs))
+
+    from framefusion_tpu.models import qwen2 as _q
+
+    def qwen2_embed(params, prompt, cfg):
+        return _q.embed(params, jnp.asarray(prompt), cfg)
+
+    pareto = {"targets": list(targets),
+              "normalized_cost_note": (
+                  "normalized_cost is the reference's cost unit — mean "
+                  "per-layer image-token density (main.py:321-343, "
+                  "compute_density_overhead). FrameFusion's schedule enforces "
+                  "it == the cost knob; late pruners (FastV) pay full density "
+                  "before layer k, so equal REDUCTION costs them more COMPUTE.")}
+
+    # framefusion: nearest sweep point per target (feasible points only).
+    # The schedule enforces mean density == the cost knob by construction.
+    pts = [dict(p, normalized_cost=p["cost"]) for p in ff_sweep if "accuracy" in p]
+    pareto["framefusion"] = [
+        min(pts, key=lambda p: abs(p["token_reduction"] - t)) for t in targets
+    ] if pts else []
+
+    rows = []
+    for t in targets:
+        eng = BaselineEngine(params, cfg, "fastv",
+                             {"fastv_k": 2, "fastv_r": t}, attn_impl="einsum")
+        acc, red, cost = eval_engine(eng)
+        rows.append({"fastv_r": t, "token_reduction": round(red, 3),
+                     "normalized_cost": round(cost, 3), "accuracy": round(acc, 3)})
+        print(f"  fastv         r={t}: accuracy {acc:.3f} @ {red:.1%} reduction "
+              f"(cost {cost:.2f})")
+    pareto["fastv"] = rows
+
+    # FastV at EQUAL COST (the paper's axis): pick (k=1, r) so the mean
+    # per-layer density matches the FrameFusion point serving the same
+    # target. cost = (1 + (L-1)(1-r))/L  =>  r = 1 - (L*cost - 1)/(L - 1).
+    rows = []
+    L = cfg.num_layers
+    for ffp in pareto["framefusion"]:
+        c = ffp["normalized_cost"]
+        r = min(max(1.0 - (L * c - 1.0) / (L - 1), 0.0), 1.0)
+        eng = BaselineEngine(params, cfg, "fastv",
+                             {"fastv_k": 1, "fastv_r": r}, attn_impl="einsum")
+        acc, red, cost = eval_engine(eng)
+        rows.append({"fastv_k": 1, "fastv_r": round(r, 3),
+                     "token_reduction": round(red, 3),
+                     "normalized_cost": round(cost, 3), "accuracy": round(acc, 3),
+                     "matched_framefusion_cost": c})
+        print(f"  fastv=cost    k=1 r={r:.2f}: accuracy {acc:.3f} @ {red:.1%} "
+              f"reduction (cost {cost:.2f} == FF {c})")
+    pareto["fastv_equal_cost"] = rows
+
+    rows = []
+    for t in targets:
+        s = 1.0 - math.sqrt(1.0 - t)
+        sparsity = [s, s] + [0.0] * (cfg.num_layers - 2)
+        eng = BaselineEngine(params, cfg, "prefill_merge",
+                             {"sparsity": sparsity}, attn_impl="einsum")
+        acc, red, cost = eval_engine(eng)
+        rows.append({"sparsity_per_layer": round(s, 4),
+                     "token_reduction": round(red, 3),
+                     "normalized_cost": round(cost, 3), "accuracy": round(acc, 3)})
+        print(f"  prefill_merge s={s:.3f}x2: accuracy {acc:.3f} @ {red:.1%} "
+              f"reduction (cost {cost:.2f})")
+    pareto["prefill_merge"] = rows
+
+    rows = []
+    for t in targets:
+        eng = BaselineEngine(params, cfg, "streamingllm",
+                             {"init_num": 4, "length_rate": 1.0 - t},
+                             attn_impl="einsum")
+        acc, _, _ = eval_engine(eng)
+        rows.append({"length_rate": round(1.0 - t, 3),
+                     "attention_budget_cut": t, "accuracy": round(acc, 3)})
+        print(f"  streamingllm  rate={1-t:.1f}: accuracy {acc:.3f} "
+              f"@ {t:.0%} attention-budget cut (tokens not removed)")
+    pareto["streamingllm"] = rows
+    return pareto
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
@@ -140,6 +275,10 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval", type=int, default=200)
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--baselines", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="also sweep FastV/StreamingLLM/prefill_merge at "
+                         "matched reductions (the accuracy Pareto)")
     args = ap.parse_args()
 
     from framefusion_tpu.config import FrameFusionConfig, tiny_llm_config
@@ -182,6 +321,8 @@ def main():
                       "token_reduction": round(red, 3)})
         print(f"  cost={cost:>4}: accuracy {acc:.3f} @ {red:.1%} vision-token reduction")
 
+    pareto = baseline_pareto(params, cfg, instances, sweep) if args.baselines else None
+
     record = {
         "task": "per-frame color recall over redundant synthetic video "
                 "(8 frames x 5 tokens, colors persist p=0.6)",
@@ -191,6 +332,7 @@ def main():
         "dense_accuracy": round(dense_acc, 3),
         "dense_accuracy_one_ulp_nudge": round(stable_acc, 3),
         "sweep": sweep,
+        "pareto": pareto,
     }
     if args.json:
         with open(args.json, "w") as f:

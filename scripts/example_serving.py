@@ -35,6 +35,46 @@ def build_prompt(rng, hidden, n_frames, patch_num, coherent):
                               coherent=coherent)
 
 
+def run_loop(engine, reqs, arrival_offsets, *, slots, chunk, max_new, prefix_cap,
+             draft=0, prefill_mode="fused"):
+    """Serve ``reqs`` with request i submitted ``arrival_offsets[i]`` seconds
+    after start (0 = all enqueued up front, the r4 easy regime). Stepping
+    continues through idle gaps so late arrivals are admitted when their
+    time comes — queue_s then measures real scheduling wait, not backlog.
+    Returns (results dict by request index, wall seconds, loop)."""
+    loop = ServingLoop(engine, max_slots=slots, max_new_cap=max_new,
+                       chunk_steps=chunk, draft_len=draft,
+                       prefix_cap=prefix_cap, prefill_mode=prefill_mode)
+    order = sorted(range(len(reqs)), key=lambda i: arrival_offsets[i])
+    pending = list(order)
+    rid_of = {}
+    t0 = time.perf_counter()
+    while True:
+        now = time.perf_counter() - t0
+        while pending and arrival_offsets[pending[0]] <= now:
+            i = pending.pop(0)
+            rid_of[i] = loop.submit(reqs[i])
+        busy = loop.step()
+        if not busy:
+            if not pending:
+                break
+            wait = arrival_offsets[pending[0]] - (time.perf_counter() - t0)
+            if wait > 0:
+                time.sleep(min(wait, 0.02))
+    dt = time.perf_counter() - t0
+    results = loop.run()  # drain (no-op when already drained)
+    return {i: results[rid_of[i]] for i in rid_of}, dt, loop
+
+
+def percentiles(vals, ps=(50, 95)):
+    vals = sorted(vals)
+    out = {}
+    for p in ps:
+        k = min(int(round(p / 100 * (len(vals) - 1))), len(vals) - 1)
+        out[f"p{p}"] = round(vals[k] * 1e3, 1)
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--requests", type=int, default=8)
@@ -53,6 +93,13 @@ def main():
                     help="also serve the same requests through a 1-slot loop "
                          "(the reference's bsz==1 contract, main.py:203) and "
                          "report the continuous-batching speedup")
+    ap.add_argument("--arrival-rate", type=float, default=0.0,
+                    help="Poisson request arrivals at this mean rate (req/s); "
+                         "0 = all requests enqueued at t=0 (backlog regime)")
+    ap.add_argument("--slots-sweep", type=str, default=None,
+                    help="comma-separated slot counts, e.g. 1,2,4,8 — serve "
+                         "the same requests+arrivals at each and report "
+                         "per-B throughput and batching speedup vs B=1")
     ap.add_argument("--json", type=str, default=None,
                     help="write the measured numbers to this JSON file")
     args = ap.parse_args()
@@ -88,23 +135,61 @@ def main():
                   else int(rng.integers(args.new_tokens // 2, args.new_tokens + 1)))
         reqs.append(ServeRequest(inp, max_new_tokens=budget))
 
-    draft = 4 if args.speculative else 0
-    # Warmup loop(s): compile the chunk program(s) + prefill executors once.
-    for d in {0, draft}:
-        warm = ServingLoop(engine, max_slots=args.slots, max_new_cap=args.new_tokens,
-                           chunk_steps=args.chunk, draft_len=d, prefix_cap=prefix_cap)
-        warm.submit(ServeRequest(reqs[0].inputs, max_new_tokens=4))
-        warm.run()
+    # The phase layers' caches hold the FULL prompt (reference DynamicCache
+    # semantics: layer 0 ran before any merge), so the slot prefix region
+    # must cover the uncompressed prompt length at 64-frame geometry.
+    prefix_cap = max(prefix_cap, len(reqs[0].inputs.patch_type) + engine.ff.bucket)
 
-    # Main loop runs PLAIN (draft 0): it is the baseline the speculative
-    # pass below compares against, and cold prompt-lookup has nothing to
-    # draft from on these synthetic prompts anyway.
-    loop = ServingLoop(engine, max_slots=args.slots, max_new_cap=args.new_tokens,
-                       chunk_steps=args.chunk, draft_len=0, prefix_cap=prefix_cap)
-    ids = [loop.submit(r) for r in reqs]
-    t0 = time.perf_counter()
-    results = loop.run()
-    dt = time.perf_counter() - t0
+    # Arrival schedule: exponential inter-arrival gaps at --arrival-rate
+    # (Poisson process), shared across every measured loop so the sweep
+    # compares identical workloads. Rate 0 = the all-at-t0 backlog regime.
+    arr_rng = np.random.default_rng(7)
+    if args.arrival_rate > 0:
+        gaps = arr_rng.exponential(1.0 / args.arrival_rate, size=len(reqs))
+        arrivals = np.cumsum(gaps)
+        arrivals[0] = 0.0  # first request starts the clock
+    else:
+        arrivals = np.zeros(len(reqs))
+
+    draft = 4 if args.speculative else 0
+    slot_counts = ([int(s) for s in args.slots_sweep.split(",")]
+                   if args.slots_sweep else [args.slots])
+    if args.sequential_baseline and 1 not in slot_counts:
+        slot_counts = [1] + slot_counts
+
+    def serve_at(slots, draft_d=0, warm_first=True):
+        if warm_first:
+            warm = ServingLoop(engine, max_slots=slots, max_new_cap=args.new_tokens,
+                               chunk_steps=args.chunk, draft_len=draft_d,
+                               prefix_cap=prefix_cap)
+            warm.submit(ServeRequest(reqs[0].inputs, max_new_tokens=4))
+            warm.run()
+        return run_loop(engine, reqs, arrivals, slots=slots, chunk=args.chunk,
+                        max_new=args.new_tokens, prefix_cap=prefix_cap,
+                        draft=draft_d)
+
+    sweep_rows = []
+    results = dt = loop = None
+    for slots in slot_counts:
+        res_s, dt_s, loop_s = serve_at(slots)
+        toks_s = sum(len(r.tokens) for r in res_s.values())
+        lat = [res_s[i].queue_s + res_s[i].serve_s for i in res_s]
+        row = {
+            "slots": slots, "wall_ms": round(dt_s * 1e3, 1),
+            "tokens": toks_s, "tokens_per_s": round(toks_s / dt_s, 1),
+            "chunks": loop_s._chunk_idx, "compactions": loop_s.compactions,
+            "queue_ms": percentiles([res_s[i].queue_s for i in res_s]),
+            "serve_ms": percentiles([res_s[i].serve_s for i in res_s]),
+            "request_latency_ms": percentiles(lat),
+        }
+        sweep_rows.append(row)
+        print(f"  B={slots}: {row['wall_ms']:.0f} ms, {row['tokens_per_s']} tok/s, "
+              f"{row['chunks']} chunks, {row['compactions']} compactions; "
+              f"latency p50/p95 {row['request_latency_ms']['p50']:.0f}/"
+              f"{row['request_latency_ms']['p95']:.0f} ms")
+        if slots == args.slots or results is None:
+            results, dt, loop = res_s, dt_s, loop_s
+    ids = list(range(len(reqs)))
 
     total_toks = sum(len(results[i].tokens) for i in ids)
     print(f"served {args.requests} requests through {args.slots} slots in "
@@ -119,38 +204,27 @@ def main():
         "requests": args.requests, "slots": args.slots, "chunk_steps": args.chunk,
         "frames": frames, "prompt_tokens": int(len(reqs[0].inputs.patch_type)),
         "backend": jax.default_backend(), "int8": bool(args.int8),
+        "arrival_rate_per_s": args.arrival_rate,
+        "arrival_span_ms": round(float(arrivals[-1]) * 1e3, 1),
         "total_tokens": total_toks, "wall_ms": round(dt * 1e3, 1),
         "serving_tokens_per_s": round(total_toks / dt, 1),
         "queue_ms_p50": round(qs[mid] * 1e3, 1), "queue_ms_max": round(qs[-1] * 1e3, 1),
         "serve_ms_p50": round(ss[mid] * 1e3, 1), "serve_ms_max": round(ss[-1] * 1e3, 1),
         "chunks": loop._chunk_idx, "compactions": loop.compactions,
+        "slots_sweep": sweep_rows,
     }
-
-    if args.sequential_baseline:
-        # The reference serves one request at a time end to end (bsz==1,
-        # main.py:203). Same requests, same machinery, max_slots=1 — the
-        # honest baseline for what the batched slots buy. Warm its (1-slot)
-        # chunk program first so the A/B compares steady-state loops.
-        warm1 = ServingLoop(engine, max_slots=1, max_new_cap=args.new_tokens,
-                            chunk_steps=args.chunk, draft_len=0, prefix_cap=prefix_cap)
-        warm1.submit(ServeRequest(reqs[0].inputs, max_new_tokens=4))
-        warm1.run()
-        bloop = ServingLoop(engine, max_slots=1, max_new_cap=args.new_tokens,
-                            chunk_steps=args.chunk, draft_len=0, prefix_cap=prefix_cap)
-        bids = [bloop.submit(ServeRequest(r.inputs, max_new_tokens=r.max_new_tokens))
-                for r in reqs]
-        t0 = time.perf_counter()
-        bresults = bloop.run()
-        b1_dt = time.perf_counter() - t0
-        b1_toks = sum(len(bresults[i].tokens) for i in bids)
-        print(f"  sequential 1-slot baseline: {b1_dt*1e3:.0f} ms — {b1_toks} tokens, "
-              f"{b1_toks/b1_dt:.1f} tok/s; continuous-batching speedup "
-              f"{b1_dt/dt:.2f}x")
+    base1 = next((r for r in sweep_rows if r["slots"] == 1), None)
+    if base1 is not None:
+        for r in sweep_rows:
+            r["batching_speedup"] = round(base1["wall_ms"] / r["wall_ms"], 3)
         record.update({
-            "sequential_wall_ms": round(b1_dt * 1e3, 1),
-            "sequential_tokens_per_s": round(b1_toks / b1_dt, 1),
-            "batching_speedup": round(b1_dt / dt, 3),
+            "sequential_wall_ms": base1["wall_ms"],
+            "sequential_tokens_per_s": base1["tokens_per_s"],
+            "batching_speedup": round(base1["wall_ms"] / record["wall_ms"], 3),
         })
+        print(f"  sequential 1-slot baseline: {base1['wall_ms']:.0f} ms — "
+              f"{base1['tokens_per_s']} tok/s; continuous-batching speedup "
+              f"{record.get('batching_speedup')}x")
     if args.speculative:
         # Oracle-seeded pass: re-serve the same requests with each one's own
         # plain output as its lookup history, so drafts hit — the measured

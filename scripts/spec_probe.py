@@ -64,28 +64,29 @@ def build_prompt(full, n_answer):
     return prompt, patch_type, pos
 
 
-def run_config(engine, params, cfg, instances, *, compressed, draft_len, batched):
+def _prefill_one(engine, params, cfg, full, *, compressed):
     from framefusion_tpu.models import qwen2
 
     n_ans = 2 * PATCH_NUM
+    prompt, patch_type, pos = build_prompt(full, n_ans)
+    h = qwen2.embed(params, jnp.asarray(prompt), cfg)
+    if compressed:
+        res = engine.prefill(h, patch_type, pos, patch_num=PATCH_NUM,
+                             image_token_start=1,
+                             image_token_length=N_FRAMES * PATCH_NUM)
+    else:
+        res = engine.dense_prefill(h, pos)
+    return res, prompt
+
+
+def run_config(engine, params, cfg, instances, *, compressed, draft_len, batched):
+    n_ans = 2 * PATCH_NUM
     results, prompts, answers, greedy = [], [], [], []
     for full, _, answer in instances:
-        prompt, patch_type, pos = build_prompt(full, n_ans)
-        h = qwen2.embed(params, jnp.asarray(prompt), cfg)
-        if compressed:
-            res = engine.prefill(h, patch_type, pos, patch_num=PATCH_NUM,
-                                 image_token_start=1,
-                                 image_token_length=N_FRAMES * PATCH_NUM)
-        else:
-            res = engine.dense_prefill(h, pos)
+        res, prompt = _prefill_one(engine, params, cfg, full, compressed=compressed)
         greedy.append(engine.generate_greedy(res, n_ans))
         # fresh prefill: decode consumed the result's pools
-        if compressed:
-            res = engine.prefill(h, patch_type, pos, patch_num=PATCH_NUM,
-                                 image_token_start=1,
-                                 image_token_length=N_FRAMES * PATCH_NUM)
-        else:
-            res = engine.dense_prefill(h, pos)
+        res, _ = _prefill_one(engine, params, cfg, full, compressed=compressed)
         results.append(res)
         prompts.append([int(t) for t in prompt])
         answers.append(answer)
@@ -117,13 +118,134 @@ def run_config(engine, params, cfg, instances, *, compressed, draft_len, batched
     echo_acc = float(np.mean([
         np.mean(np.asarray(s) == a) for s, a in zip(spec, answers)]))
     macro = int(stats["macro_steps"])
-    return {
+    row = {
         "greedy_match": bool(match),
         "echo_accuracy": round(echo_acc, 3),
         "acceptance": round(int(stats["accepted"]) / max(int(stats["drafted"]), 1), 3),
         "tokens_per_weight_pass": round(n * (n_ans - 1) / max(macro, 1), 2),
         "macro_steps": macro,
         "plain_decode_steps": n * (n_ans - 1),
+    }
+    row.update(time_config(engine, params, cfg, instances,
+                           compressed=compressed, draft_len=draft_len,
+                           batched=batched, prompts=prompts))
+    return row
+
+
+def time_config(engine, params, cfg, instances, *, compressed, draft_len,
+                batched, prompts, rounds=3):
+    """Wall-clock of the DECODE phase, plain vs speculative, over the eval
+    set (prefills rebuilt untimed between passes — decode consumes the
+    result pools). Each decode call ends in its own host sync, so through a
+    high-latency relay the per-call round trip rides both sides equally; at
+    the probe's tiny scale the win that survives is fewer weight
+    passes/dispatches, which is exactly speculation's claim. Median of
+    ``rounds`` passes per side."""
+    import time
+
+    n_ans = 2 * PATCH_NUM
+
+    def fresh_results():
+        return [
+            _prefill_one(engine, params, cfg, full, compressed=compressed)[0]
+            for full, _, _ in instances
+        ]
+
+    def plain_pass(results):
+        if batched:
+            return engine.generate_batch(results, n_ans)
+        return [engine.generate_greedy(r, n_ans) for r in results]
+
+    def spec_pass(results):
+        if batched:
+            return engine.generate_spec_batch(results, n_ans,
+                                              draft_len=draft_len,
+                                              prompt_ids=prompts)
+        return [engine.generate_spec(r, n_ans, draft_len=draft_len,
+                                     prompt_ids=p)
+                for r, p in zip(results, prompts)]
+
+    # warm both programs (compiles excluded from the timing)
+    plain_pass(fresh_results())
+    spec_pass(fresh_results())
+    plains, specs = [], []
+    for _ in range(rounds):
+        rs = fresh_results()
+        t0 = time.perf_counter()
+        plain_pass(rs)
+        plains.append(time.perf_counter() - t0)
+        rs = fresh_results()
+        t0 = time.perf_counter()
+        spec_pass(rs)
+        specs.append(time.perf_counter() - t0)
+    tp = sorted(plains)[len(plains) // 2]
+    ts = sorted(specs)[len(specs) // 2]
+    return {
+        "plain_decode_wall_ms": round(tp * 1e3, 1),
+        "spec_decode_wall_ms": round(ts * 1e3, 1),
+        "wall_speedup": round(tp / ts, 3),
+    }
+
+
+def serving_rows(engine, params, cfg, instances, draft_len, prefill_mode="fused"):
+    """Speculative SERVING on the trained stack (VERDICT r4 item 4): the
+    same echo requests through runtime/serving.ServingLoop with draft_len=0
+    vs draft_len>0, lookup histories seeded from each PROMPT's text ids —
+    the echo answer is a verbatim prompt substring, so drafting hits for
+    real (no oracle seeding; contrast the r4 unshipped random-init run whose
+    acceptance reflected the input). Reports wall, chunks (the weight-pass
+    proxy: every chunk is one dispatch+sync), throughput and token
+    agreement."""
+    import time
+
+    from framefusion_tpu.models import qwen2
+    from framefusion_tpu.models.adapters.common import PrefillInputs
+    from framefusion_tpu.runtime.serving import ServeRequest, ServingLoop
+
+    n_ans = 2 * PATCH_NUM
+
+    def make_reqs():
+        reqs = []
+        for full, _, _ in instances:
+            prompt, patch_type, pos = build_prompt(full, n_ans)
+            h = qwen2.embed(params, jnp.asarray(prompt), cfg)
+            inp = PrefillInputs(input_embeds=h, patch_type=patch_type,
+                                position_ids=pos, patch_num=PATCH_NUM,
+                                image_token_start=1,
+                                image_token_length=N_FRAMES * PATCH_NUM)
+            reqs.append(ServeRequest(inp, max_new_tokens=n_ans,
+                                     prompt_ids=np.asarray(prompt, np.int32)))
+        return reqs
+
+    def serve(draft, timed):
+        loop = ServingLoop(engine, max_slots=4, max_new_cap=n_ans,
+                           chunk_steps=4, draft_len=draft, prefix_cap=64,
+                           prefill_mode=prefill_mode)
+        ids = [loop.submit(r) for r in make_reqs()]
+        t0 = time.perf_counter()
+        results = loop.run()
+        dt = time.perf_counter() - t0
+        toks = [results[i].tokens for i in ids]
+        return toks, dt, loop._chunk_idx
+
+    serve(0, False)  # warm the plain chunk program
+    serve(draft_len, False)  # warm the speculative chunk program
+    plain_toks, plain_dt, plain_chunks = serve(0, True)
+    spec_toks, spec_dt, spec_chunks = serve(draft_len, True)
+    total = sum(len(t) for t in plain_toks)
+    agree = sum(a == b for ta, tb in zip(spec_toks, plain_toks)
+                for a, b in zip(ta, tb))
+    return {
+        "requests": len(instances), "slots": 4, "chunk_steps": 4,
+        "max_new_tokens": n_ans, "draft_len": draft_len,
+        "plain_wall_ms": round(plain_dt * 1e3, 1),
+        "plain_chunks": plain_chunks,
+        "plain_tokens_per_s": round(total / plain_dt, 1),
+        "spec_wall_ms": round(spec_dt * 1e3, 1),
+        "spec_chunks": spec_chunks,
+        "spec_tokens_per_s": round(sum(len(t) for t in spec_toks) / spec_dt, 1),
+        "serving_wall_speedup": round(plain_dt / spec_dt, 3),
+        "agreement": f"{agree}/{total}",
     }
 
 
@@ -182,7 +304,18 @@ def main():
                        draft_len=args.draft_len, batched=batched)
         record[name] = r
         print(f"  {name:22s} match={r['greedy_match']} echo_acc={r['echo_accuracy']:.3f} "
-              f"acceptance={r['acceptance']:.3f} tok/pass={r['tokens_per_weight_pass']:.2f}")
+              f"acceptance={r['acceptance']:.3f} tok/pass={r['tokens_per_weight_pass']:.2f} "
+              f"wall={r['wall_speedup']:.2f}x")
+
+    for name, eng, pmode in [("dense_serving", dense_engine, "dense"),
+                             ("framefusion_serving", ff_engine, "fused")]:
+        r = serving_rows(eng, params, cfg, instances, args.draft_len,
+                         prefill_mode=pmode)
+        record[name] = r
+        print(f"  {name:22s} wall={r['serving_wall_speedup']:.2f}x "
+              f"chunks {r['plain_chunks']}->{r['spec_chunks']} "
+              f"tok/s {r['plain_tokens_per_s']}->{r['spec_tokens_per_s']} "
+              f"agreement={r['agreement']}")
 
     if args.json:
         with open(args.json, "w") as f:

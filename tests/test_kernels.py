@@ -398,3 +398,193 @@ class TestMatvecQ8:
             ref = jnp.dot(x, ws[l].astype(jnp.bfloat16), preferred_element_type=jnp.float32)
             got = matvec_stacked(x, ws, l, interpret=True)
             np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16])
+    def test_fused_qkv_matches_separate(self, dtype):
+        """matvec_stacked_qkv == three matvec_stacked calls (one launch,
+        three weight streams — the decode fusion of VERDICT r4 item 2)."""
+        from framefusion_tpu.ops.kernels.matvec_q8 import (
+            matvec_stacked, matvec_stacked_qkv)
+
+        rng = np.random.default_rng(34)
+        L, k, nq, nkv = 3, 512, 512, 128
+
+        def mk(n):
+            if dtype == jnp.int8:
+                return jnp.asarray(rng.integers(-127, 128, (L, k, n)), jnp.int8)
+            return jnp.asarray(rng.standard_normal((L, k, n)) * 0.1, jnp.bfloat16)
+
+        wq, wk, wv = mk(nq), mk(nkv), mk(nkv)
+        for rows in (1, 3):
+            x = jnp.asarray(rng.standard_normal((rows, k)) * 0.1, jnp.bfloat16)
+            for l in (0, L - 1):
+                q, kk, vv = matvec_stacked_qkv(x, wq, wk, wv, l, interpret=True)
+                for got, ws in ((q, wq), (kk, wk), (vv, wv)):
+                    ref = matvec_stacked(x, ws, l, interpret=True)
+                    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                               rtol=1e-5, atol=1e-6)
+
+    @pytest.mark.parametrize("dtype", [jnp.int8, jnp.bfloat16])
+    def test_fused_gateup_matches_separate(self, dtype):
+        """matvec_stacked_gateup == silu(x@wg*sg) * (x@wu*su) composed from
+        separate matvecs (scales multiply before the nonlinearity, exactly
+        models/qwen2.mm's order)."""
+        from framefusion_tpu.ops.kernels.matvec_q8 import (
+            matvec_stacked, matvec_stacked_gateup)
+
+        rng = np.random.default_rng(35)
+        L, k, n = 3, 512, 768
+        if dtype == jnp.int8:
+            wg = jnp.asarray(rng.integers(-127, 128, (L, k, n)), jnp.int8)
+            wu = jnp.asarray(rng.integers(-127, 128, (L, k, n)), jnp.int8)
+            sg = jnp.asarray(rng.random((L, n)).astype(np.float32) * 0.01 + 0.005)
+            su = jnp.asarray(rng.random((L, n)).astype(np.float32) * 0.01 + 0.005)
+        else:
+            wg = jnp.asarray(rng.standard_normal((L, k, n)) * 0.1, jnp.bfloat16)
+            wu = jnp.asarray(rng.standard_normal((L, k, n)) * 0.1, jnp.bfloat16)
+            sg = su = jnp.ones((1, n), jnp.float32)
+        for rows in (1, 2):
+            x = jnp.asarray(rng.standard_normal((rows, k)) * 0.1, jnp.bfloat16)
+            for l in (0, L - 1):
+                got = matvec_stacked_gateup(x, wg, wu, sg, su, l, interpret=True)
+                g = matvec_stacked(x, wg, l, interpret=True) * (
+                    sg[min(l, sg.shape[0] - 1)])
+                u = matvec_stacked(x, wu, l, interpret=True) * (
+                    su[min(l, su.shape[0] - 1)])
+                ref = jax.nn.silu(g) * u
+                np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                           rtol=2e-5, atol=1e-6)
+
+    def test_mv_stacked_gateup_wrapper_matches_unfused(self, monkeypatch):
+        """qwen2.mv_stacked_gateup (dict + bf16 dispatch) == the unfused
+        composition it replaces, and FF_DECODE_FUSED=0 routes around it."""
+        from framefusion_tpu.models import qwen2
+        from framefusion_tpu.ops.quant import quantize_weight
+
+        rng = np.random.default_rng(36)
+        L, k, n = 2, 256, 384
+        wg = jnp.asarray(rng.standard_normal((L, k, n)) * 0.1, jnp.bfloat16)
+        wu = jnp.asarray(rng.standard_normal((L, k, n)) * 0.1, jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((1, k)) * 0.1, jnp.bfloat16)
+        for stacks in (
+            (wg, wu),
+            (quantize_weight(wg.copy()), quantize_weight(wu.copy())),
+        ):
+            g, u = stacks
+            want = (jax.nn.silu(qwen2.mv_stacked(x, g, 1))
+                    * qwen2.mv_stacked(x, u, 1)).astype(x.dtype)
+            got = qwen2.mv_stacked_gateup(x, g, u, 1)
+            np.testing.assert_allclose(np.asarray(got, np.float32),
+                                       np.asarray(want, np.float32),
+                                       rtol=2e-2, atol=2e-3)
+            monkeypatch.setenv("FF_DECODE_FUSED", "0")
+            off = qwen2.mv_stacked_gateup(x, g, u, 1)
+            monkeypatch.delenv("FF_DECODE_FUSED")
+            np.testing.assert_array_equal(np.asarray(off, np.float32),
+                                          np.asarray(want, np.float32))
+
+    def test_mv_stacked_qkv_wrapper_matches_unfused(self):
+        from framefusion_tpu.models import qwen2
+        from framefusion_tpu.ops.quant import quantize_weight
+
+        rng = np.random.default_rng(37)
+        L, k, nq, nkv = 2, 256, 256, 128
+        wq = jnp.asarray(rng.standard_normal((L, k, nq)) * 0.1, jnp.bfloat16)
+        wk = jnp.asarray(rng.standard_normal((L, k, nkv)) * 0.1, jnp.bfloat16)
+        wv = jnp.asarray(rng.standard_normal((L, k, nkv)) * 0.1, jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((2, k)) * 0.1, jnp.bfloat16)
+        for stacks in (
+            (wq, wk, wv),
+            tuple(quantize_weight(w.copy()) for w in (wq, wk, wv)),
+        ):
+            got = qwen2.mv_stacked_qkv(x, *stacks, 0)
+            want = tuple(qwen2.mv_stacked(x, w, 0) for w in stacks)
+            for a, b in zip(got, want):
+                np.testing.assert_allclose(np.asarray(a, np.float32),
+                                           np.asarray(b, np.float32),
+                                           rtol=2e-2, atol=2e-3)
+
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_decode_step_mv_path_matches_xla(self, quantized):
+        """decode_step's streamed-matvec path (fused qkv + gate-up kernels,
+        CPU-interpretable since r5) == the plain XLA path, bf16 and int8."""
+        from framefusion_tpu.config import tiny_llm_config
+        from framefusion_tpu.models import qwen2
+        from framefusion_tpu.ops.quant import quantize_params_int8
+
+        cfg = tiny_llm_config(num_layers=2, dtype=jnp.bfloat16)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(5))
+        if quantized:
+            params = quantize_params_int8(jax.tree.map(lambda x: x, params))
+        rng = np.random.default_rng(40)
+        s_pool = 64
+        kp = jnp.asarray(rng.standard_normal(
+            (cfg.num_layers, s_pool, cfg.num_kv_heads, cfg.head_dim_)) * 0.1,
+            cfg.dtype)
+        vp = jnp.asarray(rng.standard_normal(kp.shape) * 0.1, cfg.dtype)
+        lens = jnp.asarray([17, 13], jnp.int32)
+        emb = jnp.asarray(rng.standard_normal(cfg.hidden_size) * 0.1, cfg.dtype)
+        pos = jnp.int32(17)
+        ref_logits, rk, rv, _ = qwen2.decode_step(
+            params, emb, pos, kp, vp, lens, cfg, attn_impl="jax")
+        got_logits, gk, gv, _ = qwen2.decode_step(
+            params, emb, pos, kp, vp, lens, cfg, attn_impl="mv-jax")
+        np.testing.assert_allclose(np.asarray(got_logits, np.float32),
+                                   np.asarray(ref_logits, np.float32),
+                                   rtol=3e-2, atol=3e-2)
+        np.testing.assert_allclose(np.asarray(gk, np.float32),
+                                   np.asarray(rk, np.float32),
+                                   rtol=3e-2, atol=3e-2)
+
+    @pytest.mark.parametrize("quantized", [False, True])
+    def test_verify_step_mv_path_matches_xla(self, quantized, monkeypatch):
+        """verify_step / verify_step_batch with the streamed-matvec weight
+        pass (FF_VERIFY_MV=1, the TPU serving-chunk default since r5) == the
+        XLA projection path."""
+        from framefusion_tpu.config import tiny_llm_config
+        from framefusion_tpu.models import qwen2
+        from framefusion_tpu.ops.quant import quantize_params_int8
+
+        cfg = tiny_llm_config(num_layers=2, dtype=jnp.bfloat16)
+        params = qwen2.init_params(cfg, jax.random.PRNGKey(6))
+        if quantized:
+            params = quantize_params_int8(jax.tree.map(lambda x: x, params))
+        rng = np.random.default_rng(41)
+        kq, s_pool = 4, 64
+        kp = jnp.asarray(rng.standard_normal(
+            (cfg.num_layers, s_pool, cfg.num_kv_heads, cfg.head_dim_)) * 0.1, cfg.dtype)
+        vp = jnp.asarray(rng.standard_normal(kp.shape) * 0.1, cfg.dtype)
+        lens = jnp.asarray([20, 17], jnp.int32)
+        embs = jnp.asarray(rng.standard_normal((kq, cfg.hidden_size)) * 0.1, cfg.dtype)
+        pos = jnp.int32(20) + jnp.arange(kq, dtype=jnp.int32)
+
+        monkeypatch.setenv("FF_VERIFY_MV", "0")
+        ref, rk, _ = qwen2.verify_step(params, embs, pos, kp, vp, lens, cfg)
+        monkeypatch.setenv("FF_VERIFY_MV", "1")
+        got, gk, _ = qwen2.verify_step(params, embs, pos, kp, vp, lens, cfg)
+        np.testing.assert_allclose(np.asarray(got, np.float32),
+                                   np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2)
+        np.testing.assert_allclose(np.asarray(gk, np.float32),
+                                   np.asarray(rk, np.float32), rtol=3e-2, atol=3e-2)
+
+        # batched form
+        bsz = 2
+        embsb = jnp.asarray(rng.standard_normal((bsz, kq, cfg.hidden_size)) * 0.1,
+                            cfg.dtype)
+        kpb = jnp.asarray(rng.standard_normal(
+            (cfg.num_layers, bsz, s_pool, cfg.num_kv_heads, cfg.head_dim_)) * 0.1,
+            cfg.dtype)
+        vpb = jnp.asarray(rng.standard_normal(kpb.shape) * 0.1, cfg.dtype)
+        lensb = jnp.asarray([[20, 15], [18, 13]], jnp.int32)
+        posb = lensb[0][:, None] + jnp.arange(kq, dtype=jnp.int32)[None]
+        dmask = jnp.zeros((bsz, s_pool), bool)
+        monkeypatch.setenv("FF_VERIFY_MV", "0")
+        refb, _, _ = qwen2.verify_step_batch(
+            params, embsb, posb, kpb, vpb, lensb, dmask, jnp.int32(40),
+            jnp.int32(0), cfg)
+        monkeypatch.setenv("FF_VERIFY_MV", "1")
+        gotb, _, _ = qwen2.verify_step_batch(
+            params, embsb, posb, kpb, vpb, lensb, dmask, jnp.int32(40),
+            jnp.int32(0), cfg)
+        np.testing.assert_allclose(np.asarray(gotb, np.float32),
+                                   np.asarray(refb, np.float32), rtol=3e-2, atol=3e-2)
