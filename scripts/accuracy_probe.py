@@ -265,6 +265,21 @@ def baseline_pareto(params, cfg, instances, ff_sweep, targets=(0.3, 0.5, 0.7)):
         print(f"  streamingllm  rate={1-t:.1f}: accuracy {acc:.3f} "
               f"@ {t:.0%} attention-budget cut (tokens not removed)")
     pareto["streamingllm"] = rows
+    pareto["reading_note"] = (
+        "Scale caveat for the FastV rows: this probe is single-token needle "
+        "recall with the query visible at prune time, on a small OVERFIT "
+        "stack — the last-token attention FastV prunes by is then an oracle "
+        "for exactly the needed token, while FrameFusion's similarity "
+        "merging is query-blind by design. The paper's regime (28-layer "
+        "general VLMs, noisy early-layer attention, aggregate multi-frame "
+        "questions) is where the reference reports the opposite ordering "
+        "(README.md:13,21-28); validating that ordering needs real "
+        "checkpoints + lmms-eval (environment-gated). What this probe "
+        "establishes offline: FrameFusion degrades smoothly with cost, "
+        "dominates StreamingLLM everywhere, matches fixed-schedule merging "
+        "at lower normalized cost, and sits within a few points of "
+        "oracle-informed pruning even at equal cost."
+    )
     return pareto
 
 

@@ -169,7 +169,7 @@ def main():
                         draft=draft_d)
 
     sweep_rows = []
-    results = dt = loop = None
+    results = dt = main_row = None
     for slots in slot_counts:
         res_s, dt_s, loop_s = serve_at(slots)
         toks_s = sum(len(r.tokens) for r in res_s.values())
@@ -188,13 +188,20 @@ def main():
               f"latency p50/p95 {row['request_latency_ms']['p50']:.0f}/"
               f"{row['request_latency_ms']['p95']:.0f} ms")
         if slots == args.slots or results is None:
-            results, dt, loop = res_s, dt_s, loop_s
+            results, dt, main_row = res_s, dt_s, row
+        # Free this B's pools before the next geometry allocates — at the
+        # 64-frame hard regime a loop's batched pools are multi-GB and two
+        # generations coexisting next to the 7B weights OOMs the chip.
+        del loop_s
+        import gc
+
+        gc.collect()
     ids = list(range(len(reqs)))
 
     total_toks = sum(len(results[i].tokens) for i in ids)
     print(f"served {args.requests} requests through {args.slots} slots in "
           f"{dt*1e3:.0f} ms — {total_toks} tokens, {total_toks/dt:.1f} tok/s, "
-          f"{loop._chunk_idx} chunks, {loop.compactions} compactions")
+          f"{main_row['chunks']} chunks, {main_row['compactions']} compactions")
     qs = sorted(results[i].queue_s for i in ids)
     ss = sorted(results[i].serve_s for i in ids)
     mid = len(ids) // 2
