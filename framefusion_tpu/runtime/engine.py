@@ -1265,7 +1265,7 @@ class CompressionEngine:
         *,
         attn_impl: str = "chunked",
         pool_layers: int = 8,
-        compact_pre_event: bool = False,
+        compact_pre_event="auto",
         tail_w8a8: bool = False,
     ):
         self.params = params
@@ -1281,8 +1281,13 @@ class CompressionEngine:
         # ~2x half-a-layer of full-length compute per prefill at the cost of
         # one extra mid-prefill host sync — a win on directly-attached hosts
         # (sync ~0.3 ms), a loss through high-latency relays (measured +65 ms
-        # on this runner), hence default False.
+        # on this runner). Default "auto" (VERDICT r4 item 7): measure the
+        # device->host round trip once and enable only when it is cheap
+        # (<5 ms — true on attached hosts, never through this relay).
+        # Decisions are identical either way (it IS the segmented merge
+        # event; pinned by test_engine::test_hybrid_pre_event_compaction).
         self.compact_pre_event = compact_pre_event
+        self._sync_cost_s: Optional[float] = None
         # Research introspection: record each merge event's similarity vector
         # into telemetry (reference ``model.similarities``).
         self.debug_similarities = False
@@ -1317,6 +1322,24 @@ class CompressionEngine:
         self.planned_dispatch = os.environ.get("FF_PLANNED_DISPATCH", "staged")
 
     # -- prefill -----------------------------------------------------------
+
+    def _use_pre_compact(self) -> bool:
+        """Resolve ``compact_pre_event``: True/False pass through; "auto"
+        measures the device->host scalar round trip ONCE (warm read then a
+        timed read of a distinct tiny dispatch) and enables the hybrid only
+        when a mid-prefill sync is cheap (<5 ms: attached hosts ~0.3 ms,
+        this relay 35-75+ ms)."""
+        if self.compact_pre_event != "auto":
+            return bool(self.compact_pre_event)
+        if self._sync_cost_s is None:
+            import time as _time
+
+            x = jnp.zeros((4,), jnp.float32)
+            float(jnp.sum(x))  # warm: compile + drain the queue
+            t0 = _time.perf_counter()
+            float(jnp.sum(x + jnp.float32(1.0)))  # distinct dispatch (no elision)
+            self._sync_cost_s = _time.perf_counter() - t0
+        return self._sync_cost_s < 0.005
 
     def _record_plan_stats(self, patch_num: int, patch_type, telemetry) -> None:
         """Feed PlanHistory from a finished prefill's telemetry."""
@@ -1528,7 +1551,7 @@ class CompressionEngine:
         sparsity_host: list[float] = []
         finish_m = finish_p = False
         include_pre = True
-        if self.compact_pre_event:
+        if frame_tok0 > 0 and patch_num > 0 and self._use_pre_compact():
             sim, order, count = _sim_program(
                 h, pt, jnp.int32(valid), jnp.float32(ff.similarity_lower_bound),
                 patch_num=patch_num,

@@ -376,10 +376,29 @@ class TestPlannedMode:
 
 
 class TestHybridPreCompaction:
+    def test_auto_resolution(self, setup):
+        """compact_pre_event="auto" (the r5 default) measures the sync cost
+        once and enables the hybrid where syncs are cheap — true on CPU; the
+        explicit booleans pass through untouched."""
+        cfg, params, ff = setup
+        e = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        assert e.compact_pre_event == "auto"
+        e._use_pre_compact()  # measures once (value depends on host load)
+        assert e._sync_cost_s is not None
+        e._sync_cost_s = 0.0003  # attached-host-priced sync -> hybrid on
+        assert e._use_pre_compact() is True
+        e._sync_cost_s = 0.05  # relay-priced sync -> hybrid off
+        assert e._use_pre_compact() is False
+        e_off = CompressionEngine(params, cfg, ff, attn_impl="einsum",
+                                  compact_pre_event=False)
+        assert e_off._use_pre_compact() is False  # explicit bool passes through
+        assert e_off._sync_cost_s is None  # ...without measuring anything
+
     def test_hybrid_matches_default(self, setup):
         cfg, params, ff = setup
         h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.8)
-        e_default = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        e_default = CompressionEngine(params, cfg, ff, attn_impl="einsum",
+                                      compact_pre_event=False)
         e_hybrid = CompressionEngine(params, cfg, ff, attn_impl="einsum", compact_pre_event=True)
         r0 = e_default.prefill(h, pt, pos, 6, img_start, n_img)
         r1 = e_hybrid.prefill(h, pt, pos, 6, img_start, n_img)
