@@ -120,10 +120,18 @@ def _pick_tile(k_dim: int, n_dim: int, itemsize: int, budget: int,
     until the double-buffered pair nears the 16 MB scoped-VMEM limit."""
 
     def divisors(dim, align):
-        return [d for d in range(align, dim + 1, align) if dim % d == 0]
+        # ``dim`` itself is always legal (block == array dim); other
+        # candidates must be lane-aligned — bk is the x block's LAST dim and
+        # bn every output/weight block's last dim, and the TPU lowering
+        # requires last dims divisible by 128 (caught on chip by
+        # kernel_bench --check; interpret mode does not enforce it).
+        ds = [d for d in range(align, dim + 1, align) if dim % d == 0]
+        if dim not in ds:
+            ds.append(dim)
+        return ds
 
-    bns = [n for n in divisors(n_dim, 128)] or [n_dim]
-    bks = [k for k in divisors(k_dim, 32)] or [k_dim]
+    bns = divisors(n_dim, 128)
+    bks = divisors(k_dim, 128)
     best = (bks[0], bns[0])
     best_steps = (k_dim // best[0]) * (n_dim // best[1])
     best_bytes = n_weights * best[0] * best[1] * itemsize
@@ -254,11 +262,13 @@ def matvec_stacked_qkv(
     assert wq_stack.shape[1] == wk_stack.shape[1] == wv_stack.shape[1] == k_dim
     itemsize = wq_stack.dtype.itemsize
     if block_k is None:
-        # one K-slab of all three weights per grid step
+        # one K-slab of all three weights per grid step; bk is the x block's
+        # last dim, so candidates must be lane-aligned (multiples of 128) or
+        # the whole K.
         per_k = (nq + nk + nv) * itemsize
-        block_k = k_dim
-        while block_k * per_k > _TILE_BUDGET and block_k % 2 == 0 and block_k > 32:
-            block_k //= 2
+        cands = [d for d in range(128, k_dim + 1, 128) if k_dim % d == 0] + [k_dim]
+        fits = [d for d in cands if d * per_k <= _TILE_BUDGET]
+        block_k = max(fits) if fits else min(cands)
     assert k_dim % block_k == 0, (k_dim, block_k)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -314,8 +324,8 @@ def _gateup_stacked_kernel(n_k: int, l_ref, x_ref, wg_ref, wu_ref,
 
     @pl.when(ki == n_k - 1)
     def _():
-        g = g_acc[...] * sg_ref[0]
-        u = u_acc[...] * su_ref[0]
+        g = g_acc[...] * sg_ref[0, 0][None]
+        u = u_acc[...] * su_ref[0, 0][None]
         o_ref[...] = g * jax.lax.logistic(g) * u  # silu(g) * u, f32
 
 
@@ -349,10 +359,15 @@ def matvec_stacked_gateup(
     assert k_dim % bk == 0 and n_dim % bn == 0, (k_dim, bk, n_dim, bn)
     n_k = k_dim // bk
 
+    # Scales ride as (L_or_1, 1, N) with (1, 1, bn) blocks: a (1, bn) block
+    # of a (L, N) array fails the TPU lowering's sublane-divisibility rule
+    # (block dim 1 is neither divisible by 8 nor equal to L — caught by
+    # kernel_bench --check on chip); the singleton middle axis makes the
+    # block's last-two dims (1, bn) match the array's (1, N) exactly.
     def scale_spec(s):
         if s.shape[0] == 1:  # shared (bf16 ones): every layer maps to row 0
-            return pl.BlockSpec((1, bn), lambda n, k, l_ref: (0, n))
-        return pl.BlockSpec((1, bn), lambda n, k, l_ref: (l_ref[0], n))
+            return pl.BlockSpec((1, 1, bn), lambda n, k, l_ref: (0, 0, n))
+        return pl.BlockSpec((1, 1, bn), lambda n, k, l_ref: (l_ref[0], 0, n))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -379,5 +394,6 @@ def matvec_stacked_gateup(
         ),
         interpret=interpret,
     )(jnp.reshape(layer, (1,)).astype(jnp.int32), x.astype(jnp.bfloat16),
-      wg_stack, wu_stack, jnp.asarray(sg, jnp.float32),
-      jnp.asarray(su, jnp.float32))
+      wg_stack, wu_stack,
+      jnp.asarray(sg, jnp.float32).reshape(sg.shape[0], 1, n_dim),
+      jnp.asarray(su, jnp.float32).reshape(su.shape[0], 1, n_dim))

@@ -217,7 +217,7 @@ def main():
         "serving_tokens_per_s": round(total_toks / dt, 1),
         "queue_ms_p50": round(qs[mid] * 1e3, 1), "queue_ms_max": round(qs[-1] * 1e3, 1),
         "serve_ms_p50": round(ss[mid] * 1e3, 1), "serve_ms_max": round(ss[-1] * 1e3, 1),
-        "chunks": loop._chunk_idx, "compactions": loop.compactions,
+        "chunks": main_row["chunks"], "compactions": main_row["compactions"],
         "slots_sweep": sweep_rows,
     }
     base1 = next((r for r in sweep_rows if r["slots"] == 1), None)
