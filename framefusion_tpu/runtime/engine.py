@@ -2381,7 +2381,12 @@ class CompressionEngine:
         toks, _, _, _ = _decode_loop(
             self.params, result.logits, k_pool, v_pool, cache_lens,
             jnp.asarray(result.decode_pos_base, jnp.int32), rng_key,
-            cfg=cfg, attn_impl="pallas" if self.attn_impl == "pallas" else "jax",
+            # mv-jax: streamed-matvec weights + masked-XLA attention on the
+            # tail-split view — measured best-or-tied across both decode
+            # geometries (kernel_bench --what decodestep r5: 9.55-9.71 ms/step
+            # vs 9.61-13.32 for the ragged pallas kernel; the clamped-grid
+            # kernel's fixed overhead loses once the split trims dead rows).
+            cfg=cfg, attn_impl="mv-jax" if self.attn_impl == "pallas" else "jax",
             n_steps=max_new_tokens - 1, pos_dims=result.pos_dims, sampler=sampler,
             tail_split=split,
         )
@@ -2420,7 +2425,7 @@ class CompressionEngine:
         split = best_tail_split(
             [c[2] for c in result.layer_caches], int(k_pool.shape[1]),
             max_new_tokens, self.ff.bucket)
-        attn = "pallas" if self.attn_impl == "pallas" else "jax"
+        attn = "mv-jax" if self.attn_impl == "pallas" else "jax"
         tok_last = jax.jit(sample_token, static_argnums=(1,))(
             result.logits, sampler, keys[0]
         )
