@@ -78,6 +78,12 @@ def test_spec_probe_smoke(tmp_path):
         assert r["greedy_match"] is True, name
         assert 0.0 <= r["acceptance"] <= 1.0
         assert r["tokens_per_weight_pass"] >= 1.0
+        assert r["spec_decode_wall_ms"] > 0 and r["wall_speedup"] > 0  # r5
+    for name in ("dense_serving", "framefusion_serving"):  # r5 serving rows
+        r = rec[name]
+        assert r["plain_chunks"] >= r["spec_chunks"] >= 1
+        a, b = r["agreement"].split("/")
+        assert int(a) == int(b)  # speculative serving tokens == plain
 
 
 def test_accuracy_probe_artifact(tmp_path):
