@@ -689,19 +689,38 @@ def measure(backend, vocab_size, n_frames, reps, e2e_tokens):
                             / max(e2e_tokens - 1, 1), 1),
                     })
 
-                # MARGINAL decode rate (VERDICT r4 item 2's number): the
-                # slope between a 2x-token and a 1x-token e2e run on the
-                # same engine — prefill, pool assembly, and every constant
-                # term cancel, leaving ms per additional decoded token (the
-                # e2e-difference derivation above also carries per-rep
-                # make_decode_state cost and queued-chain allocator noise).
-                # Pool buckets match across the two lengths by construction
+                # MARGINAL int8 decode rate (VERDICT r4 item 2's number):
+                # difference between matched-LENGTH chains of 2x-token and
+                # 1x-token e2e runs — prefill, pool assembly, read latency
+                # and every constant term cancel in the difference, leaving
+                # ms per additional decoded token. Two independent timed()
+                # calls don't work here (each calibrates its own chain
+                # lengths; cross-call variance swamped the 0.3 s signal —
+                # first r5 run read 0.0). Pool buckets match across lengths
                 # (final_tokens + 32 and + 64 share the 128-bucket).
                 try:
-                    t_2x = e2e_timed(engine_q, run_ff_q, n_tokens=2 * e2e_tokens)
-                    t_1x = e2e_timed(engine_q, run_ff_q, n_tokens=e2e_tokens)
+                    f2x = e2e_device(engine_q, run_ff_q, n_tokens=2 * e2e_tokens)
+                    f1x = e2e_device(engine_q, run_ff_q, n_tokens=e2e_tokens)
+                    force(f2x(h))  # warm both programs
+                    force(f1x(h))
+
+                    def chain_n(fn, n=4):
+                        t0 = time.perf_counter()
+                        eps = jnp.float32(0.0)
+                        for _ in range(n):
+                            chain_k[0] += 1
+                            sc = jnp.float32(1.0 + (chain_k[0] % 97 + 1) * 2.0**-7)
+                            out = fn(h * sc + eps)
+                            eps = out.reshape(-1)[0].astype(jnp.float32) * jnp.float32(1e-30)
+                        force(out)
+                        return time.perf_counter() - t0
+
+                    n_ch = 4
+                    t2 = min(chain_n(f2x, n_ch) for _ in range(2))
+                    t1 = min(chain_n(f1x, n_ch) for _ in range(2))
                     detail["decode_ms_per_tok_marginal"] = round(
-                        max(t_2x - t_1x, 0.0) * 1e3 / e2e_tokens, 2)
+                        max(t2 - t1, 0.0) * 1e3 / (n_ch * e2e_tokens), 2)
+                    gc.collect()
                 except Exception as e:  # noqa: BLE001 — diagnostic only
                     detail["decode_marginal_error"] = f"{type(e).__name__}: {str(e)[:120]}"
 

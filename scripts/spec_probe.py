@@ -287,12 +287,24 @@ def main():
                            schedule_num_layers=cfg.num_layers)
     ff_engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
 
+    import jax
+
     record = {
         "task": "echo frames q,q+1 (10-token contiguous prompt substring) over "
                 "redundant synthetic video",
         "model": f"qwen2-tiny {cfg.num_layers}L d{cfg.hidden_size} vocab {VOCAB}",
+        "backend": jax.default_backend(),
         "train_steps": args.steps, "final_loss": round(loss, 4),
         "eval_instances": args.eval, "draft_len": args.draft_len,
+        "wall_note": (
+            "tokens_per_weight_pass and acceptance are the hardware-"
+            "independent signal (each verify pass streams the weights once; "
+            "at 7B decode is weight-bound, so pass reduction IS the wall "
+            "win — kernel_bench pins verify_step ~= decode_step cost). The "
+            "wall columns at this probe's tiny scale are backend-shaped: "
+            "solo loops are ONE dispatch+sync either way (relay wall ~= "
+            "round-trip latency both sides); the serving rows' chunk counts "
+            "are the dispatch+sync reduction a relay actually feels."),
     }
     for name, eng, compressed, batched in [
         ("dense_solo", dense_engine, False, False),
