@@ -1549,6 +1549,7 @@ class CompressionEngine:
         valid = orig_len
         frame_tok_host = frame_tok0
         sparsity_host: list[float] = []
+        sim_logs: list = []
         finish_m = finish_p = False
         include_pre = True
         if frame_tok0 > 0 and patch_num > 0 and self._use_pre_compact():
@@ -1578,6 +1579,10 @@ class CompressionEngine:
                 layer=-1, kind=kind, tokens_removed=k_marked, tokens_after=new_valid,
                 above_ratio=above_ratio, budget=budget, bucket=new_len,
             ))
+            if self.debug_similarities:
+                # keep similarities aligned 1:1 with telemetry.events — the
+                # phase program only logs ITS events, not this host-side one
+                sim_logs.append(np.asarray(sim))
             valid = new_valid
             frame_tok_host -= k_marked
             s_b = new_len
@@ -1592,7 +1597,6 @@ class CompressionEngine:
         # merged host-side — per-layer cache lengths and telemetry both
         # derive from the full log.
         ev_rows: list[tuple] = []  # (layer, kind, removed, ratio, budget)
-        sim_logs: list = []
         start_layer = 0
         n_live = jnp.int32(valid)
         frame_tok = jnp.int32(frame_tok_host)

@@ -453,10 +453,16 @@ class TestInterleavedLayout:
 
 
 class TestSimilarityCollection:
-    def test_debug_similarities_match_oracle(self, setup):
+    # Pin compact_pre_event both ways: the 'auto' default resolves by a
+    # measured sync cost, so a warm suite and an isolated run take DIFFERENT
+    # paths (the hybrid pre-event once dropped its similarity vector —
+    # caught only when the suite happened to run warm).
+    @pytest.mark.parametrize("pre_compact", [False, True])
+    def test_debug_similarities_match_oracle(self, setup, pre_compact):
         cfg, params, ff = setup
         h, pt, pos, img_start, n_img = build_inputs(seed=0, coherent=0.8)
-        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum",
+                                   compact_pre_event=pre_compact)
         engine.debug_similarities = True
         res = engine.prefill(h, pt, pos, 6, img_start, n_img)
         sims = res.telemetry.similarities
