@@ -283,6 +283,70 @@ def baseline_pareto(params, cfg, instances, ff_sweep, targets=(0.3, 0.5, 0.7)):
     return pareto
 
 
+def s_th_ablation(params, cfg, instances, cost=0.3):
+    """similarity_lower_bound sweep at FIXED cost — the reference's second
+    knob (per-family defaults 0.5-0.7, /root/reference/framefusion/
+    interface.py:47-166) — doubling as the merge-vs-prune EVENT ABLATION:
+    the schedule meets the same budget either way (main.py:40-140 — merge
+    while the per-event similarity clears S_th and the merge ratio clears
+    r_min, then one prune for the remainder), so raising S_th continuously
+    re-apportions the SAME token removal from similarity-merging toward
+    importance-pruning. S_th=0.0 accepts every merge the schedule asks for
+    (merge-dominated); S_th=1.01 rejects all of them (pure FastV-style
+    prune, since cosine similarity <= 1). Accuracy per point tells which
+    event type destroys less task information at equal budget."""
+    from framefusion_tpu.config import FrameFusionConfig
+    from framefusion_tpu.core.schedule import CostInfeasibleError
+    from framefusion_tpu.models import qwen2
+    from framefusion_tpu.runtime.engine import CompressionEngine
+
+    rows = []
+    for s_th in (0.0, 0.5, 0.6, 0.7, 0.8, 0.9, 1.01):
+        ff = FrameFusionConfig(cost=cost, similarity_lower_bound=s_th,
+                               ratio_lower_bound=0.05,
+                               schedule_num_layers=cfg.num_layers)
+        engine = CompressionEngine(params, cfg, ff, attn_impl="einsum")
+        hits, reds, merged, pruned = 0, [], 0, 0
+        try:
+            for ids, _, answer in instances:
+                prompt, patch_type, pos = build_prompt(ids)
+                h = qwen2.embed(params, jnp.asarray(prompt), cfg)
+                res = engine.prefill(h, patch_type, pos, patch_num=PATCH_NUM,
+                                     image_token_start=1,
+                                     image_token_length=N_FRAMES * PATCH_NUM)
+                reds.append(engine_reduction(res))
+                for e in res.telemetry.events:
+                    if e.kind.startswith("merge"):
+                        merged += int(e.tokens_removed)
+                    else:
+                        pruned += int(e.tokens_removed)
+                hits += int(engine.generate_greedy(res, 1)[0] == answer)
+        except CostInfeasibleError:
+            rows.append({"s_th": s_th, "infeasible": True})
+            print(f"  s_th={s_th:>4}: infeasible at cost={cost}")
+            continue
+        removed = max(merged + pruned, 1)
+        row = {"s_th": s_th, "accuracy": round(hits / len(instances), 3),
+               "token_reduction": round(float(np.mean(reds)), 3),
+               "merged_frac": round(merged / removed, 3),
+               "pruned_frac": round(pruned / removed, 3)}
+        rows.append(row)
+        print(f"  s_th={s_th:>4}: accuracy {row['accuracy']:.3f} @ "
+              f"{row['token_reduction']:.1%} reduction "
+              f"(merge {row['merged_frac']:.0%} / prune {row['pruned_frac']:.0%})")
+    return {"cost": cost, "rows": rows,
+            "reading_note": (
+                "Same normalized-cost budget every row (the schedule "
+                "enforces mean per-layer density == cost); S_th only "
+                "re-apportions removal between merge events and the prune "
+                "event. token_reduction varies because the budget is in "
+                "compute units: a pure prune (s_th=1.01) fires once and "
+                "must remove MORE tokens than progressive merging to reach "
+                "the same mean density. merged_frac/pruned_frac are the "
+                "shares of removed tokens per event type over the eval "
+                "set.")}
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=3000)
@@ -294,6 +358,10 @@ def main():
                     default=True,
                     help="also sweep FastV/StreamingLLM/prefill_merge at "
                          "matched reductions (the accuracy Pareto)")
+    ap.add_argument("--s-th-sweep", action=argparse.BooleanOptionalAction,
+                    default=True, dest="s_th_sweep",
+                    help="similarity-threshold sweep at fixed cost (the "
+                         "merge-vs-prune event ablation)")
     args = ap.parse_args()
 
     from framefusion_tpu.config import FrameFusionConfig, tiny_llm_config
@@ -338,6 +406,11 @@ def main():
 
     pareto = baseline_pareto(params, cfg, instances, sweep) if args.baselines else None
 
+    s_th_rows = None
+    if args.s_th_sweep:
+        print("similarity-threshold sweep / event ablation (cost=0.3):")
+        s_th_rows = s_th_ablation(params, cfg, instances, cost=0.3)
+
     record = {
         "task": "per-frame color recall over redundant synthetic video "
                 "(8 frames x 5 tokens, colors persist p=0.6)",
@@ -348,6 +421,7 @@ def main():
         "dense_accuracy_one_ulp_nudge": round(stable_acc, 3),
         "sweep": sweep,
         "pareto": pareto,
+        "s_th_sweep": s_th_rows,
     }
     if args.json:
         with open(args.json, "w") as f:
