@@ -171,7 +171,20 @@ def main():
     sweep_rows = []
     results = dt = main_row = None
     for slots in slot_counts:
-        res_s, dt_s, loop_s = serve_at(slots)
+        try:
+            res_s, dt_s, loop_s = serve_at(slots)
+        except Exception as e:  # noqa: BLE001 — a B past the memory wall is
+            # a DATA POINT of the sweep (e.g. 64-frame x B=8 int8: pools
+            # ~5.5 GB + weights ~7.6 GB leaves no HLO-temp headroom and the
+            # chunk program fails to compile), not a reason to lose the
+            # feasible rows. Record it and keep sweeping.
+            msg = str(e).split("\n")[0][:200]
+            sweep_rows.append({"slots": slots, "infeasible": msg})
+            print(f"  B={slots}: INFEASIBLE at this geometry — {msg}")
+            import gc
+
+            gc.collect()
+            continue
         toks_s = sum(len(r.tokens) for r in res_s.values())
         lat = [res_s[i].queue_s + res_s[i].serve_s for i in res_s]
         row = {
@@ -219,11 +232,24 @@ def main():
         "serve_ms_p50": round(ss[mid] * 1e3, 1), "serve_ms_max": round(ss[-1] * 1e3, 1),
         "chunks": main_row["chunks"], "compactions": main_row["compactions"],
         "slots_sweep": sweep_rows,
+        "reading_note": (
+            "At 64-frame geometry this workload is PREFILL-bound (each "
+            "admission runs an ~11.7k-token compressed prefill serially "
+            "between chunks; decode is ~48 tokens/request), so wall-clock "
+            "batching gains are bounded by the decode fraction and ride "
+            "the relay's process variance — the stable signals are the "
+            "chunk counts (dispatch+sync per quantum, ~inverse in B), the "
+            "on-chip compaction counts, and the queue-vs-serve split under "
+            "Poisson arrivals. An infeasible slots row marks the memory "
+            "wall: that B's pools + int8 weights leave no HLO-temp "
+            "headroom at this prompt length."),
     }
-    base1 = next((r for r in sweep_rows if r["slots"] == 1), None)
+    base1 = next((r for r in sweep_rows
+                  if r["slots"] == 1 and "wall_ms" in r), None)
     if base1 is not None:
         for r in sweep_rows:
-            r["batching_speedup"] = round(base1["wall_ms"] / r["wall_ms"], 3)
+            if "wall_ms" in r:
+                r["batching_speedup"] = round(base1["wall_ms"] / r["wall_ms"], 3)
         record.update({
             "sequential_wall_ms": base1["wall_ms"],
             "sequential_tokens_per_s": base1["tokens_per_s"],
