@@ -900,6 +900,9 @@ def verify_step_batch(
     step,
     cfg: LLMConfig,
     tail_split=None,
+    k_tail=None,
+    v_tail=None,
+    phys=None,
 ):
     """Speculative-verify for a BATCH: (B, K) candidate rows through the
     stack in ONE weight pass — :func:`verify_step` with
@@ -928,10 +931,29 @@ def verify_step_batch(
             (two static slices, 3-way online-softmax merge; see
             :func:`decode_step_batch`). Caller contract:
             ``engine.best_tail_split_batch``.
+        k_tail, v_tail: optional PHYSICALLY SPLIT tail pools
+            ``(L - P, B, S_tail, Hk, hd)``. With ``phys=(P, tail_rs, rs)``
+            set, ``k_pool``/``v_pool`` hold only the first ``P`` layers at
+            full ``S_pool`` and layers >= P live in these smaller arrays:
+            rows ``[0, tail_rs)`` mirror the head pool's prefix region and
+            rows ``[tail_rs, S_tail)`` mirror its decode region
+            ``[rs, S_pool)`` row-for-row (``S_tail - tail_rs ==
+            S_pool - rs``). Same math as the ``tail_split`` VIEW — the
+            in-between rows the view skips are simply never allocated —
+            so post-compression serving pools stop paying full-prompt HBM
+            (runtime/serving.ServingLoop ``tail_pool=``). ``decode_mask``,
+            ``write_pos`` and ``step`` stay in HEAD coordinates; tail
+            writes land at ``write_pos + step*K - rs + tail_rs``.
+            ``phys`` replaces ``tail_split`` (callers pass one or the
+            other); caller guarantees layers >= P never hold live prefix
+            rows at or past ``tail_rs - committed-row headroom`` (the
+            serving loop asserts this at admission).
 
     Returns:
-        (logits (B, K, V), k_pool, v_pool); ``logits[b, i]`` scores the
-        token after row i given rows 0..i committed, per sequence.
+        (logits (B, K, V), k_pool, v_pool, k_tail, v_tail); ``logits[b, i]``
+        scores the token after row i given rows 0..i committed, per
+        sequence. ``k_tail``/``v_tail`` are returned as given (``None``
+        without ``phys``).
     """
     b, kq, _ = token_embeds.shape
     flat_pos = (
@@ -955,12 +977,14 @@ def verify_step_batch(
 
     use_mv = _verify_use_mv() and not cfg.is_moe and b * kq <= 64
 
-    def make_body(seg):
+    def make_body(spec):
+        k_src, v_src, l_off, seg = spec
+
         def body(l, carry):
             h, k_new, v_new = carry  # h (B,K,D)
             lp = layer_slice(layers, l)
-            k_l = jax.lax.dynamic_index_in_dim(k_pool, l, 0, keepdims=False)  # (B,S,Hk,hd)
-            v_l = jax.lax.dynamic_index_in_dim(v_pool, l, 0, keepdims=False)
+            k_l = jax.lax.dynamic_index_in_dim(k_src, l - l_off, 0, keepdims=False)  # (B,S,Hk,hd)
+            v_l = jax.lax.dynamic_index_in_dim(v_src, l - l_off, 0, keepdims=False)
             len_l = cache_lens[l]  # (B,)
             x = rmsnorm(h, lp["ln1"], cfg.rms_norm_eps)
             if use_mv:
@@ -995,15 +1019,19 @@ def verify_step_batch(
                 out = out / denom
             else:
                 # Two-segment read (see decode_step_batch): ragged prefix
-                # rows [0, tail_s) + common decode region [rs, S_pool).
-                tail_s, rs = seg
+                # rows [0, tail_s) + common decode region. ``pool_rs`` is
+                # the decode region's start IN THIS POOL's coordinates
+                # (== mask_rs for the view split; the physical split's
+                # smaller tail pool starts its decode region at tail_rs
+                # while decode_mask stays in head coordinates).
+                tail_s, pool_rs, mask_rs = seg
                 ka, va_ = k_l[:, :tail_s], v_l[:, :tail_s]
-                kb, vb_ = k_l[:, rs:], v_l[:, rs:]
+                kb, vb_ = k_l[:, pool_rs:], v_l[:, pool_rs:]
                 sa = jnp.einsum("bnhgd,bshd->bhgns", qf, ka.astype(jnp.float32)) * scale
                 va_mask = (pos_iota[None, :tail_s] < len_l[:, None]) | decode_mask[:, :tail_s]
                 sa = jnp.where(va_mask[:, None, None, None, :], sa, jnp.float32(-1e30))
                 sb = jnp.einsum("bnhgd,bshd->bhgns", qf, kb.astype(jnp.float32)) * scale
-                vb_mask = decode_mask[:, rs:]
+                vb_mask = decode_mask[:, mask_rs:]
                 sb = jnp.where(vb_mask[:, None, None, None, :], sb, jnp.float32(-1e30))
                 m = jnp.maximum(
                     jnp.maximum(jnp.max(sa, axis=-1, keepdims=True),
@@ -1043,15 +1071,31 @@ def verify_step_batch(
             return h, k_new, v_new
         return body
 
-    nl = k_pool.shape[0]
+    nl = cfg.num_layers
     acc = jnp.zeros((nl, b, kq, hk, hd), cfg.dtype)
     carry = (token_embeds, acc, jnp.zeros_like(acc))
-    tail_split = _normalize_batch_split(tail_split, nl, s_pool)
-    h, k_new, v_new = _split_fori(
-        nl, make_body, carry, tail_split, None,
-        tail_split and tail_split[1:])
     base = write_pos + step * kq
-    k_pool = jax.lax.dynamic_update_slice(k_pool, k_new, (0, 0, base, 0, 0))
-    v_pool = jax.lax.dynamic_update_slice(v_pool, v_new, (0, 0, base, 0, 0))
+    if phys is not None:
+        p, tail_rs, rs = phys
+        assert k_tail is not None and k_pool.shape[0] == p, (phys, k_pool.shape)
+        assert k_tail.shape[2] - tail_rs == s_pool - rs, (phys, k_tail.shape, s_pool)
+        h, k_new, v_new = _split_fori(
+            nl, make_body, carry, (p,),
+            (k_pool, v_pool, 0, None),
+            (k_tail, v_tail, p, (tail_rs, tail_rs, rs)))
+        k_pool = jax.lax.dynamic_update_slice(k_pool, k_new[:p], (0, 0, base, 0, 0))
+        v_pool = jax.lax.dynamic_update_slice(v_pool, v_new[:p], (0, 0, base, 0, 0))
+        tbase = base - rs + tail_rs
+        k_tail = jax.lax.dynamic_update_slice(k_tail, k_new[p:], (0, 0, tbase, 0, 0))
+        v_tail = jax.lax.dynamic_update_slice(v_tail, v_new[p:], (0, 0, tbase, 0, 0))
+    else:
+        tail_split = _normalize_batch_split(tail_split, nl, s_pool)
+        h, k_new, v_new = _split_fori(
+            nl, make_body, carry, tail_split,
+            (k_pool, v_pool, 0, None),
+            tail_split and (k_pool, v_pool, 0,
+                            (tail_split[1], tail_split[2], tail_split[2])))
+        k_pool = jax.lax.dynamic_update_slice(k_pool, k_new, (0, 0, base, 0, 0))
+        v_pool = jax.lax.dynamic_update_slice(v_pool, v_new, (0, 0, base, 0, 0))
     logits = final_logits(params, h.reshape(b * kq, -1), cfg).reshape(b, kq, -1)
-    return logits, k_pool, v_pool
+    return logits, k_pool, v_pool, k_tail, v_tail

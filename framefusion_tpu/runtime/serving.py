@@ -101,13 +101,15 @@ def _first_eos_clamp(t, n_new, eos_ids, kq):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "chunk", "pos_dims", "draft_len", "tail_split"),
-    donate_argnums=(1, 2),
+    static_argnames=("cfg", "chunk", "pos_dims", "draft_len", "tail_split", "phys"),
+    donate_argnums=(1, 2, 3, 4),
 )
 def _serve_chunk(
     params,
     k_pool,
     v_pool,
+    k_tail,
+    v_tail,
     cache_lens,
     dmask,
     out,
@@ -126,6 +128,7 @@ def _serve_chunk(
     pos_dims: int,
     draft_len: int,
     tail_split=None,
+    phys=None,
 ):
     """``chunk`` macro steps over all slots as ONE program (single dispatch,
     zero host syncs). Each step verifies every slot's K = draft_len+1
@@ -147,18 +150,19 @@ def _serve_chunk(
     active = active & ~((last_tok == eos_ids) & (eos_ids >= 0))
 
     state = (jnp.int32(0), out, last_tok, emitted, active, hist, hist_len,
-             k_pool, v_pool, dmask, cursor)
+             k_pool, v_pool, k_tail, v_tail, dmask, cursor)
 
     def cond(st):
         return (st[0] < chunk) & jnp.any(st[4])
 
     def body(st):
-        (s, out, last, emitted, active, hist, hl, k_pool, v_pool, dmask,
-         cursor) = st
-        t, a, _, k_pool, v_pool = spec_macro_step(
+        (s, out, last, emitted, active, hist, hl, k_pool, v_pool, k_tail,
+         v_tail, dmask, cursor) = st
+        t, a, _, k_pool, v_pool, k_tail, v_tail = spec_macro_step(
             params, last, emitted, hist, hl, pos_bases,
             k_pool, v_pool, cache_lens, dmask, cursor,
             cfg=cfg, pos_dims=pos_dims, draft_len=draft_len, tail_split=tail_split,
+            k_tail=k_tail, v_tail=v_tail, phys=phys,
         )
         n_new = jnp.minimum(a + 1, budgets - emitted)  # budget clamp
         n_new, eos_hit = _first_eos_clamp(t, n_new, eos_ids, kq)
@@ -176,11 +180,13 @@ def _serve_chunk(
             last,
         )
         return (s + 1, out, last, emitted, active, hist, hl + n_new,
-                k_pool, v_pool, dmask, cursor + kq)
+                k_pool, v_pool, k_tail, v_tail, dmask, cursor + kq)
 
     st = jax.lax.while_loop(cond, body, state)
-    (_, out, last, emitted, active, hist, hl, k_pool, v_pool, dmask, cursor) = st
-    return out, last, emitted, active, hist, hl, k_pool, v_pool, dmask, cursor
+    (_, out, last, emitted, active, hist, hl, k_pool, v_pool, k_tail, v_tail,
+     dmask, cursor) = st
+    return (out, last, emitted, active, hist, hl, k_pool, v_pool, k_tail,
+            v_tail, dmask, cursor)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -237,6 +243,15 @@ class ServingLoop:
 
     ``draft_len > 0`` serves speculatively: same tokens, fewer weight
     passes per request when outputs echo the prompt/history.
+
+    ``tail_pool=(P, tail_prefix_cap)`` physically splits the slot pools:
+    layers >= P (post-compression — they never hold the raw prompt) get a
+    small array sized for ``tail_prefix_cap`` prefix rows instead of the
+    full ``prefix_cap`` every layer pays in the uniform layout. Identical
+    tokens (it allocates exactly the rows the ``tail_split`` read view
+    already proved dead); ~L/P-fold less pool HBM at long-video geometry,
+    which is what clears the 64-frame B=8 memory wall. Admission asserts
+    each request's layer>=P cache lengths fit ``tail_prefix_cap``.
     """
 
     def __init__(
@@ -249,6 +264,7 @@ class ServingLoop:
         prefix_cap: Optional[int] = None,
         prefill_mode: str = "fused",
         seed_cap: int = 256,
+        tail_pool: Optional[tuple] = None,
     ):
         self.engine = engine
         cfg = engine.cfg
@@ -269,9 +285,43 @@ class ServingLoop:
         self.scratch = self.chunk * self.kq
         self.s_pool = self.region_start + bucket_length(self.scratch, engine.ff.bucket)
 
-        shape = (cfg.num_layers, self.b, self.s_pool, cfg.num_kv_heads, cfg.head_dim_)
+        # Physically split pools (``tail_pool=(P, tail_prefix_cap)``): layers
+        # >= P hold their slots in a SMALLER array whose prefix region covers
+        # only ``tail_prefix_cap + max_new_cap`` rows (post-compression
+        # layers never see the raw prompt length — reference layer order:
+        # compression events fire in the first few decoder layers,
+        # /root/reference/framefusion/main.py:40-140 — so sizing every layer
+        # at the phase layers' full-prompt requirement wastes the dominant
+        # share of pool HBM at long-video geometry; the uniform pool is what
+        # walled B=8 at 64 frames, SERVING_r05.json). The math is identical
+        # to the ``tail_split`` read VIEW — the rows the view skips are
+        # simply never allocated (qwen2.verify_step_batch ``phys=``).
+        # Admission asserts each request's layer->=P caches fit, mirroring
+        # the head prefix_cap contract.
+        self.tail_layers = 0
+        self.tail_prefix_cap = None
+        self.phys = None
+        if tail_pool is not None:
+            p, tail_prefix_cap = tail_pool
+            assert 0 < p < cfg.num_layers, tail_pool
+            tail_rs = bucket_length(tail_prefix_cap + max_new_cap, engine.ff.bucket)
+            if tail_rs < self.region_start:  # degenerate split saves nothing
+                self.tail_layers = int(p)
+                self.tail_prefix_cap = int(tail_prefix_cap)
+                self.tail_rs = tail_rs
+                self.s_tail = tail_rs + (self.s_pool - self.region_start)
+                self.phys = (int(p), int(tail_rs), int(self.region_start))
+
+        head_layers = self.tail_layers or cfg.num_layers
+        shape = (head_layers, self.b, self.s_pool, cfg.num_kv_heads, cfg.head_dim_)
         self.k_pool = jnp.zeros(shape, cfg.dtype)
         self.v_pool = jnp.zeros_like(self.k_pool)
+        self.k_tail = self.v_tail = None
+        if self.phys is not None:
+            tshape = (cfg.num_layers - self.tail_layers, self.b, self.s_tail,
+                      cfg.num_kv_heads, cfg.head_dim_)
+            self.k_tail = jnp.zeros(tshape, cfg.dtype)
+            self.v_tail = jnp.zeros_like(self.k_tail)
         self.cache_lens = jnp.zeros((cfg.num_layers, self.b), jnp.int32)
         self.dmask = jnp.zeros((self.b, self.s_pool), bool)
         self.cursor = jnp.int32(self.region_start)
@@ -344,8 +394,28 @@ class ServingLoop:
             f"(= region_start {self.region_start} - max_new_cap "
             f"{self.max_new_cap}); raise prefix_cap")
         k_one, v_one, lens_one = eng.make_decode_state(result, 0, s_pool=self.s_pool)
-        self.k_pool, self.v_pool = _splice_slot(
-            self.k_pool, self.v_pool, k_one, v_one, jnp.int32(slot))
+        if self.phys is None:
+            self.k_pool, self.v_pool = _splice_slot(
+                self.k_pool, self.v_pool, k_one, v_one, jnp.int32(slot))
+        else:
+            # Same compaction invariant as the head region, at the tail
+            # pool's smaller prefix capacity.
+            p = self.tail_layers
+            tail_prefix = max(c[2] for c in result.layer_caches[p:])
+            tail_limit = self.tail_rs - self.max_new_cap
+            assert tail_prefix <= tail_limit, (
+                f"layer>={p} prefix {tail_prefix} exceeds tail pool capacity "
+                f"{tail_limit} (= tail region {self.tail_rs} - max_new_cap "
+                f"{self.max_new_cap}); raise tail_pool's tail_prefix_cap or "
+                f"lower P")
+            self.k_pool, self.v_pool = _splice_slot(
+                self.k_pool, self.v_pool, k_one[:p], v_one[:p], jnp.int32(slot))
+            # Rows [0, s_tail) of the full-S layout are the prefix plus dead
+            # padding — exactly the tail pool's slot content (its decode
+            # region starts empty; dmask rows for this slot reset below).
+            self.k_tail, self.v_tail = _splice_slot(
+                self.k_tail, self.v_tail, k_one[p:, :self.s_tail],
+                v_one[p:, :self.s_tail], jnp.int32(slot))
         self.cache_lens = self.cache_lens.at[:, slot].set(lens_one)
         self.dmask = self.dmask.at[slot].set(False)
         # Token 0 stays ON DEVICE: a host argmax read here would add one
@@ -414,29 +484,54 @@ class ServingLoop:
             return bool(self._queue)
         # Recycle the scratch region when the next chunk wouldn't fit.
         if int(self.cursor) + self.scratch > self.s_pool:
-            self.k_pool, self.v_pool, self.cache_lens, self.dmask = _compact_pools(
-                self.k_pool, self.v_pool, self.cache_lens, self.dmask,
-                jnp.int32(self.region_start),
-            )
+            if self.phys is None:
+                self.k_pool, self.v_pool, self.cache_lens, self.dmask = _compact_pools(
+                    self.k_pool, self.v_pool, self.cache_lens, self.dmask,
+                    jnp.int32(self.region_start),
+                )
+            else:
+                # Compact each physical pool in its own coordinates: the
+                # committed decode rows [region_start, S_pool) sit at
+                # [tail_rs, S_tail) in the tail pool, row for row.
+                p = self.tail_layers
+                self.k_pool, self.v_pool, cl_head, _ = _compact_pools(
+                    self.k_pool, self.v_pool, self.cache_lens[:p], self.dmask,
+                    jnp.int32(self.region_start),
+                )
+                dmask_tail = jnp.zeros((self.b, self.s_tail), bool)
+                dmask_tail = jax.lax.dynamic_update_slice(
+                    dmask_tail, self.dmask[:, self.region_start:],
+                    (0, self.tail_rs))
+                self.k_tail, self.v_tail, cl_tail, _ = _compact_pools(
+                    self.k_tail, self.v_tail, self.cache_lens[p:], dmask_tail,
+                    jnp.int32(self.tail_rs),
+                )
+                self.cache_lens = jnp.concatenate([cl_head, cl_tail], axis=0)
+                self.dmask = jnp.zeros_like(self.dmask)
             self.cursor = jnp.int32(self.region_start)
             self.compactions += 1
-        if self._tail_split_stale:
-            bounds = [
-                [n + self.max_new_cap for n in lens] for lens in self._admit_lens
-            ]
-            self._tail_split = best_tail_split_batch(
-                bounds, self.s_pool, self.region_start, self.engine.ff.bucket)
-            self._tail_split_stale = False
-        split = self._tail_split
+        if self.phys is not None:
+            split = None  # the physical split IS the narrow read
+        else:
+            if self._tail_split_stale:
+                bounds = [
+                    [n + self.max_new_cap for n in lens] for lens in self._admit_lens
+                ]
+                self._tail_split = best_tail_split_batch(
+                    bounds, self.s_pool, self.region_start, self.engine.ff.bucket)
+                self._tail_split_stale = False
+            split = self._tail_split
         (self.out, self.last_tok, emitted, active, self.hist, self.hist_len,
-         self.k_pool, self.v_pool, self.dmask, self.cursor) = _serve_chunk(
-            self.engine.params, self.k_pool, self.v_pool, self.cache_lens,
+         self.k_pool, self.v_pool, self.k_tail, self.v_tail, self.dmask,
+         self.cursor) = _serve_chunk(
+            self.engine.params, self.k_pool, self.v_pool, self.k_tail,
+            self.v_tail, self.cache_lens,
             self.dmask, self.out, self.last_tok,
             jnp.asarray(self.emitted), jnp.asarray(self.active),
             jnp.asarray(self.budgets), jnp.asarray(self.eos_ids),
             jnp.asarray(self.pos_bases), self.hist, self.hist_len, self.cursor,
             cfg=self.cfg, chunk=self.chunk, pos_dims=self.pos_dims,
-            draft_len=self.draft_len, tail_split=split,
+            draft_len=self.draft_len, tail_split=split, phys=self.phys,
         )
         self._chunk_idx += 1
         # ONE host sync per chunk: emitted/active (+ out rows for retirees).

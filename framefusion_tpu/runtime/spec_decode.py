@@ -172,6 +172,7 @@ def spec_macro_step(
     params, last, emitted, hist, hist_len, pos_bases,
     k_pool, v_pool, cache_lens, dmask, base,
     *, cfg: LLMConfig, pos_dims: int, draft_len: int, tail_split=None,
+    k_tail=None, v_tail=None, phys=None,
 ):
     """One batched draft-and-verify macro step — the shared core of
     :func:`spec_decode_loop_batch` and the serving chunk program
@@ -183,8 +184,12 @@ def spec_macro_step(
     counts. Commit bookkeeping (budget/eos clamps, output buffers) stays
     with the caller.
 
+    ``k_tail``/``v_tail``/``phys`` select the physically split pool layout
+    (layers >= P in a smaller array; see qwen2.verify_step_batch) — the
+    serving loop's ``tail_pool=`` option rides this.
+
     Returns (t (B, K) greedy tokens, a (B,) accepted draft counts,
-    found (B,) draft-source hits, k_pool, v_pool).
+    found (B,) draft-source hits, k_pool, v_pool, k_tail, v_tail).
     """
     kq = draft_len + 1
     if draft_len > 0:
@@ -197,9 +202,10 @@ def spec_macro_step(
     te = qwen2.embed(params, rows, cfg)
     pos = pos_bases[:, None] + (emitted[:, None] - 1) + jnp.arange(kq, dtype=jnp.int32)[None]
     pos_ids = jnp.tile(pos[None], (3, 1, 1)) if pos_dims == 3 else pos
-    logits, k_pool, v_pool = qwen2.verify_step_batch(
+    logits, k_pool, v_pool, k_tail, v_tail = qwen2.verify_step_batch(
         params, te, pos_ids, k_pool, v_pool, cache_lens, dmask,
         base, jnp.int32(0), cfg, tail_split=tail_split,
+        k_tail=k_tail, v_tail=v_tail, phys=phys,
     )
     t = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K)
     if draft_len > 0:
@@ -207,7 +213,7 @@ def spec_macro_step(
         a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
     else:
         a = jnp.zeros(last.shape, jnp.int32)
-    return t, a, found, k_pool, v_pool
+    return t, a, found, k_pool, v_pool, k_tail, v_tail
 
 
 @functools.partial(
@@ -295,7 +301,7 @@ def spec_decode_loop_batch(
     def body(st):
         (emitted, last, out, hist, hl, k_pool, v_pool, dmask,
          steps, drafted, accepted) = st
-        t, a, found, k_pool, v_pool = spec_macro_step(
+        t, a, found, k_pool, v_pool, _, _ = spec_macro_step(
             params, last, emitted, hist, hl, pos_bases,
             k_pool, v_pool, cache_lens, dmask, write_pos + steps * kq,
             cfg=cfg, pos_dims=pos_dims, draft_len=draft_len, tail_split=tail_split,

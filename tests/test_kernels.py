@@ -579,12 +579,12 @@ class TestMatvecQ8:
         posb = lensb[0][:, None] + jnp.arange(kq, dtype=jnp.int32)[None]
         dmask = jnp.zeros((bsz, s_pool), bool)
         monkeypatch.setenv("FF_VERIFY_MV", "0")
-        refb, _, _ = qwen2.verify_step_batch(
+        refb = qwen2.verify_step_batch(
             params, embsb, posb, kpb, vpb, lensb, dmask, jnp.int32(40),
-            jnp.int32(0), cfg)
+            jnp.int32(0), cfg)[0]
         monkeypatch.setenv("FF_VERIFY_MV", "1")
-        gotb, _, _ = qwen2.verify_step_batch(
+        gotb = qwen2.verify_step_batch(
             params, embsb, posb, kpb, vpb, lensb, dmask, jnp.int32(40),
-            jnp.int32(0), cfg)
+            jnp.int32(0), cfg)[0]
         np.testing.assert_allclose(np.asarray(gotb, np.float32),
                                    np.asarray(refb, np.float32), rtol=3e-2, atol=3e-2)

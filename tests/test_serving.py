@@ -289,3 +289,89 @@ class TestServingParity:
         loop.submit(ServeRequest(_inputs(0), max_new_tokens=8))
         with pytest.raises(AssertionError, match="prefix capacity"):
             loop.run()
+
+
+class TestSplitPool:
+    """Physically split slot pools (``tail_pool=(P, tail_prefix_cap)``):
+    layers >= P live in a smaller array sized for their post-compression
+    prefixes instead of the phase layers' full-prompt requirement. Pure
+    allocation change — every token must match the uniform-pool loop (and
+    hence solo greedy) bit for bit on CPU, including across compactions
+    and under speculation."""
+
+    def _engine(self, setup):
+        cfg, params, ff = setup
+        return CompressionEngine(params, cfg, ff, attn_impl="einsum")
+
+    def _tail_cap(self, engine):
+        """Pick (P, tail_prefix_cap) from a sample admission's per-layer
+        lengths — the caller contract the serving scripts use."""
+        inp = _inputs(0)
+        res = engine.prefill(inp.input_embeds, inp.patch_type, inp.position_ids,
+                             patch_num=inp.patch_num,
+                             image_token_start=inp.image_token_start,
+                             image_token_length=inp.image_token_length)
+        lens = [c[2] for c in res.layer_caches]
+        p = next(l for l in range(1, len(lens)) if lens[l] < lens[0])
+        return p, max(lens[p:]) + 8
+
+    def test_split_matches_uniform_across_compactions(self, setup):
+        engine = self._engine(setup)
+        p, cap = self._tail_cap(engine)
+        reqs = [(s, n) for s, n in [(0, 48), (1, 40), (2, 48), (3, 25), (4, 33)]]
+
+        def serve(**kw):
+            # max_new_cap 48 with chunk_steps 2 leaves a scratch region far
+            # smaller than the decode total -> compaction fires mid-request.
+            loop = ServingLoop(engine, max_slots=2, max_new_cap=48,
+                               chunk_steps=2, prefix_cap=256, **kw)
+            ids = [loop.submit(ServeRequest(_inputs(s), max_new_tokens=n))
+                   for s, n in reqs]
+            res = loop.run()
+            return [res[i].tokens for i in ids], loop
+
+        uni, lu = serve()
+        split, ls = serve(tail_pool=(p, cap))
+        assert ls.phys is not None and ls.k_tail.shape[2] < ls.k_pool.shape[2]
+        assert ls.k_pool.shape[0] == p
+        assert lu.compactions >= 1 and ls.compactions >= 1, (
+            lu.compactions, ls.compactions)
+        assert split == uni
+        # and the uniform loop itself is solo-exact (existing contract)
+        for toks, (s, n) in zip(uni, reqs):
+            assert toks == _solo(engine, _inputs(s), n)
+
+    def test_split_speculative(self, setup):
+        engine = self._engine(setup)
+        p, cap = self._tail_cap(engine)
+        solos = [_solo(engine, _inputs(s), 24) for s in (0, 1, 2)]
+        loop = ServingLoop(engine, max_slots=2, max_new_cap=24, chunk_steps=4,
+                           prefix_cap=256, draft_len=4, tail_pool=(p, cap))
+        ids = [loop.submit(ServeRequest(_inputs(s), max_new_tokens=24,
+                                        prompt_ids=np.asarray(solos[i], np.int32)))
+               for i, s in enumerate((0, 1, 2))]
+        results = loop.run()
+        for rid, want in zip(ids, solos):
+            assert results[rid].tokens == want
+
+    def test_split_admission_capacity_enforced(self, setup):
+        """A request whose layer>=P caches exceed the tail pool's prefix
+        capacity must be rejected at admission — the same compaction
+        invariant the head region enforces, at the smaller capacity."""
+        engine = self._engine(setup)
+        loop = ServingLoop(engine, max_slots=1, max_new_cap=32, chunk_steps=4,
+                           prefix_cap=256, tail_pool=(1, 8))
+        loop.submit(ServeRequest(_inputs(0), max_new_tokens=8))
+        with pytest.raises(AssertionError, match="tail pool capacity"):
+            loop.run()
+
+    def test_degenerate_split_falls_back_to_uniform(self, setup):
+        """tail_prefix_cap >= prefix_cap saves nothing — the loop quietly
+        keeps the uniform layout (phys None, no tail arrays)."""
+        engine = self._engine(setup)
+        loop = ServingLoop(engine, max_slots=1, max_new_cap=8, chunk_steps=4,
+                           prefix_cap=128, tail_pool=(2, 256))
+        assert loop.phys is None and loop.k_tail is None
+        rid = loop.submit(ServeRequest(_inputs(0), max_new_tokens=8))
+        results = loop.run()
+        assert results[rid].tokens == _solo(engine, _inputs(0), 8)
