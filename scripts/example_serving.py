@@ -10,6 +10,7 @@ this is the production form of the same engine.
 Usage:
   python scripts/example_serving.py [--requests 8] [--slots 4] [--chunk 8]
       [--new-tokens 32] [--frames 16] [--speculative] [--int8] [--tiny]
+      [--tail-pool]
 """
 
 import argparse
@@ -36,7 +37,7 @@ def build_prompt(rng, hidden, n_frames, patch_num, coherent):
 
 
 def run_loop(engine, reqs, arrival_offsets, *, slots, chunk, max_new, prefix_cap,
-             draft=0, prefill_mode="fused"):
+             draft=0, prefill_mode="fused", tail_pool=None):
     """Serve ``reqs`` with request i submitted ``arrival_offsets[i]`` seconds
     after start (0 = all enqueued up front, the r4 easy regime). Stepping
     continues through idle gaps so late arrivals are admitted when their
@@ -44,7 +45,8 @@ def run_loop(engine, reqs, arrival_offsets, *, slots, chunk, max_new, prefix_cap
     Returns (results dict by request index, wall seconds, loop)."""
     loop = ServingLoop(engine, max_slots=slots, max_new_cap=max_new,
                        chunk_steps=chunk, draft_len=draft,
-                       prefix_cap=prefix_cap, prefill_mode=prefill_mode)
+                       prefix_cap=prefix_cap, prefill_mode=prefill_mode,
+                       tail_pool=tail_pool)
     order = sorted(range(len(reqs)), key=lambda i: arrival_offsets[i])
     pending = list(order)
     rid_of = {}
@@ -96,6 +98,12 @@ def main():
     ap.add_argument("--arrival-rate", type=float, default=0.0,
                     help="Poisson request arrivals at this mean rate (req/s); "
                          "0 = all requests enqueued at t=0 (backlog regime)")
+    ap.add_argument("--tail-pool", action="store_true",
+                    help="physically split the slot pools: layers past the "
+                         "compression phase allocate only their compressed "
+                         "prefix (P and cap auto-derived from a sample "
+                         "prefill) — same tokens, ~L/P-fold less pool HBM, "
+                         "clears the 64-frame B=8 memory wall")
     ap.add_argument("--slots-sweep", type=str, default=None,
                     help="comma-separated slot counts, e.g. 1,2,4,8 — serve "
                          "the same requests+arrivals at each and report "
@@ -157,16 +165,38 @@ def main():
     if args.sequential_baseline and 1 not in slot_counts:
         slot_counts = [1] + slot_counts
 
+    # Auto-derive the split-pool geometry from a sample prefill: P = first
+    # layer whose cache is shorter than layer 0's (compression has fired by
+    # then — it never un-fires, main.py:40-140 layer order), cap = the max
+    # layer>=P length plus headroom for request-to-request variation (the
+    # admission assert catches any request that still exceeds it).
+    tail_pool = None
+    if args.tail_pool:
+        inp0 = reqs[0].inputs
+        res0 = engine.prefill(inp0.input_embeds, inp0.patch_type,
+                              inp0.position_ids, patch_num=inp0.patch_num,
+                              image_token_start=inp0.image_token_start,
+                              image_token_length=inp0.image_token_length)
+        lens0 = [c[2] for c in res0.layer_caches]
+        p = next((l for l in range(1, len(lens0)) if lens0[l] < lens0[0]), None)
+        if p is not None:
+            cap = int(max(lens0[p:]) * 1.15) + engine.ff.bucket
+            tail_pool = (p, cap)
+            print(f"tail pool: P={p}, tail_prefix_cap={cap} "
+                  f"(sample lens {lens0[0]} -> {max(lens0[p:])}; "
+                  f"head prefix_cap {prefix_cap})")
+        del res0
+
     def serve_at(slots, draft_d=0, warm_first=True):
         if warm_first:
             warm = ServingLoop(engine, max_slots=slots, max_new_cap=args.new_tokens,
                                chunk_steps=args.chunk, draft_len=draft_d,
-                               prefix_cap=prefix_cap)
+                               prefix_cap=prefix_cap, tail_pool=tail_pool)
             warm.submit(ServeRequest(reqs[0].inputs, max_new_tokens=4))
             warm.run()
         return run_loop(engine, reqs, arrivals, slots=slots, chunk=args.chunk,
                         max_new=args.new_tokens, prefix_cap=prefix_cap,
-                        draft=draft_d)
+                        draft=draft_d, tail_pool=tail_pool)
 
     sweep_rows = []
     results = dt = main_row = None
@@ -224,6 +254,7 @@ def main():
         "requests": args.requests, "slots": args.slots, "chunk_steps": args.chunk,
         "frames": frames, "prompt_tokens": int(len(reqs[0].inputs.patch_type)),
         "backend": jax.default_backend(), "int8": bool(args.int8),
+        "tail_pool": list(tail_pool) if tail_pool else None,
         "arrival_rate_per_s": args.arrival_rate,
         "arrival_span_ms": round(float(arrivals[-1]) * 1e3, 1),
         "total_tokens": total_toks, "wall_ms": round(dt * 1e3, 1),
@@ -269,7 +300,8 @@ def main():
                      for i, r in zip(ids, reqs)]
         sloop = ServingLoop(engine, max_slots=args.slots,
                             max_new_cap=args.new_tokens, chunk_steps=args.chunk,
-                            draft_len=draft, prefix_cap=prefix_cap)
+                            draft_len=draft, prefix_cap=prefix_cap,
+                            tail_pool=tail_pool)
         sids = [sloop.submit(r) for r in spec_reqs]
         t0 = time.perf_counter()
         sresults = sloop.run()
