@@ -23,8 +23,23 @@ schedules must merge/prune frames whose colors DIFFER, destroying exactly the
 per-frame information the query needs — accuracy degrades with aggressiveness
 instead of cliffing at the first perturbation.
 
+Second task (``--task transitions``): the query asks HOW MANY TIMES the color
+CHANGED across the video — an AGGREGATE answer no single token carries. This
+is the regime the r4 probe's reading_note flagged as untested offline:
+single-needle recall with the query visible at prune time makes last-token
+attention an oracle for exactly the needed token (FastV's criterion), whereas
+the paper's central claim concerns aggregate multi-frame questions
+(/root/reference/README.md:13,21-28). Transition counting is the sharpest
+offline instance of that claim: FrameFusion's patch-major similarity merging
+coalesces WITHIN-run color tokens only (adjacent same-color frames are the
+similar pairs), preserving the run boundaries the answer is computed from,
+while attention-ranked pruning removes individual frames and corrupts the
+count — the methods' criteria are pitted directly against the task structure,
+query-oracle excluded by construction.
+
 Usage:
   python scripts/accuracy_probe.py --json ACCURACY_r04.json       # full run
+  python scripts/accuracy_probe.py --task transitions --json ...  # aggregate
   python scripts/accuracy_probe.py --steps 80 --eval 16           # smoke
 """
 
@@ -42,6 +57,8 @@ BOS = 0
 COLOR_BASE, N_COLORS = 1, 8
 FILLER_BASE, N_FILLER = 16, 16
 QUERY_BASE = 40  # + frame index
+COUNT_BASE = 48  # + transition count (0..N_FRAMES-1); transitions-task answers
+TRANS_QUERY = 56  # "how many times did the color change?"
 VOCAB = 64
 
 N_FRAMES = 8
@@ -49,7 +66,7 @@ PATCH_NUM = 5  # tokens per frame; color lives at in-frame slot 2
 COLOR_SLOT = 2
 
 
-def make_instance(rng):
+def make_instance(rng, task="recall"):
     """One task instance: (token ids incl. answer, queried frame, answer id)."""
     fillers = rng.integers(FILLER_BASE, FILLER_BASE + N_FILLER, size=PATCH_NUM)
     colors = np.empty(N_FRAMES, np.int64)
@@ -65,17 +82,21 @@ def make_instance(rng):
                                                 size=PATCH_NUM), fillers)
         video[f] = fillers
         video[f, COLOR_SLOT] = COLOR_BASE + colors[f]
-    q = int(rng.integers(0, N_FRAMES))
-    ids = np.concatenate([[BOS], video.reshape(-1), [QUERY_BASE + q],
-                          [COLOR_BASE + colors[q]]])
-    return ids.astype(np.int32), q, int(COLOR_BASE + colors[q])
+    if task == "transitions":
+        q, answer = -1, COUNT_BASE + int(np.sum(colors[1:] != colors[:-1]))
+        q_tok = TRANS_QUERY
+    else:
+        q = int(rng.integers(0, N_FRAMES))
+        answer, q_tok = int(COLOR_BASE + colors[q]), QUERY_BASE + q
+    ids = np.concatenate([[BOS], video.reshape(-1), [q_tok], [answer]])
+    return ids.astype(np.int32), q, answer
 
 
-def make_batch(rng, batch):
-    return np.stack([make_instance(rng)[0] for _ in range(batch)])
+def make_batch(rng, batch, task="recall"):
+    return np.stack([make_instance(rng, task)[0] for _ in range(batch)])
 
 
-def train(cfg, steps, batch, lr, seed=0, log_every=200):
+def train(cfg, steps, batch, lr, seed=0, log_every=200, task="recall"):
     from jax.sharding import Mesh
 
     from framefusion_tpu.models import qwen2
@@ -89,7 +110,7 @@ def train(cfg, steps, batch, lr, seed=0, log_every=200):
         rng = np.random.default_rng(seed)
         loss = float("nan")
         for step in range(steps):
-            ids = jnp.asarray(make_batch(rng, batch))
+            ids = jnp.asarray(make_batch(rng, batch, task))
             params, opt_state, loss = train_step(params, opt_state, ids)
             if log_every and (step + 1) % log_every == 0:
                 print(f"  step {step+1}/{steps} loss {float(loss):.4f}")
@@ -354,6 +375,11 @@ def main():
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--eval", type=int, default=200)
     ap.add_argument("--json", type=str, default=None)
+    ap.add_argument("--task", choices=("recall", "transitions"), default="recall",
+                    help="recall: per-frame color needle (query-informed "
+                         "attention is an oracle — see reading_note); "
+                         "transitions: count color changes, the aggregate "
+                         "task where no single token carries the answer")
     ap.add_argument("--baselines", action=argparse.BooleanOptionalAction,
                     default=True,
                     help="also sweep FastV/StreamingLLM/prefill_merge at "
@@ -368,13 +394,15 @@ def main():
     from framefusion_tpu.runtime.engine import CompressionEngine
 
     cfg = tiny_llm_config(vocab_size=VOCAB)
-    print(f"training {cfg.num_layers}L/d{cfg.hidden_size} on frame-color recall "
+    task_desc = ("color-transition counting" if args.task == "transitions"
+                 else "frame-color recall")
+    print(f"training {cfg.num_layers}L/d{cfg.hidden_size} on {task_desc} "
           f"({args.steps} steps x {args.batch}) ...")
-    params, loss = train(cfg, args.steps, args.batch, args.lr)
+    params, loss = train(cfg, args.steps, args.batch, args.lr, task=args.task)
     print(f"final loss {loss:.4f}")
 
     rng = np.random.default_rng(1234)  # eval instances disjoint from training stream
-    instances = [make_instance(rng) for _ in range(args.eval)]
+    instances = [make_instance(rng, args.task) for _ in range(args.eval)]
 
     dense_engine = CompressionEngine(
         params, cfg, FrameFusionConfig(), attn_impl="einsum")
@@ -412,8 +440,11 @@ def main():
         s_th_rows = s_th_ablation(params, cfg, instances, cost=0.3)
 
     record = {
-        "task": "per-frame color recall over redundant synthetic video "
-                "(8 frames x 5 tokens, colors persist p=0.6)",
+        "task": ("color-transition COUNT over redundant synthetic video — "
+                 "aggregate answer carried by no single token (8 frames x 5 "
+                 "tokens, colors persist p=0.6)" if args.task == "transitions"
+                 else "per-frame color recall over redundant synthetic video "
+                      "(8 frames x 5 tokens, colors persist p=0.6)"),
         "model": f"qwen2-tiny {cfg.num_layers}L d{cfg.hidden_size} vocab {VOCAB}",
         "train_steps": args.steps, "final_loss": round(loss, 4),
         "eval_instances": args.eval,

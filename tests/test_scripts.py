@@ -100,3 +100,37 @@ def test_accuracy_probe_artifact(tmp_path):
     # reductions grow with aggressiveness (schedule arithmetic, not the model)
     reds = [pt["token_reduction"] for pt in rec["sweep"] if "token_reduction" in pt]
     assert reds == sorted(reds)
+
+
+def test_accuracy_probe_transitions_instances():
+    """The aggregate task's generator: answer == count of adjacent-frame color
+    changes, prompt layout identical to the recall task (same engine inputs),
+    answer tokens in their reserved vocab block."""
+    import importlib.util
+    import numpy as np
+
+    sys.path.insert(0, SCRIPTS)  # the scripts resolve their shared `common`
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "accuracy_probe", os.path.join(SCRIPTS, "accuracy_probe.py"))
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+    finally:
+        sys.path.remove(SCRIPTS)
+
+    rng = np.random.default_rng(7)
+    lens = set()
+    for _ in range(50):
+        ids, _, answer = mod.make_instance(rng, task="transitions")
+        lens.add(len(ids))
+        assert ids[-2] == mod.TRANS_QUERY and ids[-1] == answer
+        # recompute the ground truth from the embedded color slots
+        colors = ids[1:-2].reshape(mod.N_FRAMES, mod.PATCH_NUM)[:, mod.COLOR_SLOT]
+        changes = int(np.sum(colors[1:] != colors[:-1]))
+        assert answer == mod.COUNT_BASE + changes
+        assert mod.COUNT_BASE <= answer < mod.COUNT_BASE + mod.N_FRAMES
+        assert answer < mod.VOCAB
+    # same prompt geometry as recall: build_prompt works unchanged
+    assert lens == {1 + mod.N_FRAMES * mod.PATCH_NUM + 2}
+    prompt, patch_type, pos = mod.build_prompt(ids)
+    assert len(prompt) == len(ids) - 1 and patch_type[0] == -1 and pos[-1] == len(prompt) - 1
