@@ -270,7 +270,7 @@ def main():
     # it the echo builder instead (same vocab, longer targets).
     import accuracy_probe as ap_mod
 
-    def echo_batch(rng, batch):
+    def echo_batch(rng, batch, task="recall"):  # task ignored: echo stream
         return np.stack([make_echo_instance(rng)[0] for _ in range(batch)])
 
     ap_mod.make_batch = echo_batch
